@@ -1,0 +1,65 @@
+"""SparkSession factory.
+
+Reference behavior being mirrored: the Clojure engine pins all timestamp
+handling to UTC instants (access_log.clj:49-54 parses the Apache
+``dd/MMM/yyyy:HH:mm:ss Z`` offset and renders ISO-8601 instants), so the
+session timezone is pinned to UTC. Everything else is Spark-native
+tuning for the target deployment: a large cluster scanning ~100 TB, with
+AQE doing runtime re-planning (skew joins, partition coalescing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "dwds-livestream-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) the engine SparkSession.
+
+    Defaults are sized for the local test harness (``local[N]``); on a
+    real cluster the same factory is used with ``master=None`` (resource
+    manager decides) and ``shuffle_partitions`` sized to ~2-3x total
+    cores, or left to AQE coalescing from a high initial value.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Determinism: the reference serializes UTC instants everywhere.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Runtime re-planning: coalesce post-shuffle partitions, split
+        # skewed partitions (the 100 TB story: skewed lemma/user keys).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for the (rare) pandas_udf paths — vectorized transfer.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Timestamp parsing of English month abbreviations (dd/MMM/yyyy)
+        # must not depend on JVM default locale (SURVEY.md §7 risk list).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Duser.language=en -Duser.country=US -Duser.timezone=UTC",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-Duser.language=en -Duser.country=US -Duser.timezone=UTC",
+        )
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
