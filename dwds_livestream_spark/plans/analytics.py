@@ -1,0 +1,356 @@
+"""Batch analytics over the driver testdata (SURVEY.md §7 Phase 5 and
+§2 operator parity queries).
+
+The ``events`` table stands in for the reference's persisted impression
+stream (FIXTURES.md §6); ``customer``/``nation``/``region`` play the
+dimension role. Each query documents the reference operator(s) it
+exercises. Scale notes inline: what the plan does at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup_dim import argmin_dedup
+from ..operators.enrich import enrich
+from .io import load_table as _t
+
+
+def _dec(col, scale: int = 2):
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------- pipeline
+def q_events_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F3+P6 parity: cheap predicates then projection.
+
+    Reference: status/lemma predicates before projection
+    (access_log.clj:83, 66-68, 90-91). Both filters and the 4-column
+    projection push into the parquet scan (PushedFilters/ReadSchema).
+    """
+    ev = _t(spark, sf_dir, "events")
+    return ev.where((F.col("event_type") == "click") & (F.col("value") > 100.0)).select(
+        "event_id", "ts", "user_id", "value"
+    )
+
+
+ORACLE_EVENTS_FILTER_PROJECT = """
+SELECT event_id, ts, user_id, value
+FROM events WHERE event_type = 'click' AND value > 100.0
+"""
+
+
+def q_events_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 parity: stream-static broadcast LEFT equi-join
+    (server.clj:12-14). The customer dimension is broadcast — the fact
+    side never shuffles, which is the whole game at 100 TB.
+    """
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "user_id")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    return enrich(ev, dim, on="user_id")
+
+
+ORACLE_EVENTS_ENRICH = """
+SELECT e.event_id, e.ts, e.event_type, e.user_id, c.c_name, c.c_mktsegment
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+def q_argmin_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 parity: per-key argmin via one hash aggregate (min_by) —
+    reference keeps the min-hidx homograph per lemma (wbdb.clj:20-28).
+    Here: per order, the lowest line number's row. One shuffle on the
+    group key, map-side partial agg; no sort, no window.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    # l_linenumber is not unique per order in the synthetic data, so the
+    # tie-break must be total (reference ties are arrival-order,
+    # wbdb.clj:20-22 — not reproducible distributed; see dedup_dim).
+    return argmin_dedup(
+        li,
+        key="l_orderkey",
+        order_col="l_linenumber",
+        tie_breakers=["l_partkey", "l_suppkey", "l_quantity"],
+    ).select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+
+
+ORACLE_ARGMIN_DEDUP = """
+SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+FROM (
+  SELECT l_orderkey, l_partkey, l_suppkey, l_quantity,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""
+
+
+def q_events_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 parity: throughput metering as time-bucketed counts
+    (metrics.clj:16-26 as a query). Partial aggregation map-side; at
+    scale the (hour, type) key space is tiny so the shuffle is trivial.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n_events"))
+
+
+ORACLE_EVENTS_PER_HOUR = """
+SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_key_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 parity: composite key encoding (lemma#hidx,
+    collector.clj:82-84) — pure codegen projection, no shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.concat_ws("#", "event_type", "user_id").alias("event_key")
+    )
+
+
+ORACLE_KEY_ENCODE = """
+SELECT event_id, concat(event_type, '#', CAST(user_id AS VARCHAR)) AS event_key
+FROM events
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 parity: JSON payload extraction (from_json,
+    collector.clj:32-34) with a post-extraction predicate."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select("event_id", k.alias("k")).where(F.col("k") >= 90)
+
+
+ORACLE_JSON_EXTRACT = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 90
+"""
+
+
+# ------------------------------------------------------------- analytics
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregation, the headline
+    batch-analytics query. Money math in DECIMAL (exact, engine-
+    independent); averages as rounded doubles. Map-side partial agg +
+    4-row result: at 100 TB this is bandwidth-bound scan, no skew.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    price, disc, tax = _dec("l_extendedprice"), _dec("l_discount"), _dec("l_tax")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(price).cast("decimal(18,2)").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("decimal(18,4)").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+            .cast("decimal(18,6)")
+            .alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(18,6)) AS sum_charge,
+  ROUND(AVG(l_quantity), 4) AS avg_qty,
+  ROUND(AVG(l_discount), 4) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> join -> grouped agg ->
+    deterministic top-k. customer is broadcast (small side); lineitem
+    never shuffles for the join. Top-k ties broken on o_orderkey so the
+    LIMIT is total-order deterministic across engines.
+    """
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    ).cast("decimal(18,4)")
+    return (
+        li.join(
+            F.broadcast(
+                orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+ORACLE_Q3 = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join across 6 tables. All dimensions
+    (region->nation->supplier, customer) broadcast; the single shuffle
+    is the orders⋈lineitem equi-join + final tiny agg.
+    """
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    nations_in_region = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    supp = supplier.join(
+        F.broadcast(nations_in_region),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    ).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("n_name")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"))
+    )
+
+
+ORACLE_Q5 = """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC
+"""
+
+
+def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (SURVEY.md §7 Phase 5: top lemmata per source).
+    Window ranking with deterministic tie-break; at scale this shuffles
+    once on the group key — skewed brands are handled by AQE.
+    """
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
+    return (
+        part.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("p_brand", "rank", "p_partkey", "p_name", "p_retailprice")
+    )
+
+
+ORACLE_TOP_PARTS = """
+SELECT p_brand, rank, p_partkey, p_name, p_retailprice
+FROM (
+  SELECT p_brand, p_partkey, p_name, p_retailprice,
+         CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS INT) AS rank
+  FROM part
+) WHERE rank <= 3
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (SURVEY.md §7 Phase 5): 30-minute inactivity gap.
+    Two stacked windows over the same (user_id, ts) partitioning — one
+    shuffle total; Spark reuses the exchange for both window frames.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(gap > 1800, 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_no",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+  FROM g
+)
+SELECT user_id, session_no, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM s GROUP BY user_id, session_no
+"""
+
+
+def q_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation per time bucket — not in the reference
+    (§2.5 'not present'), added for the batch-analytics layer."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+ORACLE_USER_DAILY = """
+SELECT user_id, date_trunc('day', ts) AS day,
+       COUNT(*) AS n_events, COUNT(DISTINCT event_type) AS n_types
+FROM events GROUP BY 1, 2
+"""

@@ -1,0 +1,24 @@
+"""Table loader for the driver testdata (TESTDATA.md).
+
+The only wrinkle: ``events.ts`` is stored as parquet TIMESTAMP(NANOS),
+a type Spark does not support natively. With
+``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as
+epoch-nanos LongType; we truncate to microseconds — exactly what DuckDB
+does internally (µs timestamps), so oracle comparisons agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# table -> columns stored as TIMESTAMP(NANOS)
+_NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANOS_TS_COLUMNS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df

@@ -59,6 +59,11 @@ def build_session(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
+        # Driver testdata stores events.ts as TIMESTAMP(NANOS), which
+        # Spark has no native type for; read as epoch-nanos long and
+        # convert in the loader (plans/io.py) — same ns->µs truncation
+        # DuckDB applies internally.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,113 @@
+"""Local replica of the driver's correctness gate: run each
+__spark_entry__.queries() entry on Spark and its oracle_sql() on DuckDB
+over the same parquet tables, compare row count, column names, and an
+order-insensitive value hash.
+
+Usage: python scripts/check_oracle.py [query ...] [--sf 0.01]
+"""
+
+from __future__ import annotations
+
+import argparse
+import decimal
+import hashlib
+import math
+import sys
+from datetime import date, datetime
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb  # noqa: E402
+
+
+def norm_cell(v) -> str:
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "∅"
+    if isinstance(v, float):
+        return repr(round(v, 9))
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, datetime):
+        return v.isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(rows: list[tuple], col_order: list[int]) -> str:
+    lines = sorted("|".join(norm_cell(r[i]) for i in col_order) for r in rows)
+    h = hashlib.md5()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="*")
+    ap.add_argument("--sf", default="0.01")
+    args = ap.parse_args()
+    sf_dir = f"/root/testdata/sf{args.sf}"
+
+    import __spark_entry__ as entry
+    from dwds_livestream_spark.session import build_session
+
+    spark = build_session(master="local[8]", shuffle_partitions=8)
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    names = args.queries or list(qs)
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failures = 0
+    for name in names:
+        sdf = qs[name](spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = sdf.columns
+        if name not in oracles:
+            print(f"{name:28s} rows-only: {len(srows)} rows")
+            continue
+        drel = con.sql(oracles[name])
+        drows = drel.fetchall()
+        dcols = drel.columns
+        ok = True
+        if sorted(scols) != sorted(dcols):
+            print(f"{name:28s} SCHEMA MISMATCH spark={sorted(scols)} duck={sorted(dcols)}")
+            ok = False
+        if len(srows) != len(drows):
+            print(f"{name:28s} ROWCOUNT MISMATCH spark={len(srows)} duck={len(drows)}")
+            ok = False
+        if ok:
+            sorder = [scols.index(c) for c in sorted(scols)]
+            dorder = [dcols.index(c) for c in sorted(dcols)]
+            sh, dh = value_hash(srows, sorder), value_hash(drows, dorder)
+            if sh != dh:
+                ok = False
+                print(f"{name:28s} VALUE-HASH MISMATCH ({len(srows)} rows)")
+                sset = {tuple(norm_cell(r[i]) for i in sorder) for r in srows}
+                dset = {tuple(norm_cell(r[i]) for i in dorder) for r in drows}
+                for r in list(sset - dset)[:3]:
+                    print("   spark-only:", r)
+                for r in list(dset - sset)[:3]:
+                    print("   duck-only: ", r)
+        if ok:
+            print(f"{name:28s} OK ({len(srows)} rows)")
+        else:
+            failures += 1
+    print(f"\n{len(names) - failures}/{len(names)} queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
