@@ -1,0 +1,260 @@
+"""LLM-training-data pipeline queries over documents/embeddings
+(project brief; SURVEY.md §7 Phase 5).
+
+SQL-expressible operators carry a DuckDB oracle; hash-seeded operators
+(MinHash/SimHash/winnowing/LSH — Spark murmur3/xxhash64 have no DuckDB
+equivalent) are rows-only here and validated against exact brute-force
+results in tests/test_dedup_similarity.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+    winnowing_fingerprints,
+)
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from ..operators.multimodal import documents_as_assets, extract_features
+from ..operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+from .io import load_table as _t
+
+
+# ------------------------------------------------------------- dedup
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=5, threshold=0.8
+    )
+
+
+ORACLE_DEDUP_NGRAM_JACCARD = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
+       FROM toks, unnest(range(1, greatest(len(w)-4, 0)+1)) AS t(i)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.8
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (murmur3 seeds not reproducible in DuckDB); recall vs
+    exact Jaccard asserted in tests."""
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n=5, k=128, bands=32, threshold=0.5
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (xxhash64 not reproducible in DuckDB)."""
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# --------------------------------------------------------- similarity
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=10)
+
+
+ORACLE_SIMILARITY_TOPK = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings),
+un AS (SELECT qid, nid, unnest(qe) AS x, unnest(ce) AS y
+       FROM q, c WHERE nid != qid),
+dots AS (SELECT qid, nid,
+                SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS qq,
+                SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS cc
+         FROM un GROUP BY qid, nid),
+scored AS (SELECT qid AS query_id, nid AS neighbor_id,
+                  ROUND(dot / (sqrt(qq) * sqrt(cc)), 6) AS cosine
+           FROM dots),
+r AS (SELECT query_id, neighbor_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      FROM scored)
+SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 10
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, exact=True
+    )
+
+
+ORACLE_EMBEDDING_NEAR_DUP = """
+WITH un AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   unnest(a.embedding) AS x, unnest(b.embedding) AS y
+            FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id),
+dots AS (SELECT id_a, id_b,
+                SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS aa,
+                SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS bb
+         FROM un GROUP BY id_a, id_b)
+SELECT id_a, id_b, ROUND(dot / (sqrt(aa) * sqrt(bb)), 6) AS cosine
+FROM dots WHERE ROUND(dot / (sqrt(aa) * sqrt(bb)), 6) >= 0.3
+"""
+
+
+def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (LSH is approximate by construction); recall vs exact
+    top-k asserted in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=10, n_planes=6, n_tables=8
+    )
+
+
+# ------------------------------------------------------- text analysis
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_TEXT_TOKEN_STATS = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks,
+         regexp_extract_all(text, '[A-Za-zÀ-ÿ]+|[0-9]+|[^\sA-Za-zÀ-ÿ0-9]') AS bpe,
+         len(regexp_replace(text, '\s+', '', 'g')) AS total_len
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(bpe) AS INT) AS n_bpe_tokens,
+       CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+       ROUND(len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1), 6) AS distinct_ratio,
+       ROUND(total_len * 1.0 / greatest(len(toks), 1), 6) AS mean_token_len
+FROM t
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_TEXT_QUALITY = r"""
+WITH t AS (
+  SELECT doc_id, len(text) AS n_chars,
+         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks,
+         len(text) - len(regexp_replace(text, '[^\w\s]', '', 'g')) AS punct,
+         len(regexp_replace(text, '\s+', '', 'g')) AS stripped_len
+  FROM documents
+), m AS (
+  SELECT doc_id, n_chars,
+         CAST(len(toks) AS INT) AS n_tokens,
+         ROUND(punct * 1.0 / greatest(n_chars, 1), 6) AS punct_ratio,
+         ROUND(len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1), 6) AS distinct_ratio,
+         ROUND(stripped_len * 1.0 / greatest(len(toks), 1), 6) AS mean_token_len
+  FROM t
+), s AS (
+  SELECT *, ROUND(
+    (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN mean_token_len >= 2 AND mean_token_len <= 12 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END)
+    + least(distinct_ratio, 0.25), 6) AS quality_score
+  FROM m
+)
+SELECT doc_id, n_chars, n_tokens, punct_ratio, distinct_ratio,
+       mean_token_len, quality_score,
+       quality_score >= 0.5 AND n_tokens >= 10 AS keep
+FROM s
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+def _lang_in(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _oracle_lang_id() -> str:
+    from ..functions.text import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    score_exprs = ",\n         ".join(
+        f"ROUND(len(list_filter(toks, x -> x IN ({_lang_in(STOPWORDS[lang])})))"
+        f" * 1.0 / greatest(len(toks), 1), 6) AS score_{lang}"
+        for lang in langs
+    )
+    mx = f"greatest({', '.join('score_' + lang for lang in langs)})"
+    pick = " ".join(
+        f"WHEN score_{lang} = __mx THEN '{lang}'" for lang in langs
+    )
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         {score_exprs}
+  FROM t
+), m AS (SELECT *, {mx} AS __mx FROM s)
+SELECT doc_id, {', '.join('score_' + lang for lang in langs)},
+       CASE WHEN __mx = 0 THEN 'und' {pick} END AS pred_lang
+FROM m
+"""
+
+
+ORACLE_LANG_ID = _oracle_lang_id()
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_DOC_FINGERPRINT = r"""
+SELECT doc_id,
+       md5(array_to_string(
+         list_sort(list_distinct(
+           list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))),
+         ' ')) AS fingerprint
+FROM documents
+"""
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (murmur3 rolling hashes)."""
+    return winnowing_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+# -------------------------------------------------------- multimodal
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (mapInPandas byte-feature extraction; deterministic
+    fake decode — see operators/multimodal.py)."""
+    return extract_features(
+        documents_as_assets(_t(spark, sf_dir, "documents")), fake=True
+    ).drop("feature")

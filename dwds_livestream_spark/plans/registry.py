@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import analytics as A
+from . import llm as L
 from .io import load_table
 
 TABLES = (
@@ -39,6 +40,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_parts_per_brand": A.q_top_parts_per_brand,
     "sessionize": A.q_sessionize,
     "user_daily": A.q_user_daily,
+    # LLM-training-data pipeline (project brief / SURVEY.md §7 Phase 5)
+    "dedup_exact": L.q_dedup_exact,
+    "dedup_ngram_jaccard": L.q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": L.q_dedup_minhash_lsh,
+    "dedup_simhash": L.q_dedup_simhash,
+    "similarity_topk": L.q_similarity_topk,
+    "similarity_lsh_topk": L.q_similarity_lsh_topk,
+    "embedding_near_dup": L.q_embedding_near_dup,
+    "text_token_stats": L.q_text_token_stats,
+    "text_quality": L.q_text_quality,
+    "lang_id": L.q_lang_id,
+    "doc_fingerprint": L.q_doc_fingerprint,
+    "winnow_fingerprints": L.q_winnow_fingerprints,
+    "multimodal_features": L.q_multimodal_features,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -54,4 +69,14 @@ ORACLE_SQL: dict[str, str] = {
     "top_parts_per_brand": A.ORACLE_TOP_PARTS,
     "sessionize": A.ORACLE_SESSIONIZE,
     "user_daily": A.ORACLE_USER_DAILY,
+    "dedup_exact": L.ORACLE_DEDUP_EXACT,
+    "dedup_ngram_jaccard": L.ORACLE_DEDUP_NGRAM_JACCARD,
+    "similarity_topk": L.ORACLE_SIMILARITY_TOPK,
+    "embedding_near_dup": L.ORACLE_EMBEDDING_NEAR_DUP,
+    "text_token_stats": L.ORACLE_TEXT_TOKEN_STATS,
+    "text_quality": L.ORACLE_TEXT_QUALITY,
+    "lang_id": L.ORACLE_LANG_ID,
+    "doc_fingerprint": L.ORACLE_DOC_FINGERPRINT,
+    # rows-only (no oracle): dedup_minhash_lsh, dedup_simhash,
+    # similarity_lsh_topk, winnow_fingerprints, multimodal_features
 }

@@ -1,0 +1,135 @@
+"""Quality gates for the approximate (rows-only) operators: recall is
+measured against the exact brute-force baselines on sf0.001 testdata."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dwds_livestream_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from dwds_livestream_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+from dwds_livestream_spark.plans.io import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return load_table(spark, SF_DIR, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
+def test_exact_dedup_counts(spark, documents):
+    out = exact_dedup(documents)
+    assert out.count() == documents.select("text").distinct().count()
+    # duplicates (if any) fold into one keeper with n_dups >= 2
+    assert out.agg(F.sum("n_dups")).collect()[0][0] == documents.count()
+
+
+def test_minhash_lsh_recall_against_exact_jaccard(spark, documents):
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(documents, n=5, threshold=0.8).collect()
+    }
+    assert exact, "testdata should contain planted near-duplicates"
+    approx = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(
+            documents, n=5, k=128, bands=32, threshold=0.5
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # j>=0.8 with 32 bands x 4 rows: P[miss] = (1-j^4)^32 < 1e-6
+    assert recall >= 0.95, f"minhash recall {recall} on {len(exact)} pairs"
+
+
+def test_minhash_estimate_tracks_exact(spark, documents):
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(documents, n=5, threshold=0.8).collect()
+    }
+    est = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_lsh_pairs(documents, n=5, k=128, bands=32, threshold=0.0).collect()
+    }
+    errs = [abs(est[p] - j) for p, j in exact.items() if p in est]
+    assert errs and max(errs) < 0.15  # k=128 -> se ~ sqrt(j(1-j)/128) ~ 0.035
+
+
+def test_simhash_finds_near_duplicates(spark, documents):
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(documents, n=5, threshold=0.9).collect()
+    }
+    near = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_pairs(documents, max_hamming=8).collect()
+    }
+    if exact:
+        recall = len(exact & near) / len(exact)
+        assert recall >= 0.7, f"simhash recall {recall} on {len(exact)} pairs"
+
+
+def test_cosine_topk_shape_and_order(spark, embeddings):
+    out = cosine_topk(embeddings, embeddings.where(F.col("vec_id") < 5), k=7)
+    rows = out.collect()
+    assert len(rows) == 5 * 7
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, 8))
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r.neighbor_id != q for r in rs)
+
+
+def test_lsh_topk_recall_at_1(spark, embeddings):
+    queries = embeddings.where(F.col("vec_id") < 20)
+    exact1 = {
+        r.query_id: r.neighbor_id
+        for r in cosine_topk(embeddings, queries, k=1).collect()
+    }
+    # near-orthogonal random vectors (max cos ~0.37) need short sign
+    # patterns for collision probability; real near-dup corpora
+    # (cos > 0.9) tolerate many more planes
+    approx = lsh_topk(
+        embeddings, queries, k=5, n_planes=4, n_tables=8
+    ).collect()
+    got1 = {r.query_id: r.neighbor_id for r in approx if r.rank == 1}
+    hits = sum(1 for q, n in exact1.items() if got1.get(q) == n)
+    assert hits / len(exact1) >= 0.5, f"LSH recall@1 = {hits}/{len(exact1)}"
+
+
+def test_embedding_near_dup_exact_vs_lsh(spark, embeddings):
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs(embeddings, threshold=0.3, exact=True).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs(
+            embeddings, threshold=0.3, n_planes=6, n_tables=8
+        ).collect()
+    }
+    # approximate results are a subset of exact with identical scores
+    assert set(approx) <= set(exact)
+    for p, c in approx.items():
+        assert c == exact[p]
+    if exact:
+        assert len(approx) / len(exact) >= 0.3

@@ -1,0 +1,133 @@
+"""Text-analysis functions + multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dwds_livestream_spark.functions.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+    winnowing_fingerprints,
+)
+from dwds_livestream_spark.operators.multimodal import (
+    documents_as_assets,
+    extract_features,
+    frame_sample_plan,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="der hund und die katze und das pferd ist da"),
+            Row(doc_id=3, text="a a a a a a a a a a"),
+            Row(doc_id=4, text="xyz"),
+        ]
+    )
+
+
+def test_token_stats(spark, docs):
+    out = {r.doc_id: r for r in token_stats(docs).collect()}
+    assert out[1].n_tokens == 9
+    assert out[1].n_distinct == 8  # 'the' twice
+    assert out[3].distinct_ratio == 0.1
+    assert out[4].n_tokens == 1
+    assert out[1].mean_token_len == round(35 / 9, 6)
+
+
+def test_quality_score_repetition_penalty(spark, docs):
+    out = {r.doc_id: r for r in quality_score(docs).collect()}
+    assert out[1].quality_score > out[3].quality_score  # repetition hurts
+    assert not out[4].keep  # too short
+
+
+def test_language_id(spark, docs):
+    out = {r.doc_id: r for r in language_id(docs).collect()}
+    assert out[1].pred_lang == "en"
+    assert out[2].pred_lang == "de"
+    assert out[4].pred_lang == "und"
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma"), Row(doc_id=2, text="gamma alpha beta")]
+    )
+    fps = [r.fingerprint for r in fingerprint(df).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_winnowing_overlap_detects_shared_run(spark):
+    base = "w%d " * 30
+    a = (base % tuple(range(30))).strip()
+    b = (base % tuple(range(20, 50))).strip()  # shares tokens 20..29
+    c = (base % tuple(range(100, 130))).strip()  # disjoint
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=a), Row(doc_id=2, text=b), Row(doc_id=3, text=c)]
+    )
+    fps = winnowing_fingerprints(df, k=5, window=4)
+    pairs = (
+        fps.alias("x")
+        .join(fps.alias("y"), "fp")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy("x.doc_id", "y.doc_id")
+        .count()
+        .collect()
+    )
+    overlaps = {(r[0], r[1]): r[2] for r in pairs}
+    assert (1, 2) in overlaps  # shared 10-token run -> shared fingerprints
+    assert (1, 3) not in overlaps and (2, 3) not in overlaps
+
+
+def test_multimodal_features_deterministic(spark):
+    assets = spark.createDataFrame(
+        [
+            Row(asset_id=1, modality="image", payload=bytes(range(256))),
+            Row(asset_id=2, modality="image", payload=b"\x00" * 64),
+            Row(asset_id=3, modality="text", payload=b"skip me"),
+        ]
+    )
+    out = {r.asset_id: r for r in extract_features(assets, fake=True).collect()}
+    assert set(out) == {1, 2}  # non-media modality filtered
+    assert out[1].n_bytes == 256
+    assert out[1].byte_mean == round(sum(range(256)) / 256, 6)
+    assert out[1].byte_entropy == pytest.approx(4.0)  # uniform over 16 buckets
+    assert out[2].byte_entropy == 0.0
+    assert len(out[1].feature) == 16
+    assert math.isclose(sum(out[1].feature), 1.0, rel_tol=1e-4)
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    assets = spark.createDataFrame(
+        [Row(asset_id=1, modality="image", payload=b"x")]
+    )
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        extract_features(assets, fake=False).collect()
+
+
+def test_documents_as_assets_runs_on_testdata(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    feats = extract_features(documents_as_assets(docs), fake=True)
+    row = feats.orderBy("asset_id").first()
+    assert row.n_bytes > 0 and 0 < row.byte_entropy <= 4.0
+
+
+def test_frame_sample_plan(spark):
+    assets = spark.createDataFrame(
+        [
+            Row(asset_id=1, modality="video", duration_ms=3500),
+            Row(asset_id=2, modality="image", duration_ms=None),
+        ]
+    )
+    rows = frame_sample_plan(assets, every_ms=1000).collect()
+    got = sorted(r.frame_ts_ms for r in rows)
+    assert got == [0, 1000, 2000]
+    assert all(r.asset_id == 1 for r in rows)
