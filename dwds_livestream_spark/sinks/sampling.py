@@ -1,0 +1,51 @@
+"""W4 — per-subscriber rate-limited sampling (``epm``).
+
+Reference: each HTTP subscriber passes ``epm`` (events per minute); a
+leaky-bucket thread plus a drop-oldest buffer conflates the stream to at
+most N events/minute per client, keeping the *newest* event
+(http.clj:74-78, 109-113; default 45 epm, viz.cljs:6-7).
+
+Engine-side analog (documented intentional difference, SURVEY.md §1.4):
+processing is event-time declarative — per minute window, keep the
+last ``epm`` events (newest-wins, like the sliding buffer). The serving
+layer applies the same operator per subscriber.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG
+
+
+def sample_epm(
+    df: DataFrame,
+    epm: int = DEFAULT_CONFIG.default_epm,
+    ts_col: str = "timestamp",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Batch/windowed form: at most ``epm`` events per minute, newest
+    kept (drop-oldest conflation). ``epm`` must be a positive int
+    (validated like http.clj:113)."""
+    if not isinstance(epm, int) or epm <= 0:
+        raise ValueError(f"epm must be a positive int, got {epm!r}")
+    order = [F.desc(ts_col)] + ([F.desc(order_col)] if order_col else [])
+    w = Window.partitionBy(F.date_trunc("minute", ts_col)).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= epm)
+        .drop("__rn")
+    )
+
+
+def sample_epm_streaming(df: DataFrame, epm: int = DEFAULT_CONFIG.default_epm,
+                         ts_col: str = "timestamp") -> DataFrame:
+    """Streaming form for the live fan-out: bounded per-micro-batch via
+    foreachBatch applying :func:`sample_epm` — each micro-batch is
+    conflated independently, which at the reference's 1 s trigger equals
+    the leaky-bucket behavior (bucket refill quantum = trigger)."""
+    raise NotImplementedError(
+        "apply sample_epm inside foreachBatch (see streaming/pipeline.py); "
+        "per-row streaming state is deliberately avoided for the live path"
+    )
