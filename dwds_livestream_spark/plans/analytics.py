@@ -12,8 +12,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.access_log import access_log_to_events
+from ..operators.asof import asof_join
 from ..operators.dedup_dim import argmin_dedup
 from ..operators.enrich import enrich
+from ..operators.range_join import range_join
 from .io import load_table as _t
 
 
@@ -353,4 +356,268 @@ ORACLE_USER_DAILY = """
 SELECT user_id, date_trunc('day', ts) AS day,
        COUNT(*) AS n_events, COUNT(DISTINCT event_type) AS n_types
 FROM events GROUP BY 1, 2
+"""
+
+
+def q_access_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P6 + F1/F2/F5/F7 parity, oracle-checked end-to-end: synthesize
+    Apache combined log lines from `events` (deterministically), then
+    run the real parse/filter/project pipeline over them. The DuckDB
+    oracle computes the surviving (timestamp, lemma) set directly from
+    `events` — ground truth without re-implementing the regex.
+
+    Exercised: typeahead pre-filter drop (user_id%7), non-200 drop
+    (value<50 -> 404), bot-UA drop (user_id%10 -> Googlebot), timestamp
+    roundtrip through dd/MMM/yyyy:HH:mm:ss Z.
+    """
+    ev = _t(spark, sf_dir, "events")
+    uri = F.when(
+        F.col("user_id") % 7 == 0, F.lit("/wb/typeahead?q=x")
+    ).otherwise(F.concat(F.lit("/wb/"), F.col("event_type")))
+    status = F.when(F.col("value") < 50, F.lit(404)).otherwise(F.lit(200))
+    ua = F.when(
+        F.col("user_id") % 10 == 0,
+        F.lit("Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)"),
+    ).otherwise(F.lit("Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101"))
+    lines = ev.select(
+        F.concat(
+            F.lit('10.0.0.1 - - ['),
+            F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"),
+            F.lit(' +0000] "GET '),
+            uri,
+            F.lit(' HTTP/1.1" '),
+            status.cast("string"),
+            F.lit(' 1234 "-" "'),
+            ua,
+            F.lit('"'),
+        ).alias("value")
+    )
+    return access_log_to_events(lines)
+
+
+ORACLE_ACCESS_LOG_PARSE = """
+SELECT date_trunc('second', ts) AS timestamp, event_type AS lemma
+FROM events
+WHERE user_id % 7 != 0        -- typeahead pre-filter (F1)
+  AND value >= 50             -- synthesized 404s (F2)
+  AND user_id % 10 != 0       -- bot user agents (F5)
+"""
+
+
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-table scan + conjunctive filter + one
+    global agg. All four predicates and the 3-column ReadSchema push
+    into the parquet scan; at 100 TB this is pure scan bandwidth with a
+    one-row partial-agg merge.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+        .cast("decimal(18,4)")
+        .alias("revenue")
+    )
+
+
+ORACLE_Q6 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS -> LEFT SEMI join. The semi join needs
+    only l_orderkey from lineitem (ReadSchema: 3 cols), dedups on the
+    build side, and never widens rows — the scalable form of EXISTS.
+    """
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    # synthetic lineitem has no commit/receipt dates; "has a returned
+    # line" plays the EXISTS predicate role
+    late = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: NOT EXISTS -> LEFT ANTI join, grouped. The anti
+    join's build side is just o_custkey (deduped); the probe side never
+    shuffles when the build side broadcasts.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    # "no RECENT orders" — every synthetic customer has some order, so
+    # the unfiltered anti join would be a degenerate 0-row check
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("decimal(18,2)").alias("total_acctbal"),
+        )
+    )
+
+
+ORACLE_CUSTOMERS_NO_ORDERS = """
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c_mktsegment
+"""
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (hierarchical grouping sets) — multi-resolution pre-agg,
+    the batch analog of a hypertable rollup. Spark computes all levels
+    in one pass (Expand + single shuffle), not one scan per level.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate").cast("int"))
+        .rollup("order_year", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("decimal(18,2)").alias("total_price"),
+        )
+    )
+
+
+ORACLE_ROLLUP_REVENUE = """
+SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+FROM orders
+GROUP BY ROLLUP (CAST(year(o_orderdate) AS INT), o_orderpriority)
+"""
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (linear interpolation — matches
+    quantile_cont). Exact percentile is the oracle baseline; at 100 TB
+    the same query swaps to approx_percentile (t-digest sketch,
+    mergeable map-side) with a documented error bound.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+ORACLE_VALUE_PERCENTILES = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each event matched to the same
+    user's most recent order at-or-before the event time. The right
+    side is pre-deduped to one row per (user, date) so the match is
+    total-order deterministic across engines.
+    """
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    dim = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("odate"),
+        )
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    )
+    return asof_join(
+        ev, dim, on="user_id", left_ts="ts", right_ts="odate",
+        payload=["last_orderkey"],
+    )
+
+
+ORACLE_ASOF_LATEST_ORDER = """
+WITH d AS (
+  SELECT o_custkey AS user_id, o_orderdate AS odate,
+         MAX(o_orderkey) AS last_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.ts, e.user_id,
+       d.odate AS matched_ts, d.last_orderkey
+FROM events e ASOF LEFT JOIN d
+  ON e.user_id = d.user_id AND e.ts >= d.odate
+"""
+
+
+def q_range_join_order_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join (operators/range_join.py): events falling in
+    the 7 days after one of the same user's orders, counted per order.
+    The oracle is the naive inequality join; the engine plan is the
+    bin-quantized equi join (no nested loop).
+    """
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    # events live in 2024; shift order windows into the event epoch so
+    # the join is non-degenerate (synthetic-data alignment, not an
+    # operator concern).
+    ords = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("user_id"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 26 YEARS"))
+        .cast("timestamp")
+        .alias("w_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 26 YEARS")
+         + F.expr("INTERVAL 7 DAYS"))
+        .cast("timestamp")
+        .alias("w_end"),
+    )
+    joined = range_join(
+        ev, ords, ts_col="ts", start_col="w_start", end_col="w_end",
+        bin_width_seconds=7 * 86_400, equi=["user_id"],
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_events"), F.min("ts").alias("first_event_ts")
+    )
+
+
+ORACLE_RANGE_JOIN_ORDER_WEEK = """
+SELECT o_orderkey, COUNT(*) AS n_events, MIN(e.ts) AS first_event_ts
+FROM events e
+JOIN orders o
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate + INTERVAL 26 YEAR
+ AND e.ts <  o.o_orderdate + INTERVAL 26 YEAR + INTERVAL 7 DAY
+GROUP BY o_orderkey
 """

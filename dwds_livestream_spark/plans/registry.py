@@ -33,6 +33,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_per_hour": A.q_events_per_hour,
     "key_encode": A.q_key_encode,
     "json_extract": A.q_json_extract,
+    "access_log_parse": A.q_access_log_parse,
     # batch analytics (SURVEY.md §7 Phase 5)
     "q1_pricing_summary": A.q1_pricing_summary,
     "q3_top_revenue_orders": A.q3_top_revenue_orders,
@@ -40,6 +41,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_parts_per_brand": A.q_top_parts_per_brand,
     "sessionize": A.q_sessionize,
     "user_daily": A.q_user_daily,
+    "q4_order_priority": A.q4_order_priority,
+    "q6_revenue_delta": A.q6_revenue_delta,
+    "customers_no_orders": A.q_customers_no_orders,
+    "rollup_revenue": A.q_rollup_revenue,
+    "value_percentiles": A.q_value_percentiles,
+    "asof_latest_order": A.q_asof_latest_order,
+    "range_join_order_week": A.q_range_join_order_week,
     # LLM-training-data pipeline (project brief / SURVEY.md §7 Phase 5)
     "dedup_exact": L.q_dedup_exact,
     "dedup_ngram_jaccard": L.q_dedup_ngram_jaccard,
@@ -69,6 +77,14 @@ ORACLE_SQL: dict[str, str] = {
     "top_parts_per_brand": A.ORACLE_TOP_PARTS,
     "sessionize": A.ORACLE_SESSIONIZE,
     "user_daily": A.ORACLE_USER_DAILY,
+    "access_log_parse": A.ORACLE_ACCESS_LOG_PARSE,
+    "q4_order_priority": A.ORACLE_Q4,
+    "q6_revenue_delta": A.ORACLE_Q6,
+    "customers_no_orders": A.ORACLE_CUSTOMERS_NO_ORDERS,
+    "rollup_revenue": A.ORACLE_ROLLUP_REVENUE,
+    "value_percentiles": A.ORACLE_VALUE_PERCENTILES,
+    "asof_latest_order": A.ORACLE_ASOF_LATEST_ORDER,
+    "range_join_order_week": A.ORACLE_RANGE_JOIN_ORDER_WEEK,
     "dedup_exact": L.ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": L.ORACLE_DEDUP_NGRAM_JACCARD,
     "similarity_topk": L.ORACLE_SIMILARITY_TOPK,

@@ -1,0 +1,113 @@
+"""Semantic unit tests for the temporal join operators (asof, range) —
+operator classes beyond the reference surface (SURVEY.md §2.4 "not
+present"), exercised against hand-computed expectations.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from dwds_livestream_spark.operators.asof import asof_join
+from dwds_livestream_spark.operators.range_join import range_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "a"),
+            (2, _ts("2024-01-01T11:00:00"), "a"),
+            (3, _ts("2024-01-01T09:00:00"), "a"),
+            (4, _ts("2024-01-01T10:00:00"), "b"),  # exact-tie match
+            (5, _ts("2024-01-01T10:00:00"), "c"),  # key with no right rows
+        ],
+        "id long, ts timestamp, k string",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01T09:30:00"), 100),
+            ("a", _ts("2024-01-01T10:30:00"), 200),
+            ("b", _ts("2024-01-01T10:00:00"), 300),
+        ],
+        "k string, rts timestamp, payload int",
+    )
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts")
+    got = {r.id: (r.matched_ts, r.payload) for r in out.collect()}
+    assert got[1] == (_ts("2024-01-01T09:30:00"), 100)  # latest <= 10:00
+    assert got[2] == (_ts("2024-01-01T10:30:00"), 200)
+    assert got[3] == (None, None)  # nothing earlier
+    assert got[4] == (_ts("2024-01-01T10:00:00"), 300)  # inclusive
+    assert got[5] == (None, None)  # left outer
+    assert out.count() == 5
+
+
+def test_asof_preserves_left_columns(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "a", "extra")],
+        "id long, ts timestamp, k string, note string",
+    )
+    right = spark.createDataFrame(
+        [("a", _ts("2024-01-01T09:00:00"), 7)],
+        "k string, rts timestamp, v int",
+    )
+    row = asof_join(left, right, on="k", left_ts="ts", right_ts="rts").first()
+    assert row.note == "extra" and row.v == 7
+
+
+def test_range_join_half_open_and_bins(spark):
+    points = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:00:00")),  # == start -> in
+            (2, _ts("2024-01-03T23:59:59")),  # inside
+            (3, _ts("2024-01-04T00:00:00")),  # == end -> out (half-open)
+            (4, _ts("2023-12-31T23:59:59")),  # before -> out
+        ],
+        "pid long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(10, _ts("2024-01-01T00:00:00"), _ts("2024-01-04T00:00:00"))],
+        "iid long, s timestamp, e timestamp",
+    )
+    # bin width much smaller than the interval: exercises multi-bin
+    # explode; each pair must still appear exactly once
+    out = range_join(points, intervals, "ts", "s", "e", bin_width_seconds=3600)
+    rows = [(r.pid, r.iid) for r in out.collect()]
+    assert sorted(rows) == [(1, 10), (2, 10)]
+
+
+def test_range_join_with_equi_key(spark):
+    points = spark.createDataFrame(
+        [(1, _ts("2024-01-01T12:00:00"), "u1"), (2, _ts("2024-01-01T12:00:00"), "u2")],
+        "pid long, ts timestamp, u string",
+    )
+    intervals = spark.createDataFrame(
+        [("u1", _ts("2024-01-01T00:00:00"), _ts("2024-01-02T00:00:00"), 10)],
+        "u string, s timestamp, e timestamp, iid long",
+    )
+    out = range_join(points, intervals, "ts", "s", "e", equi=["u"])
+    assert [(r.pid, r.iid) for r in out.collect()] == [(1, 10)]
+
+
+def test_asof_plan_single_shuffle(spark):
+    """The union+window plan must shuffle once on the key — no join
+    node, no cartesian/nested-loop."""
+    left = spark.range(100).select(
+        F.col("id").alias("lid"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"),
+        (F.col("id") % 5).alias("k"),
+    )
+    right = spark.range(20).select(
+        (F.col("id") % 5).alias("k"),
+        F.timestamp_seconds(F.col("id") * 90).alias("rts"),
+        F.col("id").alias("payload"),
+    )
+    plan = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
