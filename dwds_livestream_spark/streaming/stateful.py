@@ -1,0 +1,103 @@
+"""Custom stateful streaming operator: per-key leaky-bucket rate limit.
+
+The reference throttles each live subscriber to `epm` events/minute via
+a leaky bucket fed by a filler thread (reference:
+src/dwds/livestream/http.clj:74-78, 109-113; bucket lifecycle CHANGELOG
+v1.4.1). sinks/sampling.py gives the per-micro-batch approximation; this
+operator is the faithful cross-batch form: token state lives in the
+Spark state store, survives micro-batch boundaries and restarts, and is
+keyed (per subscriber / per stream) so it scales horizontally.
+
+Spark has no built-in rate-limit operator — this is the
+applyInPandasWithState slot (project brief: custom stateful streaming
+operators). State per key is 2 longs — O(keys), watermark-free.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("tokens", LongType()),  # remaining sends this window
+        StructField("window_start_us", LongType()),  # epoch micros of window
+    ]
+)
+
+
+def rate_limit_stream(
+    events: DataFrame,
+    epm: int,
+    ts_col: str = "timestamp",
+    key_col: str = "lemma",
+    key_all: bool = True,
+) -> DataFrame:
+    """Pass at most ``epm`` events per event-time minute (per key if
+    ``key_all`` is False, else one global bucket), dropping the excess —
+    the reference's leaky-bucket semantics with drop-not-buffer overflow.
+
+    Within a batch, events are admitted in event-time order (the
+    reference admits in arrival order — not reproducible distributed, so
+    event-time order is the deterministic analog). Output schema = input
+    schema.
+    """
+    if epm <= 0:
+        raise ValueError(f"epm must be a positive int: {epm}")
+
+    out_schema = StructType(
+        [f for f in events.schema.fields] + [StructField("__key", LongType())]
+    )
+    ts_idx_type = events.schema[ts_col].dataType
+    if not isinstance(ts_idx_type, TimestampType):
+        raise ValueError(f"{ts_col} must be TimestampType, got {ts_idx_type}")
+
+    def bucket(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            tokens, window_us = state.get
+        else:
+            tokens, window_us = epm, -1
+        kept: list[pd.DataFrame] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, kind="stable")
+            mask = []
+            for t in pdf[ts_col]:
+                minute_us = (int(t.value) // 1000 // 60_000_000) * 60_000_000
+                if minute_us != window_us:  # new minute: bucket refills
+                    window_us, tokens = minute_us, epm
+                if tokens > 0:
+                    tokens -= 1
+                    mask.append(True)
+                else:
+                    mask.append(False)
+            kept.append(pdf[pd.Series(mask, index=pdf.index)])
+        state.update((tokens, window_us))
+        if kept:
+            yield pd.concat(kept)
+
+    keyed = events.withColumn(
+        "__key",
+        F.lit(0).cast("long") if key_all else F.xxhash64(events[key_col]),
+    )
+    limited = keyed.groupBy("__key").applyInPandasWithState(
+        bucket,
+        outputStructType=out_schema,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return limited.drop("__key")

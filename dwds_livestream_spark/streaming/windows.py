@@ -1,0 +1,72 @@
+"""Event-time windowed aggregation for the streaming analytics layer.
+
+The reference carries event time (parsed `timestamp`, SURVEY.md §2.3 P2)
+but processes in arrival order with no windows or late-data handling
+(§2.6 "not present"). Spark gets watermarks + windows natively; this
+module exposes them over the enriched event stream — the streaming form
+of the batch throughput/trend queries (A3, §7 Phase 5).
+
+All functions work on batch frames too (window/session_window are plain
+expressions); watermarks are no-ops in batch, so batch/stream parity
+holds structurally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    ts_col: str = "timestamp",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Tumbling-window counts per group with a late-data watermark —
+    the streaming equivalent of the reference's per-minute meters
+    (metrics.clj:16-26) as a first-class query.
+
+    Output: window_start, window_end, [group_cols...], n_events.
+    State scales with (open windows x groups), bounded by the watermark
+    — constant per key over time, safe at any input volume.
+    """
+    grouped = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("__w"), *(group_cols or []))
+        .agg(F.count("*").alias("n_events"))
+    )
+    return grouped.select(
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        *(group_cols or []),
+        "n_events",
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 minutes",
+    ts_col: str = "timestamp",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Sessionization via the native session_window operator —
+    state-store-backed gap sessions that merge across micro-batches.
+    The batch twin is plans/analytics.py::q_sessionize (lag/cumsum
+    windows); this is the streaming-native form.
+
+    Output: [key_cols...], session_start, session_end, n_events.
+    """
+    grouped = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("__s"), *(key_cols or []))
+        .agg(F.count("*").alias("n_events"))
+    )
+    return grouped.select(
+        *(key_cols or []),
+        F.col("__s.start").alias("session_start"),
+        F.col("__s.end").alias("session_end"),
+        "n_events",
+    )

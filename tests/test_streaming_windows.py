@@ -1,0 +1,187 @@
+"""Event-time windows, session windows, and the cross-batch stateful
+rate limiter (streaming/windows.py, streaming/stateful.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import time
+
+from dwds_livestream_spark.streaming.stateful import rate_limit_stream
+from dwds_livestream_spark.streaming.windows import session_windows, windowed_counts
+
+SCHEMA = "timestamp timestamp, lemma string"
+
+
+def _jsonl(ts: str, lemma: str) -> str:
+    return json.dumps({"timestamp": ts, "lemma": lemma})
+
+
+def _order_files(srcdir):
+    """The file source orders micro-batches by modification time; give
+    the fixture files strictly increasing mtimes so bN = batch N."""
+    now = time.time()
+    for i, f in enumerate(sorted(srcdir.iterdir())):
+        os.utime(f, (now + i, now + i))
+
+
+def _read_stream(spark, srcdir):
+    return (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)  # one micro-batch per file
+        .load(str(srcdir))
+        .selectExpr(
+            "from_json(value, 'timestamp timestamp, lemma string') AS e"
+        )
+        .select("e.timestamp", "e.lemma")
+    )
+
+
+def _run_update(spark, df, tmp_path, name):
+    """Run an update-mode query to completion, collecting every batch's
+    rows via foreachBatch."""
+    batches: list[list] = []
+    q = (
+        df.writeStream.outputMode("update")
+        .foreachBatch(lambda b, i: batches.append(b.collect()))
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return batches
+
+
+def test_windowed_counts_and_late_drop(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 1: two windows' worth of events; max ts 10:05 -> watermark
+    # after batch1 = 10:03
+    (src / "b1.jsonl").write_text(
+        "\n".join(
+            [
+                _jsonl("2024-01-01T10:00:10Z", "a"),
+                _jsonl("2024-01-01T10:00:20Z", "b"),
+                _jsonl("2024-01-01T10:05:00Z", "c"),
+            ]
+        )
+    )
+    # batch 2: an on-time event
+    (src / "b2.jsonl").write_text(_jsonl("2024-01-01T10:05:30Z", "d"))
+    # batch 3: a too-late event. The late-event filter uses the
+    # PREVIOUS batch's watermark (Spark's two-watermark propagation),
+    # so the row must arrive >= 2 batches after the watermark passed it:
+    # wm after b1 = 10:03 -> applied to late events from b3 on.
+    (src / "b3.jsonl").write_text(_jsonl("2024-01-01T09:50:00Z", "LATE"))
+    _order_files(src)
+    out = windowed_counts(
+        _read_stream(spark, src), window="1 minute", watermark="2 minutes"
+    )
+    batches = _run_update(spark, out, tmp_path, "wc")
+    final: dict[dt.datetime, int] = {}
+    for b in batches:
+        for r in b:
+            final[r.window_start] = r.n_events  # update mode: last wins
+
+    t = dt.datetime(2024, 1, 1, 10, 0)
+    assert final[t] == 2
+    assert final[dt.datetime(2024, 1, 1, 10, 5)] == 2
+    assert dt.datetime(2024, 1, 1, 9, 50) not in final  # late row dropped
+
+
+def test_session_windows_merge_across_batches(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    # same lemma, 10-min gap sessions; batch2 extends batch1's session
+    (src / "b1.jsonl").write_text(
+        "\n".join(
+            [
+                _jsonl("2024-01-01T10:00:00Z", "a"),
+                _jsonl("2024-01-01T10:04:00Z", "a"),
+            ]
+        )
+    )
+    (src / "b2.jsonl").write_text(
+        "\n".join(
+            [
+                _jsonl("2024-01-01T10:08:00Z", "a"),  # continues session
+                _jsonl("2024-01-01T11:00:00Z", "a"),  # new session
+            ]
+        )
+    )
+    # sentinel far in the future: pushes the watermark past both
+    # sessions' ends so append mode finalizes them
+    (src / "b3.jsonl").write_text(_jsonl("2024-01-01T12:00:00Z", "zz"))
+    _order_files(src)
+    out = session_windows(
+        _read_stream(spark, src),
+        gap="10 minutes",
+        watermark="1 minute",
+        key_cols=["lemma"],
+    )
+    # session windows support append (finalized-on-watermark), not update
+    collected: list = []
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(lambda b, i: collected.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_sw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {r.session_start: r for r in collected if r.lemma == "a"}
+    # batch2's 10:08 event merged into batch1's open session: one
+    # finalized session of 3 events, end = last event + gap
+    assert final[dt.datetime(2024, 1, 1, 10, 0)].n_events == 3
+    assert final[dt.datetime(2024, 1, 1, 10, 0)].session_end == dt.datetime(
+        2024, 1, 1, 10, 18
+    )
+    assert final[dt.datetime(2024, 1, 1, 11, 0)].n_events == 1
+
+
+def test_rate_limit_state_spans_batches(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    # 4 events in minute 10:00 split across two micro-batches, epm=3:
+    # batch1 admits 2, batch2 admits only 1 more (bucket state carried),
+    # then the 10:01 event refills the bucket.
+    (src / "b1.jsonl").write_text(
+        "\n".join(
+            [
+                _jsonl("2024-01-01T10:00:01Z", "e1"),
+                _jsonl("2024-01-01T10:00:02Z", "e2"),
+            ]
+        )
+    )
+    (src / "b2.jsonl").write_text(
+        "\n".join(
+            [
+                _jsonl("2024-01-01T10:00:03Z", "e3"),
+                _jsonl("2024-01-01T10:00:04Z", "e4"),
+                _jsonl("2024-01-01T10:01:00Z", "e5"),
+            ]
+        )
+    )
+    _order_files(src)
+    out = rate_limit_stream(_read_stream(spark, src), epm=3)
+    collected: list = []
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(lambda b, i: collected.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_rl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = sorted(r.lemma for r in collected)
+    assert kept == ["e1", "e2", "e3", "e5"]  # e4 dropped: bucket empty
+
+
+def test_rate_limit_batch_order_is_event_time(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        rate_limit_stream(
+            spark.createDataFrame([], SCHEMA), epm=0
+        )
