@@ -1,0 +1,87 @@
+"""Physical-plan assertions — the scale contract, checked in CI.
+
+Correctness says the operators compute the right rows; these tests pin
+the *plans* that make them survive 100 TB: filters/projections reaching
+the parquet scan, small dimensions broadcast (fact side never
+shuffles), range joins never degenerating to nested loops, rollups
+computed in one pass.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dwds_livestream_spark.operators.enrich import enrich
+from dwds_livestream_spark.operators.range_join import range_join
+from dwds_livestream_spark.plans import analytics as A
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    return SF
+
+
+def test_filter_and_projection_pushed_to_scan(spark, sf_dir):
+    df = A.q_events_filter_project(spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(value)" in plan or "GreaterThan(value" in plan
+    # projection pruned to the 4 selected columns + filter columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in read_schema  # untouched wide column not read
+
+
+def test_enrich_is_broadcast_left_join(spark, sf_dir):
+    plan = _plan(A.q_events_enrich(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert "SortMergeJoin" not in plan  # fact side must not shuffle
+
+
+def test_q3_dimension_joins_broadcast(spark, sf_dir):
+    plan = _plan(A.q3_top_revenue_orders(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    points = spark.range(1000).select(
+        F.col("id").alias("pid"), F.timestamp_seconds(F.col("id") * 100).alias("ts")
+    )
+    iv = spark.range(50).select(
+        F.col("id").alias("iid"),
+        F.timestamp_seconds(F.col("id") * 2000).alias("s"),
+        F.timestamp_seconds(F.col("id") * 2000 + 5000).alias("e"),
+    )
+    plan = _plan(range_join(points, iv, "ts", "s", "e", bin_width_seconds=3600))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_argmin_dedup_single_aggregate_no_sort(spark, sf_dir):
+    plan = _plan(A.q_argmin_dedup(spark, sf_dir))
+    # min_by formulation: hash aggregate with map-side partial agg,
+    # no window sort over the fact table
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_rollup_single_shuffle(spark, sf_dir):
+    plan = _plan(A.q_rollup_revenue(spark, sf_dir))
+    assert "Expand" in plan  # all grouping sets in one pass
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    plan = _plan(A.q1_pricing_summary(spark, sf_dir))
+    # map-side partial agg before the exchange: two HashAggregate levels
+    assert plan.count("HashAggregate") >= 2
+    assert "PushedFilters" in plan  # shipdate filter reaches the scan
