@@ -103,3 +103,26 @@ def test_json_roundtrip(spark):
     assert got["obskur"].date == dt.date(1974, 1, 1)
     assert got["obskur"].timestamp == TS
     assert got["bare"].article_type is None
+
+
+def test_dimension_snapshot_swap(spark):
+    """W2 — refresh swaps atomically; consumers see old until refresh
+    completes, new after (wbdb.clj:39-49 atom-swap semantics)."""
+    from dwds_livestream_spark.sources.dimension import DimensionSnapshot
+
+    versions = [
+        spark.createDataFrame([("obskur", "WDG")], "lemma string, source string"),
+        spark.createDataFrame([("obskur", "DWDS")], "lemma string, source string"),
+    ]
+    calls = {"n": 0}
+
+    def loader():
+        df = versions[min(calls["n"], 1)]
+        calls["n"] += 1
+        return df
+
+    snap = DimensionSnapshot(loader)
+    assert snap.current().first().source == "WDG"
+    snap.refresh()
+    assert snap.current().first().source == "DWDS"
+    snap.stop()
