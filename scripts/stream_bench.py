@@ -1,0 +1,123 @@
+"""Streaming throughput check against the reference's production rate.
+
+Target (BASELINE.md): >= 100 events/s sustained at ~1 s trigger — the
+reference serves ~90-100 req/s (reference: README.md:6-8) with a 1000 ms
+tailer poll (access_log.clj:123).
+
+Drives the full live pipeline (S1 parse/filter -> J1 broadcast enrich ->
+P10 JSON wire -> K1 fan-out hook) with a processingTime=1s trigger while
+a writer thread ships one log file per second, then reports sustained
+events/s from StreamingQueryListener progress. Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Row  # noqa: E402
+
+from dwds_livestream_spark.schemas import DIMENSION  # noqa: E402
+from dwds_livestream_spark.session import build_session  # noqa: E402
+from dwds_livestream_spark.streaming.pipeline import start_live_server  # noqa: E402
+
+EPS_IN = int(os.environ.get("STREAM_BENCH_EPS", "500"))  # offered load
+SECONDS = int(os.environ.get("STREAM_BENCH_SECONDS", "20"))
+UA = "Mozilla/5.0 (X11; Linux x86_64)"
+
+
+def log_line(i: int) -> str:
+    sec = i % 60
+    return (
+        f'10.0.0.1 - - [08/Dec/2024:23:00:{sec:02d} +0000] '
+        f'"GET /wb/lemma{i % 1000} HTTP/1.1" 200 100 "-" "{UA}"'
+    )
+
+
+def main() -> None:
+    spark = build_session(app_name="dwds-livestream-stream-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="stream_bench_")
+    logdir = os.path.join(tmp, "logs")
+    os.makedirs(logdir)
+
+    dim = spark.createDataFrame(
+        [
+            Row(lemma=f"lemma{i}", hidx=None, lemma_type="AR_G",
+                form_type="Hauptform", article_type="Vollartikel",
+                status="Red-f", source="WDG", date=None)
+            for i in range(1000)
+        ],
+        DIMENSION,
+    ).drop("status")
+
+    stop = threading.Event()
+    counter = {"n": 0}
+
+    def writer() -> None:
+        i = 0
+        batch = 0
+        while not stop.is_set():
+            lines = [log_line(i + j) for j in range(EPS_IN)]
+            i += EPS_IN
+            path = os.path.join(logdir, f"b{batch:06d}.log")
+            with open(path + ".tmp", "w") as f:
+                f.write("\n".join(lines))
+            os.rename(path + ".tmp", path)  # atomic: no partial reads
+            batch += 1
+            time.sleep(1.0)
+
+    t = threading.Thread(target=writer, daemon=True)
+    t.start()
+
+    def publish(lines: list[str], batch_id: int) -> None:
+        counter["n"] += len(lines)
+
+    q = start_live_server(
+        spark,
+        logdir,
+        dimension_loader=lambda: dim,
+        checkpoint=os.path.join(tmp, "ckpt"),
+        publish=publish,
+        trigger={"processingTime": "1 second"},
+    )
+    t0 = time.time()
+    time.sleep(SECONDS)
+    stop.set()
+    # let the in-flight batches drain
+    time.sleep(3)
+    q.stop()
+    elapsed = time.time() - t0
+
+    progress = q.recentProgress
+    batch_secs = [
+        p["durationMs"]["triggerExecution"] / 1000.0
+        for p in progress
+        if p["numInputRows"] > 0
+    ]
+    eps = counter["n"] / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "stream_events_per_sec",
+                "value": round(eps, 1),
+                "unit": "events/sec",
+                "events": counter["n"],
+                "seconds": round(elapsed, 1),
+                "offered_eps": EPS_IN,
+                "mean_batch_sec": round(sum(batch_secs) / max(len(batch_secs), 1), 3),
+                "target_eps": 100,
+                "pass": eps >= 100,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
