@@ -621,3 +621,124 @@ JOIN orders o
  AND e.ts <  o.o_orderdate + INTERVAL 26 YEAR + INTERVAL 7 DAY
 GROUP BY o_orderkey
 """
+
+
+def q_normalize_abbreviate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13 parity (viz.cljs:89-98): string replace-normalize, truncate
+    long names with an ellipsis, and build a 'name – yyyy' description.
+    Pure codegen projection."""
+    part = _t(spark, sf_dir, "part")
+    name = F.regexp_replace(F.col("p_name"), "_[0-9]+$", "")
+    short = F.when(
+        F.length(name) > 25, F.concat(F.substring(name, 1, 24), F.lit("…"))
+    ).otherwise(name)
+    return part.select(
+        "p_partkey",
+        short.alias("short_name"),
+        F.concat_ws(
+            " – ", F.col("p_brand"), F.lower(F.trim(F.col("p_type")))
+        ).alias("descr"),
+    )
+
+
+ORACLE_NORMALIZE_ABBREVIATE = """
+WITH n AS (
+  SELECT p_partkey, regexp_replace(p_name, '_[0-9]+$', '') AS name,
+         p_brand, p_type
+  FROM part
+)
+SELECT p_partkey,
+       CASE WHEN length(name) > 25
+            THEN substr(name, 1, 24) || '…' ELSE name END AS short_name,
+       concat_ws(' – ', p_brand, lower(trim(p_type))) AS descr
+FROM n
+"""
+
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-day event counts, one column per event type. Spark
+    pivot with an explicit value list compiles to conditional
+    aggregates — one shuffle, no per-value scans."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+ORACLE_EVENT_TYPE_PIVOT = """
+SELECT date_trunc('day', ts) AS day,
+       count(*) FILTER (event_type = 'click')    AS click,
+       count(*) FILTER (event_type = 'error')    AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup')   AS signup,
+       count(*) FILTER (event_type = 'view')     AS view
+FROM events GROUP BY 1
+"""
+
+
+def q_active_buyer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation coverage: INTERSECT of two derived key sets
+    (users with purchase events ∩ customers with 1998+ orders).
+    Spark plans intersect as a left-semi over distinct sets."""
+    buyers = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("key"))
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("key"))
+    )
+    return buyers.intersect(recent)
+
+
+ORACLE_ACTIVE_BUYER_OVERLAP = """
+SELECT user_id AS key FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT o_custkey AS key FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+"""
+
+
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame coverage: 7-row trailing moving average + cumulative
+    count of daily order totals. One shuffle on the (empty) partition
+    key... partitioned per priority so it scales by key."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderpriority", F.to_date("o_orderdate").alias("day")
+        )
+        .agg(F.sum(_dec("o_totalprice")).cast("decimal(18,2)").alias("total"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("day")
+    return daily.select(
+        "o_orderpriority",
+        "day",
+        "total",
+        F.round(
+            F.avg(F.col("total").cast("double")).over(w.rowsBetween(-6, 0)), 4
+        ).alias("ma7"),
+        F.count("*").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("n_days_so_far"),
+    )
+
+
+ORACLE_MOVING_AVG = """
+WITH daily AS (
+  SELECT o_orderpriority, date_trunc('day', o_orderdate) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, day, total,
+       ROUND(AVG(CAST(total AS DOUBLE)) OVER (PARTITION BY o_orderpriority
+             ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7,
+       COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY day
+             ROWS UNBOUNDED PRECEDING) AS n_days_so_far
+FROM daily
+"""

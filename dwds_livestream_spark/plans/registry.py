@@ -48,6 +48,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_percentiles": A.q_value_percentiles,
     "asof_latest_order": A.q_asof_latest_order,
     "range_join_order_week": A.q_range_join_order_week,
+    "normalize_abbreviate": A.q_normalize_abbreviate,
+    "event_type_pivot": A.q_event_type_pivot,
+    "active_buyer_overlap": A.q_active_buyer_overlap,
+    "moving_avg": A.q_moving_avg,
     # LLM-training-data pipeline (project brief / SURVEY.md §7 Phase 5)
     "dedup_exact": L.q_dedup_exact,
     "dedup_ngram_jaccard": L.q_dedup_ngram_jaccard,
@@ -85,6 +89,10 @@ ORACLE_SQL: dict[str, str] = {
     "value_percentiles": A.ORACLE_VALUE_PERCENTILES,
     "asof_latest_order": A.ORACLE_ASOF_LATEST_ORDER,
     "range_join_order_week": A.ORACLE_RANGE_JOIN_ORDER_WEEK,
+    "normalize_abbreviate": A.ORACLE_NORMALIZE_ABBREVIATE,
+    "event_type_pivot": A.ORACLE_EVENT_TYPE_PIVOT,
+    "active_buyer_overlap": A.ORACLE_ACTIVE_BUYER_OVERLAP,
+    "moving_avg": A.ORACLE_MOVING_AVG,
     "dedup_exact": L.ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": L.ORACLE_DEDUP_NGRAM_JACCARD,
     "similarity_topk": L.ORACLE_SIMILARITY_TOPK,
