@@ -29,6 +29,7 @@ from ..operators.multimodal import documents_as_assets, extract_features
 from ..operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
+    ivf_topk,
     lsh_topk,
 )
 from .io import load_table as _t
@@ -133,6 +134,15 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_topk(
         emb, emb.where(F.col("vec_id") < 10), k=10, n_planes=6, n_tables=8
+    )
+
+
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (IVF is approximate by construction); recall vs exact
+    top-k asserted in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=10, n_centroids=16, nprobe=4
     )
 
 

@@ -59,6 +59,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": L.q_dedup_simhash,
     "similarity_topk": L.q_similarity_topk,
     "similarity_lsh_topk": L.q_similarity_lsh_topk,
+    "similarity_ivf_topk": L.q_similarity_ivf_topk,
     "embedding_near_dup": L.q_embedding_near_dup,
     "text_token_stats": L.q_text_token_stats,
     "text_quality": L.q_text_quality,

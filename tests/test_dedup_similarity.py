@@ -133,3 +133,28 @@ def test_embedding_near_dup_exact_vs_lsh(spark, embeddings):
         assert c == exact[p]
     if exact:
         assert len(approx) / len(exact) >= 0.3
+
+
+def test_ivf_topk_recall_and_exactness_at_full_probe(spark, embeddings):
+    from dwds_livestream_spark.operators.similarity import ivf_topk
+
+    queries = embeddings.where(F.col("vec_id") < 20)
+    exact1 = {
+        r.query_id: r.neighbor_id
+        for r in cosine_topk(embeddings, queries, k=1).collect()
+    }
+    approx = ivf_topk(
+        embeddings, queries, k=5, n_centroids=16, nprobe=4
+    ).collect()
+    got1 = {r.query_id: r.neighbor_id for r in approx if r.rank == 1}
+    hits = sum(1 for q, n in exact1.items() if got1.get(q) == n)
+    assert hits / len(exact1) >= 0.5, f"IVF recall@1 = {hits}/{len(exact1)}"
+
+    # probing every cell makes IVF exhaustive: must equal exact search
+    full = ivf_topk(
+        embeddings, queries, k=3, n_centroids=8, nprobe=8
+    ).collect()
+    exact3 = cosine_topk(embeddings, queries, k=3).collect()
+    assert {(r.query_id, r.rank, r.neighbor_id) for r in full} == {
+        (r.query_id, r.rank, r.neighbor_id) for r in exact3
+    }
