@@ -54,28 +54,43 @@ def prefilter_lines(df: DataFrame, column: str = "value") -> DataFrame:
     return df.where(is_wb_page_request_line(F.col(column)))
 
 
+# unit-separator control char: cannot appear in an HTTP log line
+_SEP = ""
+_GROUPS_AS_FIELDS = _SEP.join(f"${i}" for i in range(1, 9))
+
+
 def parse_log_lines(df: DataFrame, column: str = "value") -> DataFrame:
     """P1+P2 — parse Apache combined log lines into typed columns.
 
-    A malformed line yields empty-string extracts; ``matched`` marks
-    lines where the pattern found a hit so F7 (malformed-line guard) can
-    drop them, mirroring the reference's catch-and-drop
-    (access_log.clj:80, 92-93).
+    The regex runs ONCE per line: a single regexp_replace rewrites the
+    matched line into its 8 groups joined by an unprintable separator,
+    and one split recovers the fields (regexp_extract per field would
+    re-run the 8-group pattern 8x per row). A malformed line does not
+    match, regexp_replace leaves it unchanged, and the split yields
+    fewer than 8 fields — that is the ``matched`` flag, so F7
+    (malformed-line guard) can drop it, mirroring the reference's
+    catch-and-drop (access_log.clj:80, 92-93).
     """
-    line = F.col(column)
-    extract = lambda i: F.regexp_extract(line, LOG_LINE_PATTERN, i)  # noqa: E731
+    fields = F.split(
+        F.regexp_replace(F.col(column), LOG_LINE_PATTERN, _GROUPS_AS_FIELDS),
+        _SEP,
+        -1,
+    )
+    def g(i: int):
+        return F.get(fields, i)  # null-safe: short array (no match) -> null
+
     return df.select(
-        F.nullif(extract(1), F.lit("")).alias("ip"),
+        F.nullif(g(0), F.lit("")).alias("ip"),
         # try_to_timestamp nulls unparseable timestamps instead of
         # raising — Throwable-catch parity.
-        F.try_to_timestamp(extract(2), F.lit(TIMESTAMP_FORMAT)).alias("timestamp"),
-        extract(3).alias("method"),
-        extract(4).alias("uri"),
-        F.nullif(extract(5), F.lit("")).try_cast("int").alias("status"),
-        F.nullif(extract(6), F.lit("")).try_cast("long").alias("size"),
-        extract(7).alias("referrer"),
-        extract(8).alias("user_agent"),
-        (F.regexp_count(line, F.lit(LOG_LINE_PATTERN)) > 0).alias("matched"),
+        F.try_to_timestamp(g(1), F.lit(TIMESTAMP_FORMAT)).alias("timestamp"),
+        g(2).alias("method"),
+        g(3).alias("uri"),
+        F.nullif(g(4), F.lit("")).try_cast("int").alias("status"),
+        F.nullif(g(5), F.lit("")).try_cast("long").alias("size"),
+        g(6).alias("referrer"),
+        g(7).alias("user_agent"),
+        (F.size(fields) == 8).alias("matched"),
     )
 
 
