@@ -17,6 +17,7 @@ from ..operators.asof import asof_join
 from ..operators.dedup_dim import argmin_dedup
 from ..operators.enrich import enrich
 from ..operators.range_join import range_join
+from ..operators.skew import salted_join
 from .io import load_table as _t
 
 
@@ -620,6 +621,25 @@ JOIN orders o
  AND e.ts >= o.o_orderdate + INTERVAL 26 YEAR
  AND e.ts <  o.o_orderdate + INTERVAL 26 YEAR + INTERVAL 7 DAY
 GROUP BY o_orderkey
+"""
+
+
+def q_salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (operators/skew.py): the hot-key mitigation
+    executes as (key, salt) join with a replicated dimension, and must
+    produce exactly the plain-join result — which is the oracle."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return salted_join(ev, dim, on="user_id", how="inner", salt=8).select(
+        "event_id", "user_id", "event_type", "c_mktsegment"
+    )
+
+
+ORACLE_SALTED_HOT_KEY_JOIN = """
+SELECT event_id, user_id, event_type, c_mktsegment
+FROM events JOIN customer ON user_id = c_custkey
 """
 
 

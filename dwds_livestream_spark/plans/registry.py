@@ -52,6 +52,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_type_pivot": A.q_event_type_pivot,
     "active_buyer_overlap": A.q_active_buyer_overlap,
     "moving_avg": A.q_moving_avg,
+    "salted_hot_key_join": A.q_salted_hot_key_join,
     # LLM-training-data pipeline (project brief / SURVEY.md §7 Phase 5)
     "dedup_exact": L.q_dedup_exact,
     "dedup_ngram_jaccard": L.q_dedup_ngram_jaccard,
@@ -94,6 +95,7 @@ ORACLE_SQL: dict[str, str] = {
     "event_type_pivot": A.ORACLE_EVENT_TYPE_PIVOT,
     "active_buyer_overlap": A.ORACLE_ACTIVE_BUYER_OVERLAP,
     "moving_avg": A.ORACLE_MOVING_AVG,
+    "salted_hot_key_join": A.ORACLE_SALTED_HOT_KEY_JOIN,
     "dedup_exact": L.ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": L.ORACLE_DEDUP_NGRAM_JACCARD,
     "similarity_topk": L.ORACLE_SIMILARITY_TOPK,
