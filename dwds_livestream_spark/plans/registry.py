@@ -43,6 +43,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_daily": A.q_user_daily,
     "q4_order_priority": A.q4_order_priority,
     "q6_revenue_delta": A.q6_revenue_delta,
+    "q7_nation_volume": A.q7_nation_volume,
+    "q10_returned_customers": A.q10_returned_customers,
     "customers_no_orders": A.q_customers_no_orders,
     "rollup_revenue": A.q_rollup_revenue,
     "value_percentiles": A.q_value_percentiles,
@@ -86,6 +88,8 @@ ORACLE_SQL: dict[str, str] = {
     "access_log_parse": A.ORACLE_ACCESS_LOG_PARSE,
     "q4_order_priority": A.ORACLE_Q4,
     "q6_revenue_delta": A.ORACLE_Q6,
+    "q7_nation_volume": A.ORACLE_Q7,
+    "q10_returned_customers": A.ORACLE_Q10,
     "customers_no_orders": A.ORACLE_CUSTOMERS_NO_ORDERS,
     "rollup_revenue": A.ORACLE_ROLLUP_REVENUE,
     "value_percentiles": A.ORACLE_VALUE_PERCENTILES,
