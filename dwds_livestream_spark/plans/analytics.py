@@ -737,6 +737,56 @@ LIMIT 20
 """
 
 
+def q_cube_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (all grouping-set combinations) over (event_type, day-of-
+    week): like rollup, one Expand pass + a single shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("dow", F.dayofweek("ts").cast("int"))
+        .cube("event_type", "dow")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+ORACLE_CUBE_ACTIVITY = """
+SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow,
+       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY CUBE (event_type, CAST(dayofweek(ts) + 1 AS INT))
+"""
+
+
+def q_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join coverage: reconcile per-user event counts with
+    per-customer order counts — rows survive from either side."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("key"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return ev.join(orders, "key", "full_outer").select(
+        "key", "n_events", "n_orders"
+    )
+
+
+ORACLE_FULL_OUTER_RECONCILE = """
+WITH e AS (SELECT user_id AS key, COUNT(*) AS n_events FROM events GROUP BY 1),
+o AS (SELECT o_custkey AS key, COUNT(*) AS n_orders FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1)
+SELECT COALESCE(e.key, o.key) AS key, e.n_events, o.n_orders
+FROM e FULL OUTER JOIN o ON e.key = o.key
+"""
+
+
 def q_salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted equi-join (operators/skew.py): the hot-key mitigation
     executes as (key, salt) join with a replicated dimension, and must

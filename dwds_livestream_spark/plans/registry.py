@@ -55,6 +55,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "active_buyer_overlap": A.q_active_buyer_overlap,
     "moving_avg": A.q_moving_avg,
     "salted_hot_key_join": A.q_salted_hot_key_join,
+    "cube_activity": A.q_cube_activity,
+    "full_outer_reconcile": A.q_full_outer_reconcile,
     # LLM-training-data pipeline (project brief / SURVEY.md §7 Phase 5)
     "dedup_exact": L.q_dedup_exact,
     "dedup_ngram_jaccard": L.q_dedup_ngram_jaccard,
@@ -100,6 +102,8 @@ ORACLE_SQL: dict[str, str] = {
     "active_buyer_overlap": A.ORACLE_ACTIVE_BUYER_OVERLAP,
     "moving_avg": A.ORACLE_MOVING_AVG,
     "salted_hot_key_join": A.ORACLE_SALTED_HOT_KEY_JOIN,
+    "cube_activity": A.ORACLE_CUBE_ACTIVITY,
+    "full_outer_reconcile": A.ORACLE_FULL_OUTER_RECONCILE,
     "dedup_exact": L.ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": L.ORACLE_DEDUP_NGRAM_JACCARD,
     "similarity_topk": L.ORACLE_SIMILARITY_TOPK,

@@ -185,3 +185,46 @@ def test_rate_limit_batch_order_is_event_time(spark):
         rate_limit_stream(
             spark.createDataFrame([], SCHEMA), epm=0
         )
+
+
+def test_stream_stream_join_within_window(spark, tmp_path):
+    """Two file streams joined on key within a 10-minute event-time
+    window (a capability the reference lacks, SURVEY §2.4)."""
+    from dwds_livestream_spark.streaming.joins import stream_stream_join
+
+    la, lb = tmp_path / "a", tmp_path / "b"
+    la.mkdir(); lb.mkdir()
+    (la / "a1.jsonl").write_text(
+        "\n".join([_jsonl("2024-01-01T10:00:00Z", "k1"),
+                   _jsonl("2024-01-01T10:00:00Z", "k2")])
+    )
+    (lb / "b1.jsonl").write_text(
+        "\n".join([
+            _jsonl("2024-01-01T10:05:00Z", "k1"),   # within window -> match
+            _jsonl("2024-01-01T10:20:00Z", "k2"),   # outside window
+            _jsonl("2024-01-01T09:55:00Z", "k1"),   # before left -> no match
+        ])
+    )
+
+    def stream(d):
+        return (
+            spark.readStream.format("text").load(str(d))
+            .selectExpr("from_json(value, 'timestamp timestamp, lemma string') AS e")
+            .select("e.timestamp", "e.lemma")
+        )
+
+    right = stream(lb).withColumnRenamed("timestamp", "r_ts")
+    joined = stream_stream_join(
+        stream(la), right, on="lemma",
+        left_ts="timestamp", right_ts="r_ts", within="10 minutes",
+    )
+    rows: list = []
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda b, i: rows.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert [(r.lemma, str(r.r_ts)) for r in rows] == [("k1", "2024-01-01 10:05:00")]
