@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import analytics as A
 from . import llm as L
+from . import tpch as T
 from .io import load_table
 
 TABLES = (
@@ -57,6 +58,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_hot_key_join": A.q_salted_hot_key_join,
     "cube_activity": A.q_cube_activity,
     "full_outer_reconcile": A.q_full_outer_reconcile,
+    # remaining TPC-H shapes (plans/tpch.py): correlated subqueries,
+    # semi/anti chains, disjunctive predicates, distributions, ratios
+    "q2_min_cost_part": T.q2_min_cost_part,
+    "q8_market_share": T.q8_market_share,
+    "q9_product_profit": T.q9_product_profit,
+    "q11_important_parts": T.q11_important_parts,
+    "q12_priority_class": T.q12_priority_class,
+    "q13_order_distribution": T.q13_order_distribution,
+    "q14_promo_revenue": T.q14_promo_revenue,
+    "q15_top_supplier": T.q15_top_supplier,
+    "q16_supplier_part_count": T.q16_supplier_part_count,
+    "q17_small_qty_revenue": T.q17_small_qty_revenue,
+    "q18_large_volume_customers": T.q18_large_volume_customers,
+    "q19_disjunctive_revenue": T.q19_disjunctive_revenue,
+    "q20_promo_part_suppliers": T.q20_promo_part_suppliers,
+    "q21_sole_returner": T.q21_sole_returner,
+    "q22_idle_customers": T.q22_idle_customers,
     # LLM-training-data pipeline (project brief / SURVEY.md §7 Phase 5)
     "dedup_exact": L.q_dedup_exact,
     "dedup_ngram_jaccard": L.q_dedup_ngram_jaccard,
@@ -104,6 +122,21 @@ ORACLE_SQL: dict[str, str] = {
     "salted_hot_key_join": A.ORACLE_SALTED_HOT_KEY_JOIN,
     "cube_activity": A.ORACLE_CUBE_ACTIVITY,
     "full_outer_reconcile": A.ORACLE_FULL_OUTER_RECONCILE,
+    "q2_min_cost_part": T.ORACLE_Q2,
+    "q8_market_share": T.ORACLE_Q8,
+    "q9_product_profit": T.ORACLE_Q9,
+    "q11_important_parts": T.ORACLE_Q11,
+    "q12_priority_class": T.ORACLE_Q12,
+    "q13_order_distribution": T.ORACLE_Q13,
+    "q14_promo_revenue": T.ORACLE_Q14,
+    "q15_top_supplier": T.ORACLE_Q15,
+    "q16_supplier_part_count": T.ORACLE_Q16,
+    "q17_small_qty_revenue": T.ORACLE_Q17,
+    "q18_large_volume_customers": T.ORACLE_Q18,
+    "q19_disjunctive_revenue": T.ORACLE_Q19,
+    "q20_promo_part_suppliers": T.ORACLE_Q20,
+    "q21_sole_returner": T.ORACLE_Q21,
+    "q22_idle_customers": T.ORACLE_Q22,
     "dedup_exact": L.ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": L.ORACLE_DEDUP_NGRAM_JACCARD,
     "similarity_topk": L.ORACLE_SIMILARITY_TOPK,

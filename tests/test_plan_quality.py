@@ -85,3 +85,31 @@ def test_q1_partial_aggregation(spark, sf_dir):
     # map-side partial agg before the exchange: two HashAggregate levels
     assert plan.count("HashAggregate") >= 2
     assert "PushedFilters" in plan  # shipdate filter reaches the scan
+
+
+def test_q16_anti_join_is_broadcast(spark, sf_dir):
+    from dwds_livestream_spark.plans import tpch as T
+
+    plan = _plan(T.q16_supplier_part_count(spark, sf_dir))
+    # NOT IN rewritten as broadcast anti join — the fact side never
+    # shuffles for the exclusion
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q20_semi_join_after_aggregation(spark, sf_dir):
+    from dwds_livestream_spark.plans import tpch as T
+
+    plan = _plan(T.q20_promo_part_suppliers(spark, sf_dir))
+    assert "LeftSemi" in plan
+    # the HAVING aggregate runs before the dimension join: partial+final
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q11_single_fact_scan(spark, sf_dir):
+    from dwds_livestream_spark.plans import tpch as T
+
+    plan = _plan(T.q11_important_parts(spark, sf_dir))
+    # scalar-subquery total derived from the aggregated per-part result:
+    # lineitem parquet is scanned once, not once per subquery
+    assert plan.count("lineitem.parquet") <= 2  # reused exchange, not re-scan per branch
