@@ -1,0 +1,99 @@
+"""Distributed connected components — dedup-cluster formation.
+
+A training-data pipeline needs *clusters*, not just pairs: near-dup
+pair lists (MinHash/SimHash/embedding cosine — operators/dedup.py,
+operators/similarity.py) must be grouped so one canonical document per
+component survives. The reference has no graph operator (its dedup is
+the per-key argmin of wbdb.clj:20-28); this is a beyond-reference
+operator required by the project brief's dedup family.
+
+Algorithm: min-label propagation with pointer jumping (path halving),
+the classic O(log n)-round formulation (Kiveris et al.'s star
+contraction family). Each round:
+
+1. every node takes the min label among itself and its neighbors;
+2. labels are re-pointed through their own label (label <- label of
+   label), which halves chain lengths — so a path of length L resolves
+   in O(log L) rounds, not O(L).
+
+Scale: per round, two hash joins + one aggregation, all keyed on node
+id — shuffle volume O(|E|), never materializing components. Lineage is
+truncated every round with localCheckpoint (without it the plan doubles
+per iteration and Catalyst analysis time explodes — the standard
+iterative-algorithm pitfall on Spark). At 100 TB the same loop holds:
+rounds are data-parallel, and the number of rounds is log(diameter),
+not diameter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    node_col: str | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label each node with the minimum node id of its component.
+
+    ``edges`` is undirected (each pair listed once is enough). Optional
+    ``nodes`` adds isolated vertices (label = themselves). Returns
+    (node, cluster_id). Raises if not converged within ``max_iter``
+    rounds — at log2 convergence, 25 rounds covers graphs far beyond
+    any real diameter.
+    """
+    # materialize the directed edge list BEFORE mirroring it — the
+    # union would otherwise evaluate the upstream candidate generation
+    # (e.g. the near-dup GEMM) twice, and the loop would re-run it
+    # every round
+    directed = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    e = (
+        directed.union(directed.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        e.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+    )
+    if nodes is not None:
+        nc = node_col or nodes.columns[0]
+        all_nodes = nodes.select(F.col(nc).alias("node")).distinct()
+        labels = (
+            all_nodes.join(labels, "node", "left")
+            .select("node", F.coalesce("label", "node").alias("label"))
+        )
+    labels = labels.localCheckpoint()
+
+    for _ in range(max_iter):
+        # 1. min over self + neighborhood
+        nbr_min = (
+            e.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+            .withColumnRenamed("a", "node")
+        )
+        stepped = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least("label", F.coalesce("nmin", "label")).alias("label"),
+            F.col("label").alias("_old"),
+        )
+        # 2. pointer jumping: label <- label(label) — halves chains
+        as_table = stepped.select(
+            F.col("node").alias("_n"), F.col("label").alias("_l")
+        )
+        jumped = (
+            stepped.join(as_table, stepped.label == as_table._n)
+            .select("node", F.col("_l").alias("label"), "_old")
+            .localCheckpoint()
+        )
+        # convergence read off the just-materialized frame — no extra join
+        changed = jumped.where(F.col("label") != F.col("_old")).limit(1).count()
+        labels = jumped.drop("_old")
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("cluster_id"))
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

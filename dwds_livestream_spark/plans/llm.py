@@ -19,6 +19,7 @@ from ..functions.text import (
     token_stats,
     winnowing_fingerprints,
 )
+from ..operators.components import connected_components
 from ..operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -79,6 +80,97 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only (xxhash64 not reproducible in DuckDB)."""
     return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster formation: exact-cosine near-dup pairs → connected
+    components (operators/components.py, O(log n) pointer-jumping
+    rounds). Every vector gets a cluster id = min vec_id reachable
+    through the near-dup graph; singletons cluster with themselves.
+
+    The DuckDB oracle computes the same components with a recursive-CTE
+    transitive closure — an independent algorithm, so a hash match
+    checks the clustering itself, not the implementation.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.35, exact=True)
+    return connected_components(
+        pairs.select("id_a", "id_b"),
+        src="id_a",
+        dst="id_b",
+        nodes=emb,
+        node_col="vec_id",
+    ).select(F.col("node").alias("vec_id"), "cluster_id")
+
+
+ORACLE_DEDUP_CLUSTERS = """
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+           SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS aa,
+           SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS bb
+    FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 unnest(a.embedding) AS x, unnest(b.embedding) AS y
+          FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+    GROUP BY id_a, id_b)
+  WHERE ROUND(dot / (sqrt(aa) * sqrt(bb)), 6) >= 0.35
+),
+und AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT vec_id AS n FROM embeddings),
+reach(src, dst) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a)
+SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY src
+"""
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation: exact dedup (keep min doc_id
+    per content hash) → quality gate (keep=true) → language id → token
+    counts, in one composed DataFrame plan. This is the flagship
+    composition the dedup/quality/lang/token operators exist for — one
+    pass over documents, each stage a pure column projection, the only
+    shuffle the dedup groupBy.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    keepers = (
+        docs.groupBy(F.md5("text").alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    q = quality_score(docs).where(F.col("keep")).select(
+        "doc_id", "quality_score"
+    )
+    lang = language_id(docs).select("doc_id", "pred_lang")
+    toks = token_stats(docs).select("doc_id", "n_tokens", "n_bpe_tokens")
+    return (
+        docs.select("doc_id")
+        .join(keepers, "doc_id", "left_semi")
+        .join(q, "doc_id")
+        .join(lang, "doc_id")
+        .join(toks, "doc_id")
+        .select("doc_id", "pred_lang", "n_tokens", "n_bpe_tokens", "quality_score")
+    )
+
+
+def _oracle_curation() -> str:
+    return f"""
+WITH keepers AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+q AS ({ORACLE_TEXT_QUALITY}),
+l AS ({ORACLE_LANG_ID}),
+t AS ({ORACLE_TEXT_TOKEN_STATS})
+SELECT q.doc_id, l.pred_lang, t.n_tokens, t.n_bpe_tokens, q.quality_score
+FROM q
+JOIN keepers USING (doc_id)
+JOIN l ON q.doc_id = l.doc_id
+JOIN t ON q.doc_id = t.doc_id
+WHERE q.keep
+"""
 
 
 # --------------------------------------------------------- similarity
@@ -259,6 +351,9 @@ FROM documents
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only (murmur3 rolling hashes)."""
     return winnowing_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_CURATION_PIPELINE = _oracle_curation()
 
 
 # -------------------------------------------------------- multimodal

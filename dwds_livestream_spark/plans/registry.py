@@ -80,6 +80,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": L.q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": L.q_dedup_minhash_lsh,
     "dedup_simhash": L.q_dedup_simhash,
+    "dedup_clusters": L.q_dedup_clusters,
+    "curation_pipeline": L.q_curation_pipeline,
     "similarity_topk": L.q_similarity_topk,
     "similarity_lsh_topk": L.q_similarity_lsh_topk,
     "similarity_ivf_topk": L.q_similarity_ivf_topk,
@@ -139,6 +141,8 @@ ORACLE_SQL: dict[str, str] = {
     "q22_idle_customers": T.ORACLE_Q22,
     "dedup_exact": L.ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": L.ORACLE_DEDUP_NGRAM_JACCARD,
+    "dedup_clusters": L.ORACLE_DEDUP_CLUSTERS,
+    "curation_pipeline": L.ORACLE_CURATION_PIPELINE,
     "similarity_topk": L.ORACLE_SIMILARITY_TOPK,
     "embedding_near_dup": L.ORACLE_EMBEDDING_NEAR_DUP,
     "text_token_stats": L.ORACLE_TEXT_TOKEN_STATS,
