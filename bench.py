@@ -37,17 +37,40 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "query_inventory_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "query_inventory_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    result["streaming"] = _stream_throughput()
+    print(json.dumps(result))
+
+
+def _stream_throughput() -> dict | None:
+    """Sustained live-pipeline events/s vs the BASELINE.md 100 ev/s
+    target, measured by scripts/stream_bench.py in a subprocess (own
+    SparkSession; a crash or timeout must not sink the query bench)."""
+    if os.environ.get("SPARK_GRAFT_SKIP_STREAM"):
+        return None
+    import subprocess
+
+    env = dict(os.environ)
+    env.setdefault("STREAM_BENCH_SECONDS", "25")
+    env.setdefault("STREAM_BENCH_EPS", "3000")
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                          "scripts", "stream_bench.py")],
+            capture_output=True, text=True, timeout=180, env=env,
+        ).stdout
+        for line in reversed(out.strip().splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)
+    except Exception:
+        return None
+    return None
 
 
 if __name__ == "__main__":

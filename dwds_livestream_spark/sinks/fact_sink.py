@@ -35,6 +35,11 @@ def parquet_writer(path: str) -> Callable[[DataFrame, int], None]:
     def write(batch: DataFrame, batch_id: int) -> None:
         (
             batch.withColumn("date", batch["ts"].cast("date"))
+            # cluster rows inside each task by (date, lemma) so every
+            # parquet file covers a tight lemma range — the min/max
+            # stats then skip files on lemma predicates, which is what
+            # the reference's lemma B-tree index did (…up.sql:11)
+            .sortWithinPartitions("date", "lemma")
             .write.mode("append")
             .partitionBy("date")
             .parquet(path)
