@@ -42,3 +42,45 @@ def test_edge_order_and_direction_irrelevant(spark):
     e1 = spark.createDataFrame([(5, 3), (3, 9), (9, 1)], ["src", "dst"])
     got = _clusters(connected_components(e1))
     assert got == {(1, 1), (3, 1), (5, 1), (9, 1)}
+
+
+# -------------------------------------------------- property vs union-find
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots = {}
+    for n in list(parent):
+        roots.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in roots.values() for n in members}
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edge_lists)
+def test_matches_union_find_on_random_graphs(spark, edges):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = dict(_clusters(connected_components(df)))
+    assert got == _union_find(edges)

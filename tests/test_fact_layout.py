@@ -56,3 +56,33 @@ def test_append_batches_accumulate(spark, tmp_path):
     w(_sink_rows(spark, 100), 0)
     w(_sink_rows(spark, 100), 1)
     assert spark.read.parquet(path).count() == 200
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    from dwds_livestream_spark.sinks.compaction import (
+        compact_fact_table,
+        partition_file_stats,
+    )
+
+    path = str(tmp_path / "fact")
+    w = parquet_writer(path)
+    # 8 micro-batch appends -> many files per date partition
+    for b in range(8):
+        w(_sink_rows(spark, 300), b)
+    before = partition_file_stats(path)
+    assert max(n for n, _ in before.values()) > 4
+    total_before = spark.read.parquet(path).count()
+
+    compacted = compact_fact_table(spark, path, max_files_per_partition=4)
+    assert compacted  # something was fragmented
+
+    after = partition_file_stats(path)
+    assert max(n for n, _ in after.values()) <= 4
+    back = spark.read.parquet(path)
+    assert back.count() == total_before
+    # layout contract survives compaction: pruning + lemma pushdown
+    # id=123 -> hour 51 -> 2024-12-03 03:00 with 300-row batches
+    q = back.where((F.col("date") == "2024-12-03") & (F.col("lemma") == "lemma00123"))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(lemma,lemma00123)" in plan.split("PushedFilters")[1].splitlines()[0]
+    assert q.count() > 0
