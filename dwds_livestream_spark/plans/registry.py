@@ -58,6 +58,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_hot_key_join": A.q_salted_hot_key_join,
     "cube_activity": A.q_cube_activity,
     "full_outer_reconcile": A.q_full_outer_reconcile,
+    "lineitem_unpivot": A.q_lineitem_unpivot,
     # remaining TPC-H shapes (plans/tpch.py): correlated subqueries,
     # semi/anti chains, disjunctive predicates, distributions, ratios
     "q2_min_cost_part": T.q2_min_cost_part,
@@ -124,6 +125,7 @@ ORACLE_SQL: dict[str, str] = {
     "salted_hot_key_join": A.ORACLE_SALTED_HOT_KEY_JOIN,
     "cube_activity": A.ORACLE_CUBE_ACTIVITY,
     "full_outer_reconcile": A.ORACLE_FULL_OUTER_RECONCILE,
+    "lineitem_unpivot": A.ORACLE_LINEITEM_UNPIVOT,
     "q2_min_cost_part": T.ORACLE_Q2,
     "q8_market_share": T.ORACLE_Q8,
     "q9_product_profit": T.ORACLE_Q9,

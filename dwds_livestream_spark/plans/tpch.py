@@ -573,44 +573,33 @@ ORDER BY s_suppkey
 def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (adapted: no commit/receipt dates): per
     supplier, count multi-supplier orders where THIS supplier returned
-    items ('R') and no other supplier did — EXISTS as LEFT SEMI,
-    NOT EXISTS as LEFT ANTI, both on the order key.
+    items ('R') and no other supplier did.
 
-    Scale note: both probe sides are pre-aggregated per (order,
-    supplier) before the semi/anti joins, so the joins run on the
-    deduplicated key space, not raw lineitems.
+    The oracle keeps the literal EXISTS / NOT-EXISTS formulation; the
+    Spark plan uses the aggregation rewrite — per order, ``n_supp``
+    distinct suppliers and ``n_ret`` distinct returners, then
+    "EXISTS another supplier" ⇔ n_supp > 1 and "NOT EXISTS another
+    returner" ⇔ n_ret == 1. One fact-table aggregation + one join on
+    the aggregated (tiny) per-order summary replaces two self-joins
+    over the distinct pair sets — at 100 TB that's one shuffle of the
+    fact table instead of three. The oracle hash-match proves the
+    rewrite's equivalence.
     """
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
-    # distinct (order, supplier) pairs and the returner subset
-    pairs = li.select("l_orderkey", "l_suppkey").distinct()
-    returned = (
-        li.where(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+    is_ret = F.col("l_returnflag") == "R"
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(is_ret, F.col("l_suppkey"))).alias("n_ret"),
     )
-    other_supp = pairs.select(
-        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
-    )
-    other_ret = returned.select(
-        F.col("l_orderkey").alias("r2_orderkey"), F.col("l_suppkey").alias("r2_suppkey")
-    )
-    exists_other = returned.join(
-        other_supp,
-        (F.col("l_orderkey") == F.col("o2_orderkey"))
-        & (F.col("l_suppkey") != F.col("o2_suppkey")),
-        "left_semi",
-    )
-    no_other_returner = exists_other.join(
-        other_ret,
-        (F.col("l_orderkey") == F.col("r2_orderkey"))
-        & (F.col("l_suppkey") != F.col("r2_suppkey")),
-        "left_anti",
-    )
+    returned = li.where(is_ret).select("l_orderkey", "l_suppkey").distinct()
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        no_other_returner.join(
-            F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey
+        returned.join(
+            per_order.where((F.col("n_supp") > 1) & (F.col("n_ret") == 1)),
+            "l_orderkey",
+            "left_semi",
         )
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
