@@ -960,3 +960,82 @@ SELECT l_orderkey, l_linenumber, measure, amount FROM (
   WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'
 )
 """
+
+
+def q_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling: per-column stats (rows, nulls, distinct, typed
+    min/max) over events in ONE aggregation pass — the ingest-QA step
+    of a training-data pipeline. All per-column aggregates run in a
+    single agg (multi-distinct compiles to one Expand); the long
+    per-column layout comes from exploding an inline struct array, not
+    from re-scanning per column.
+    """
+    ev = _t(spark, sf_dir, "events")
+    nul = lambda t: F.lit(None).cast(t)  # noqa: E731
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.count(c).alias(f"cnt_{c}") for c in ["event_id", "user_id", "value", "ts", "event_type"]],
+        *[F.countDistinct(c).alias(f"dis_{c}") for c in ["event_id", "user_id", "value", "ts", "event_type"]],
+        F.min("event_id").cast("double").alias("min_event_id"),
+        F.max("event_id").cast("double").alias("max_event_id"),
+        F.min("user_id").cast("double").alias("min_user_id"),
+        F.max("user_id").cast("double").alias("max_user_id"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.min("event_type").alias("min_str"),
+        F.max("event_type").alias("max_str"),
+    )
+
+    def row(col, min_num, max_num, min_ts, max_ts, min_s, max_s):
+        return F.struct(
+            F.lit(col).alias("column"),
+            F.col("n_rows").alias("n_rows"),
+            (F.col("n_rows") - F.col(f"cnt_{col}")).alias("n_null"),
+            F.col(f"dis_{col}").alias("n_distinct"),
+            min_num.alias("min_num"), max_num.alias("max_num"),
+            min_ts.alias("min_ts"), max_ts.alias("max_ts"),
+            min_s.alias("min_str"), max_s.alias("max_str"),
+        )
+
+    rows = F.array(
+        row("event_id", F.col("min_event_id"), F.col("max_event_id"),
+            nul("timestamp"), nul("timestamp"), nul("string"), nul("string")),
+        row("user_id", F.col("min_user_id"), F.col("max_user_id"),
+            nul("timestamp"), nul("timestamp"), nul("string"), nul("string")),
+        row("value", F.col("min_value"), F.col("max_value"),
+            nul("timestamp"), nul("timestamp"), nul("string"), nul("string")),
+        row("ts", nul("double"), nul("double"),
+            F.col("min_ts"), F.col("max_ts"), nul("string"), nul("string")),
+        row("event_type", nul("double"), nul("double"),
+            nul("timestamp"), nul("timestamp"), F.col("min_str"), F.col("max_str")),
+    )
+    return agg.select(F.explode(rows).alias("r")).select("r.*")
+
+
+ORACLE_EVENTS_PROFILE = """
+SELECT 'event_id' AS column, count(*) AS n_rows,
+       count(*) - count(event_id) AS n_null, count(DISTINCT event_id) AS n_distinct,
+       CAST(min(event_id) AS DOUBLE) AS min_num, CAST(max(event_id) AS DOUBLE) AS max_num,
+       CAST(NULL AS TIMESTAMP) AS min_ts, CAST(NULL AS TIMESTAMP) AS max_ts,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM events
+UNION ALL
+SELECT 'user_id', count(*), count(*) - count(user_id), count(DISTINCT user_id),
+       CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE),
+       NULL, NULL, NULL, NULL
+FROM events
+UNION ALL
+SELECT 'value', count(*), count(*) - count(value), count(DISTINCT value),
+       min(value), max(value), NULL, NULL, NULL, NULL
+FROM events
+UNION ALL
+SELECT 'ts', count(*), count(*) - count(ts), count(DISTINCT ts),
+       NULL, NULL, min(ts), max(ts), NULL, NULL
+FROM events
+UNION ALL
+SELECT 'event_type', count(*), count(*) - count(event_type), count(DISTINCT event_type),
+       NULL, NULL, NULL, NULL, min(event_type), max(event_type)
+FROM events
+"""
