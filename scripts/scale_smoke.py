@@ -1,0 +1,123 @@
+"""Scale smoke: core operators at 10-30x the sf0.1 bench volume, on
+synthetic spark.range data (nothing written to /root/testdata).
+
+The per-round bench (bench.py) proves correctness-scale performance;
+this script is the evidence that the *plans* hold when the fact side
+grows: broadcast enrichment never shuffles the fact table, argmin
+dedup stays a single hash aggregate, the as-of join stays one shuffle,
+the salted join splits the hot key, streaming-style windowed counts
+stay map-side partial. Prints one JSON line per op with rows/sec.
+
+Usage: python scripts/scale_smoke.py [--rows 20000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dwds_livestream_spark.operators.asof import asof_join  # noqa: E402
+from dwds_livestream_spark.operators.dedup_dim import argmin_dedup  # noqa: E402
+from dwds_livestream_spark.operators.enrich import enrich  # noqa: E402
+from dwds_livestream_spark.operators.skew import salted_join  # noqa: E402
+from dwds_livestream_spark.session import build_session  # noqa: E402
+
+
+def report(name: str, rows: int, t0: float, plan: str, must: str, must_not: str = ""):
+    sec = time.perf_counter() - t0
+    ok_plan = must in plan and (not must_not or must_not not in plan)
+    print(
+        json.dumps(
+            {
+                "op": name,
+                "rows": rows,
+                "sec": round(sec, 1),
+                "rows_per_sec": int(rows / sec),
+                "plan_ok": ok_plan,
+            }
+        )
+    )
+    if not ok_plan:
+        raise SystemExit(f"{name}: plan regression (want {must!r}, not {must_not!r})")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=20_000_000)
+    args = ap.parse_args()
+    n = args.rows
+
+    spark = build_session(app_name="dwds-livestream-scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    events = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 100_000).alias("user_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") % 86_400).alias("ts"),
+        (F.rand(seed=7) * 1000).alias("value"),
+    )
+    dim = spark.range(100_000).select(
+        F.col("id").alias("user_id"), F.concat(F.lit("u"), F.col("id")).alias("name")
+    )
+
+    # J1 at scale: fact side must stay shuffle-free
+    t0 = time.perf_counter()
+    j = enrich(events, dim, on="user_id")
+    rows = j.count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    report("broadcast_enrich", rows, t0, plan, "BroadcastHashJoin", "SortMergeJoin")
+
+    # A1 at scale: one partial+final min_by aggregate, no window sort
+    t0 = time.perf_counter()
+    d = argmin_dedup(events.withColumn("hidx", (F.col("event_id") % 7).cast("int")),
+                     key="user_id", order_col="hidx",
+                     tie_breakers=["event_id"])
+    rows = d.count()
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    report("argmin_dedup", n, t0, plan, "min_by", "Window")
+
+    # as-of join at scale: union + one keyed shuffle, no pair explosion
+    quotes = spark.range(500_000).select(
+        (F.col("id") % 1000).alias("user_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + (F.col("id") * 167) % 86_400).alias("qts"),
+        F.col("id").alias("quote_id"),
+    )
+    points = events.where(F.col("user_id") < 1000).select("user_id", "ts")
+    t0 = time.perf_counter()
+    a = asof_join(points, quotes, on="user_id", left_ts="ts", right_ts="qts",
+                  payload=["quote_id"])
+    rows = a.count()
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    report("asof_join", rows, t0, plan, "Window", "CartesianProduct")
+
+    # skew: 60% of the fact on ONE key; salted join must not stall
+    skewed = spark.range(n).select(
+        F.when(F.col("id") % 10 < 6, F.lit(0)).otherwise(F.col("id") % 100_000).alias("user_id"),
+        F.col("id").alias("event_id"),
+    )
+    t0 = time.perf_counter()
+    s = salted_join(skewed, dim, on="user_id", salt=32, hot_keys=[0])
+    rows = s.count()
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    report("salted_hot_key_join", rows, t0, plan, "Join")
+
+    # streaming-shape windowed counts (batch form): map-side partials
+    t0 = time.perf_counter()
+    w = (
+        events.groupBy(F.window("ts", "1 minute"), (F.col("user_id") % 100))
+        .agg(F.count("*").alias("n"))
+    )
+    rows = w.count()
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    report("windowed_counts", n, t0, plan, "HashAggregate")
+
+
+if __name__ == "__main__":
+    main()
