@@ -1,0 +1,209 @@
+"""Corpus-curation operators for training-data pipelines (project brief;
+beyond the reference surface — SURVEY.md §7 Phase 5).
+
+Scale design notes (100 TB corpus, 1000 executors):
+
+- ``decontaminate``: the benchmark side (eval-set shingles) is tiny and
+  DISTINCT'd before the join, so it broadcasts — the corpus-side scan
+  stays shuffle-free; the only shuffle is the per-doc overlap count,
+  keyed by doc_id (uniform, no skew).
+- ``stratified_split``: pure projection (md5 bucketing) — zero shuffle,
+  deterministic across engines and re-runs (no rand()), so the split is
+  reproducible from the data alone.
+- ``repetition_stats``: per-row higher-order array functions only — the
+  per-document word histogram never leaves the row, so there is NO
+  explode/groupBy shuffle; a 100 TB scan stays map-only.
+- ``pii_redact``: pure regexp projection, codegen'd, map-only.
+- ``word_topk``: the classic two-level aggregate — partial (map-side)
+  combine collapses each partition to its local vocabulary before the
+  single shuffle on word; final top-k is a driver-sized sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+# PII patterns: email, long digit runs (phone/account-ish), IPv4.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_DIGITS = r"\d{6,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def _shingles(text: Column, n: int) -> Column:
+    """Distinct word n-grams of ``text`` as an array column."""
+    toks = tokens(F.lower(text))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    n-gram with a benchmark/eval set (the standard guard against test-set
+    leakage into training data).
+
+    Returns (doc_id, n_overlap, n_shingles, contamination) for every
+    contaminated document. The benchmark shingle set is DISTINCT'd and
+    broadcast: eval sets are MBs against a 100 TB corpus, so the corpus
+    scan is never shuffled — each task probes a broadcast hash set.
+    """
+    bench_shingles = (
+        benchmark.select(F.explode(_shingles(F.col(text_col), n)).alias("s"))
+        .distinct()
+    )
+    doc_shingles = docs.select(
+        F.col(id_col),
+        F.explode(_shingles(F.col(text_col), n)).alias("s"),
+        F.size(_shingles(F.col(text_col), n)).alias("n_shingles"),
+    )
+    return (
+        doc_shingles.join(F.broadcast(bench_shingles), "s")
+        .groupBy(id_col, "n_shingles")
+        .agg(F.count("*").alias("n_overlap"))
+        .select(
+            id_col,
+            "n_overlap",
+            "n_shingles",
+            F.round(
+                F.col("n_overlap") / F.greatest("n_shingles", F.lit(1)), 6
+            ).alias("contamination"),
+        )
+    )
+
+
+def stratified_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_hi: str = "cc",
+    val_hi: str = "e6",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by md5 bucket of the id:
+    the first two hex chars of md5(id) partition [00, ff] into
+    train [00, cc) ≈ 80 %, val [cc, e6) ≈ 10 %, test [e6, ff] ≈ 10 %.
+
+    Content-addressed (no rand(), no zipWithIndex): the same row lands in
+    the same split on any engine, any partitioning, any rerun — the
+    property a 100 TB pipeline needs so splits survive recomputation.
+    """
+    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    return df.withColumn(
+        "split",
+        F.when(bucket < train_hi, "train")
+        .when(bucket < val_hi, "val")
+        .otherwise("test"),
+    )
+
+
+def split_report(
+    df: DataFrame,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Per-(split, stratum) counts and mean size — the balance check run
+    after ``stratified_split``. One partial-aggregated shuffle on a tiny
+    key space."""
+    return (
+        stratified_split(df, id_col=id_col)
+        .groupBy("split", strata_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(size_col), 6).alias("avg_size"),
+        )
+    )
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact email / long-digit-run / IPv4 patterns, keeping a per-row
+    redaction count for audit. Pure regexp projection (map-only;
+    regexp_count + regexp_replace are codegen'd JVM ops)."""
+    text = F.col(text_col)
+    n_red = (
+        F.regexp_count(text, F.lit(PII_EMAIL))
+        + F.regexp_count(text, F.lit(PII_IPV4))
+        # count digit runs on the email/ip-free text so an IP's octets
+        # aren't double-counted as digit runs
+        + F.regexp_count(
+            F.regexp_replace(
+                F.regexp_replace(text, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+            ),
+            F.lit(PII_DIGITS),
+        )
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ),
+        PII_DIGITS,
+        "<NUM>",
+    )
+    return df.select(
+        id_col,
+        redacted.alias("redacted"),
+        n_red.alias("n_redactions"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals, computed WITHOUT exploding: the
+    per-document word histogram is built inside the row with higher-order
+    array functions (distinct words × filter-count), so the whole
+    operator is a map-only projection — no shuffle at any scale.
+
+    top_word_frac: share of tokens taken by the most frequent word;
+    dup_word_frac: share of tokens that are repeats of an earlier word.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    n_tok = F.size(toks)
+    top_cnt = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda w: F.size(F.filter(toks, lambda t: t == w)),
+            )
+        ),
+        F.lit(0),
+    )
+    n_distinct = F.size(F.array_distinct(toks))
+    top_frac = F.round(top_cnt / F.greatest(n_tok, F.lit(1)), 6)
+    dup_frac = F.round((n_tok - n_distinct) / F.greatest(n_tok, F.lit(1)), 6)
+    return df.select(
+        id_col,
+        n_tok.alias("n_tokens"),
+        top_cnt.alias("top_word_count"),
+        top_frac.alias("top_word_frac"),
+        dup_frac.alias("dup_word_frac"),
+        (top_frac <= 0.2).alias("keep"),
+    )
+
+
+def word_topk(
+    df: DataFrame, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Global top-k vocabulary: explode → two-phase count (map-side
+    partial combine collapses each partition to its local vocab before
+    the one shuffle on word) → total-order top-k (count desc, word asc —
+    deterministic under ties)."""
+    return (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(k)
+    )

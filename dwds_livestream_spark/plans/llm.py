@@ -20,6 +20,14 @@ from ..functions.text import (
     winnowing_fingerprints,
 )
 from ..operators.components import connected_components
+from ..operators.curation import (
+    decontaminate,
+    pii_redact,
+    repetition_stats,
+    split_report,
+    stratified_split,
+    word_topk,
+)
 from ..operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -354,6 +362,132 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_CURATION_PIPELINE = _oracle_curation()
+
+
+# ---------------------------------------------------------- curation
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any 5-gram with the
+    deterministic pseudo-benchmark set (doc_id % 97 == 0). Benchmark
+    shingles broadcast; corpus scan stays shuffle-free."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, bench, n=5)
+
+
+ORACLE_DECONTAMINATE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+  FROM documents
+),
+sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
+       FROM toks, unnest(range(1, greatest(len(w)-4, 0)+1)) AS t(i)),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+sizes AS (SELECT doc_id, CAST(count(*) AS INT) AS n_shingles FROM sh GROUP BY doc_id),
+ov AS (SELECT doc_id, count(*) AS n_overlap FROM sh JOIN bench USING (s) GROUP BY doc_id)
+SELECT ov.doc_id, n_overlap, n_shingles,
+       ROUND(n_overlap * 1.0 / greatest(n_shingles, 1), 6) AS contamination
+FROM ov JOIN sizes USING (doc_id)
+"""
+
+
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed train/val/test assignment (md5
+    bucket of doc_id) — pure projection, no shuffle, reproducible on any
+    engine."""
+    return stratified_split(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "split"
+    )
+
+
+ORACLE_STRATIFIED_SPLIT = """
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-balance check: per-(split, lang) counts and mean size."""
+    return split_report(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_SPLIT_REPORT = """
+SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+            ELSE 'test' END AS split,
+       lang, count(*) AS n_docs, ROUND(avg(n_chars), 6) AS avg_size
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the events.props payload (email / IPv4 /
+    long-digit-run) with per-row redaction counts."""
+    return pii_redact(
+        _t(spark, sf_dir, "events"), text_col="props", id_col="event_id"
+    )
+
+
+ORACLE_PII_REDACT = r"""
+WITH step AS (
+  SELECT event_id,
+         regexp_replace(
+           regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS no_email_ip,
+         CAST(len(regexp_extract_all(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+         + CAST(len(regexp_extract_all(props, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT)
+           AS n_email_ip
+  FROM events
+)
+SELECT event_id,
+       regexp_replace(no_email_ip, '\d{6,}', '<NUM>', 'g') AS redacted,
+       n_email_ip + CAST(len(regexp_extract_all(no_email_ip, '\d{6,}')) AS INT) AS n_redactions
+FROM step
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals — Spark side is shuffle-free
+    (in-row histogram via higher-order functions); the oracle recomputes
+    with an explode + two-level GROUP BY, an independent algorithm."""
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_REPETITION_STATS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(w) AS word FROM toks),
+cnts AS (SELECT doc_id, word, count(*) AS c FROM ex GROUP BY 1, 2),
+agg AS (SELECT doc_id, max(c) AS top_cnt, sum(c) AS n_tok, count(*) AS n_dis
+        FROM cnts GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(coalesce(a.n_tok, 0) AS INT) AS n_tokens,
+       CAST(coalesce(a.top_cnt, 0) AS INT) AS top_word_count,
+       ROUND(coalesce(a.top_cnt, 0) * 1.0 / greatest(coalesce(a.n_tok, 0), 1), 6) AS top_word_frac,
+       ROUND((coalesce(a.n_tok, 0) - coalesce(a.n_dis, 0)) * 1.0 / greatest(coalesce(a.n_tok, 0), 1), 6) AS dup_word_frac,
+       ROUND(coalesce(a.top_cnt, 0) * 1.0 / greatest(coalesce(a.n_tok, 0), 1), 6) <= 0.2 AS keep
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 vocabulary (two-phase count, total-order tie-break)."""
+    return word_topk(_t(spark, sf_dir, "documents"), k=20)
+
+
+ORACLE_WORD_TOPK = r"""
+SELECT word, count(*) AS cnt
+FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> len(x) > 0)) AS word
+      FROM documents)
+GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20
+"""
 
 
 # -------------------------------------------------------- multimodal

@@ -94,6 +94,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": L.q_doc_fingerprint,
     "winnow_fingerprints": L.q_winnow_fingerprints,
     "multimodal_features": L.q_multimodal_features,
+    "decontaminate": L.q_decontaminate,
+    "stratified_split": L.q_stratified_split,
+    "split_report": L.q_split_report,
+    "pii_redact": L.q_pii_redact,
+    "repetition_stats": L.q_repetition_stats,
+    "word_topk": L.q_word_topk,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -153,6 +159,12 @@ ORACLE_SQL: dict[str, str] = {
     "text_quality": L.ORACLE_TEXT_QUALITY,
     "lang_id": L.ORACLE_LANG_ID,
     "doc_fingerprint": L.ORACLE_DOC_FINGERPRINT,
+    "decontaminate": L.ORACLE_DECONTAMINATE,
+    "stratified_split": L.ORACLE_STRATIFIED_SPLIT,
+    "split_report": L.ORACLE_SPLIT_REPORT,
+    "pii_redact": L.ORACLE_PII_REDACT,
+    "repetition_stats": L.ORACLE_REPETITION_STATS,
+    "word_topk": L.ORACLE_WORD_TOPK,
     # rows-only (no oracle): dedup_minhash_lsh, dedup_simhash,
     # similarity_lsh_topk, winnow_fingerprints, multimodal_features
 }

@@ -1,0 +1,100 @@
+"""Corpus-curation operators: decontamination, stratified split, PII
+redaction, repetition stats, word top-k (operators/curation.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dwds_livestream_spark.operators.curation import (
+    decontaminate,
+    pii_redact,
+    repetition_stats,
+    stratified_split,
+    word_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e f g h"),
+            Row(doc_id=2, text="a b c d e x y z"),
+            Row(doc_id=3, text="p q r s t u v w"),
+            Row(doc_id=4, text="spam spam spam spam ham"),
+        ]
+    )
+
+
+def test_decontaminate_flags_overlap(docs):
+    bench = docs.where(F.col("doc_id") == 1)
+    out = decontaminate(docs, bench, n=5).orderBy("doc_id").collect()
+    ids = [r.doc_id for r in out]
+    # doc 1 is the benchmark itself (full overlap); doc 2 shares the
+    # leading 5-gram "a b c d e"; docs 3-4 share nothing.
+    assert ids == [1, 2]
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].contamination == 1.0
+    assert by_id[2].n_overlap == 1
+    assert 0 < by_id[2].contamination < 1
+
+
+def test_stratified_split_deterministic_and_total(docs, spark):
+    out1 = {r.doc_id: r.split for r in stratified_split(docs).collect()}
+    out2 = {r.doc_id: r.split for r in stratified_split(docs).collect()}
+    assert out1 == out2
+    assert set(out1.values()) <= {"train", "val", "test"}
+    # content-addressed: a fresh frame with the same ids gets the same split
+    other = spark.range(1, 5).withColumnRenamed("id", "doc_id")
+    out3 = {r.doc_id: r.split for r in stratified_split(other).collect()}
+    assert out1 == out3
+
+
+def test_stratified_split_proportions(spark):
+    big = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    frac = {
+        r.split: r.n
+        for r in stratified_split(big).groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert 0.75 < frac["train"] / 10_000 < 0.85
+    assert 0.07 < frac["val"] / 10_000 < 0.13
+    assert 0.07 < frac["test"] / 10_000 < 0.13
+
+
+def test_pii_redact(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="mail me at jo.doe+x@example.org or 10.0.0.1"),
+            Row(doc_id=2, text="account 1234567890 and short 123"),
+            Row(doc_id=3, text="clean text only"),
+        ]
+    )
+    out = {r.doc_id: r for r in pii_redact(df).collect()}
+    assert out[1].redacted == "mail me at <EMAIL> or <IP>"
+    assert out[1].n_redactions == 2
+    assert out[2].redacted == "account <NUM> and short 123"
+    assert out[2].n_redactions == 1
+    assert out[3].redacted == "clean text only"
+    assert out[3].n_redactions == 0
+
+
+def test_repetition_stats_no_shuffle(docs):
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    spammy = out[4]
+    assert spammy.top_word_count == 4 and spammy.n_tokens == 5
+    assert spammy.top_word_frac == 0.8 and not spammy.keep
+    assert out[1].top_word_frac == 0.125 and out[1].keep
+    # scale contract: map-only — no exchange in the physical plan
+    plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_word_topk_total_order(docs):
+    rows = word_topk(docs, k=3).collect()
+    assert [r.word for r in rows][0] == "spam"  # 4 occurrences
+    assert rows[0].cnt == 4
+    # ties broken lexicographically: a,b,c,d all have cnt=2
+    assert [r.word for r in rows][1:] == ["a", "b"]
