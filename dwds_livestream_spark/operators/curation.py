@@ -32,14 +32,26 @@ PII_DIGITS = r"\d{6,}"
 PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 
-def _shingles(text: Column, n: int) -> Column:
-    """Distinct word n-grams of ``text`` as an array column."""
-    toks = tokens(F.lower(text))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        )
+def _with_shingles(
+    df: DataFrame, text_col: str, n: int, out: str = "__sh"
+) -> DataFrame:
+    """Adds a distinct word-n-gram array column.
+
+    The token array is materialized as its own projection before the
+    n-gram transform references it — inlining ``tokens(text)`` into the
+    lambda makes Spark re-evaluate the regex split once per shingle
+    position (O(n²) per document; measured 80x slower at sf0.1 — same
+    trap documented on ``winnowing_fingerprints``)."""
+    return df.withColumn("__toks", tokens(F.lower(F.col(text_col)))).withColumn(
+        out,
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("__toks") - (n - 1), F.lit(0))
+                ),
+                lambda i: F.array_join(F.slice("__toks", i, n), " "),
+            )
+        ),
     )
 
 
@@ -60,13 +72,14 @@ def decontaminate(
     scan is never shuffled — each task probes a broadcast hash set.
     """
     bench_shingles = (
-        benchmark.select(F.explode(_shingles(F.col(text_col), n)).alias("s"))
+        _with_shingles(benchmark, text_col, n)
+        .select(F.explode("__sh").alias("s"))
         .distinct()
     )
-    doc_shingles = docs.select(
+    doc_shingles = _with_shingles(docs, text_col, n).select(
         F.col(id_col),
-        F.explode(_shingles(F.col(text_col), n)).alias("s"),
-        F.size(_shingles(F.col(text_col), n)).alias("n_shingles"),
+        F.explode("__sh").alias("s"),
+        F.size("__sh").alias("n_shingles"),
     )
     return (
         doc_shingles.join(F.broadcast(bench_shingles), "s")
