@@ -113,3 +113,30 @@ def test_q11_single_fact_scan(spark, sf_dir):
     # scalar-subquery total derived from the aggregated per-part result:
     # lineitem parquet is scanned once, not once per subquery
     assert plan.count("lineitem.parquet") <= 2  # reused exchange, not re-scan per branch
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """Corpus-side scan must never shuffle: the benchmark shingle set
+    broadcasts, so contamination probing is map-side at any corpus
+    scale; the only exchange is the per-doc overlap count on doc_id."""
+    from dwds_livestream_spark.plans import llm as L
+
+    plan = _plan(L.q_decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_word_topk_partial_aggregation(spark, sf_dir):
+    """Vocabulary count must map-side combine before its one shuffle."""
+    from dwds_livestream_spark.plans import llm as L
+
+    plan = _plan(L.q_word_topk(spark, sf_dir))
+    assert "partial_count" in plan or "partial count" in plan.lower()
+    assert plan.count("Exchange") <= 2  # agg shuffle + top-k singleton
+
+
+def test_stratified_split_no_shuffle(spark, sf_dir):
+    from dwds_livestream_spark.plans import llm as L
+
+    plan = _plan(L.q_stratified_split(spark, sf_dir))
+    assert "Exchange" not in plan
