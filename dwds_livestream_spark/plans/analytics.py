@@ -111,6 +111,52 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-k over sliding windows — the reference's viz use
+    case ("what's hot right now", viz.cljs) as a first-class query:
+    1-hour windows sliding every 15 minutes, top-3 event types per
+    window, deterministic tie-break.
+
+    Scale: the sliding window multiplies rows by overlap factor 4
+    BEFORE the aggregate, but partial (map-side) combine collapses each
+    partition to its local (window, type) counts, so the shuffle
+    carries the tiny aggregated key space, not 4x the fact table. The
+    rank partitions by window — bounded cardinality, no skew. Same
+    plan runs on a watermarked stream (streaming/windows.py).
+    """
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n_events"))
+    rnk = F.row_number().over(
+        Window.partitionBy("w").orderBy(F.desc("n_events"), F.asc("event_type"))
+    )
+    return (
+        counts.withColumn("rnk", rnk)
+        .where(F.col("rnk") <= 3)
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "n_events", "rnk"
+        )
+    )
+
+
+# Spark's sliding window assigns each event to the 4 epoch-aligned
+# 15-minute starts in (ts-1h, ts]; the oracle reproduces that directly.
+ORACLE_TRENDING_TOPK = """
+WITH wins AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts) - (i * INTERVAL '15 minutes') AS win_start,
+         event_type
+  FROM events, unnest([0, 1, 2, 3]) AS t(i)
+),
+cnt AS (SELECT win_start, event_type, count(*) AS n_events
+        FROM wins GROUP BY 1, 2),
+r AS (SELECT *, CAST(row_number() OVER (
+        PARTITION BY win_start ORDER BY n_events DESC, event_type) AS INT) AS rnk
+      FROM cnt)
+SELECT win_start, event_type, n_events, rnk FROM r WHERE rnk <= 3
+"""
+
+
 def q_key_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 parity: composite key encoding (lemma#hidx,
     collector.clj:82-84) — pure codegen projection, no shuffle."""

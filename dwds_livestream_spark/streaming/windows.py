@@ -23,18 +23,23 @@ def windowed_counts(
     watermark: str = "2 minutes",
     ts_col: str = "timestamp",
     group_cols: list[str] | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window counts per group with a late-data watermark —
-    the streaming equivalent of the reference's per-minute meters
-    (metrics.clj:16-26) as a first-class query.
+    """Tumbling (or, with ``slide``, sliding) window counts per group
+    with a late-data watermark — the streaming equivalent of the
+    reference's per-minute meters (metrics.clj:16-26) as a first-class
+    query; with ``slide`` it is the streaming twin of the batch
+    ``trending_topk`` aggregation (the per-window rank runs in
+    foreachBatch, where window rows are final past the watermark).
 
     Output: window_start, window_end, [group_cols...], n_events.
     State scales with (open windows x groups), bounded by the watermark
     — constant per key over time, safe at any input volume.
     """
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
     grouped = (
         events.withWatermark(ts_col, watermark)
-        .groupBy(F.window(ts_col, window).alias("__w"), *(group_cols or []))
+        .groupBy(win.alias("__w"), *(group_cols or []))
         .agg(F.count("*").alias("n_events"))
     )
     return grouped.select(

@@ -228,3 +228,39 @@ def test_stream_stream_join_within_window(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert [(r.lemma, str(r.r_ts)) for r in rows] == [("k1", "2024-01-01 10:05:00")]
+
+
+def test_sliding_windowed_counts_stream(spark, tmp_path):
+    """Sliding windows on a stream: each event lands in window/slide
+    overlapping windows (here 2) — the streaming twin of the batch
+    trending_topk aggregation."""
+    src = tmp_path / "src_slide"
+    src.mkdir()
+    (src / "b1.jsonl").write_text(
+        "\n".join(
+            [
+                _jsonl("2024-12-08T10:00:30Z", "a"),
+                _jsonl("2024-12-08T10:00:45Z", "a"),
+                _jsonl("2024-12-08T10:01:30Z", "b"),
+            ]
+        )
+    )
+    _order_files(src)
+    df = windowed_counts(
+        _read_stream(spark, src),
+        window="2 minutes",
+        slide="1 minute",
+        watermark="1 minute",
+        group_cols=["lemma"],
+    )
+    batches = _run_update(spark, df, tmp_path, "slide")
+    rows = [r for b in batches for r in b]
+    got = {
+        (r.window_start.strftime("%H:%M"), r.lemma): r.n_events for r in rows
+    }
+    # 10:00:30/10:00:45 'a' -> windows starting 09:59 and 10:00;
+    # 10:01:30 'b' -> windows starting 10:00 and 10:01
+    assert got[("09:59", "a")] == 2
+    assert got[("10:00", "a")] == 2
+    assert got[("10:00", "b")] == 1
+    assert got[("10:01", "b")] == 1
