@@ -1,0 +1,130 @@
+"""Incremental rollup maintenance (operators/rollup_maintain.py):
+touched-partition recompute == full recompute; closed partitions never
+rewritten; pruning reaches the scan; serve_with_tail == direct
+aggregate."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dwds_livestream_spark.operators.rollup_maintain import (
+    serve_with_tail,
+    touched_dates,
+    update_rollup,
+)
+from dwds_livestream_spark.sinks.fact_sink import parquet_writer
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        [Row(ts=ts, lemma=lemma, article_source="s") for ts, lemma in rows]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _full_rollup(spark, fact_path):
+    return {
+        (r.date.isoformat(), r.lemma): r.n_events
+        for r in spark.read.parquet(fact_path)
+        .groupBy("date", "lemma")
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    }
+
+
+def _rollup(spark, rollup_path):
+    return {
+        (str(r.date), r.lemma): r.n_events
+        for r in spark.read.parquet(rollup_path).collect()
+    }
+
+
+def test_incremental_equals_full_and_skips_closed(spark, tmp_path):
+    fact = str(tmp_path / "fact")
+    roll = str(tmp_path / "rollup")
+    write = parquet_writer(fact)
+
+    b1 = _batch(
+        spark,
+        [
+            ("2024-12-01 10:00:00", "a"),
+            ("2024-12-01 11:00:00", "a"),
+            ("2024-12-02 09:00:00", "b"),
+        ],
+    )
+    write(b1, 0)
+    d1 = touched_dates(b1)
+    assert d1 == ["2024-12-01", "2024-12-02"]
+    update_rollup(spark, fact, roll, d1)
+    assert _rollup(spark, roll) == _full_rollup(spark, fact)
+
+    # snapshot the closed 12-01 partition's files before the next batch
+    closed_dir = os.path.join(roll, "date=2024-12-01")
+    before = {
+        f: os.path.getmtime(os.path.join(closed_dir, f))
+        for f in os.listdir(closed_dir)
+    }
+
+    b2 = _batch(
+        spark,
+        [
+            ("2024-12-02 12:00:00", "b"),
+            ("2024-12-02 13:00:00", "c"),
+            ("2024-12-03 08:00:00", "a"),
+        ],
+    )
+    write(b2, 1)
+    update_rollup(spark, fact, roll, touched_dates(b2))
+    assert _rollup(spark, roll) == _full_rollup(spark, fact)
+    # dynamic partition overwrite must not touch the closed partition
+    after = {
+        f: os.path.getmtime(os.path.join(closed_dir, f))
+        for f in os.listdir(closed_dir)
+    }
+    assert before == after
+
+
+def test_maintenance_scan_is_partition_pruned(spark, tmp_path):
+    fact = str(tmp_path / "factp")
+    write = parquet_writer(fact)
+    write(_batch(spark, [("2024-12-01 10:00:00", "a"), ("2024-12-02 10:00:00", "b")]), 0)
+    scan = spark.read.parquet(fact).where(F.col("date").isin(["2024-12-02"]))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "date" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    fact = str(tmp_path / "factr")
+    roll = str(tmp_path / "rollupr")
+    write = parquet_writer(fact)
+    b = _batch(spark, [("2024-12-01 10:00:00", "a")])
+    write(b, 0)
+    update_rollup(spark, fact, roll, touched_dates(b))
+    first = _rollup(spark, roll)
+    # failure replay: maintenance runs again for the same dates
+    update_rollup(spark, fact, roll, touched_dates(b))
+    assert _rollup(spark, roll) == first
+
+
+def test_serve_with_tail_equals_direct(spark, tmp_path):
+    fact = str(tmp_path / "facts")
+    roll = str(tmp_path / "rollups")
+    write = parquet_writer(fact)
+    write(
+        _batch(
+            spark,
+            [
+                ("2024-12-01 10:00:00", "a"),
+                ("2024-12-02 09:00:00", "b"),
+                ("2024-12-03 08:00:00", "a"),
+            ],
+        ),
+        0,
+    )
+    # rollup maintained only for closed dates; 12-03 is the hot tail
+    update_rollup(spark, fact, roll, ["2024-12-01", "2024-12-02"])
+    served = serve_with_tail(spark, roll, fact, hot_dates=["2024-12-03"])
+    got = {(str(r.date), r.lemma): r.n_events for r in served.collect()}
+    assert got == _full_rollup(spark, fact)
