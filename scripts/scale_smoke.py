@@ -24,6 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from dwds_livestream_spark.operators.asof import asof_join  # noqa: E402
+from dwds_livestream_spark.operators.curation import (  # noqa: E402
+    repetition_stats,
+    word_topk,
+)
 from dwds_livestream_spark.operators.dedup_dim import argmin_dedup  # noqa: E402
 from dwds_livestream_spark.operators.enrich import enrich  # noqa: E402
 from dwds_livestream_spark.operators.skew import salted_join  # noqa: E402
@@ -117,6 +121,45 @@ def main() -> None:
     rows = w.count()
     plan = w._jdf.queryExecution().executedPlan().toString()
     report("windowed_counts", n, t0, plan, "HashAggregate")
+
+    # synthetic documents: ~20 tokens each, n/10 docs
+    docs = spark.range(n // 10).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit("w"), ((F.col("id") * (i + 3)) % 997).cast("string"))
+                for i in range(20)
+            ],
+        ).alias("text"),
+    )
+
+    # repetition stats at scale: must stay map-only (no Exchange)
+    t0 = time.perf_counter()
+    r = repetition_stats(docs)
+    rows = r.count()
+    plan = r._jdf.queryExecution().executedPlan().toString()
+    report("repetition_stats", rows, t0, plan, "Project", "Exchange")
+
+    # vocabulary top-k at scale: partial combine before the one shuffle
+    t0 = time.perf_counter()
+    v = word_topk(docs, k=20)
+    v.collect()
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    report("word_topk", n // 10 * 20, t0, plan, "partial_count")
+
+    # trending top-k: sliding window x4 rows pre-agg, partial-combined
+    t0 = time.perf_counter()
+    tr = (
+        events.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"),
+            (F.col("user_id") % 100).alias("k"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    rows = tr.count()
+    plan = tr._jdf.queryExecution().executedPlan().toString()
+    report("trending_preagg", n * 4, t0, plan, "partial_count")
 
 
 if __name__ == "__main__":
