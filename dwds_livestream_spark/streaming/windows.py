@@ -13,6 +13,8 @@ holds structurally.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -48,6 +50,42 @@ def windowed_counts(
         *(group_cols or []),
         "n_events",
     )
+
+
+def rank_topk_batch(k: int = 3, by: str = "n_events") -> "Callable":
+    """foreachBatch companion for sliding ``windowed_counts``: rank
+    rows per window and keep the top-k, with a deterministic
+    tie-break. Rank is not allowed inside an update-mode streaming
+    aggregation, so it runs batch-side where the micro-batch's window
+    rows are concrete — each emitted batch carries the current top-k
+    per (updated) window.
+
+    Usage::
+
+        counts = windowed_counts(stream, "1 hour", slide="15 minutes",
+                                 group_cols=["lemma"])
+        q = (counts.writeStream.outputMode("update")
+             .foreachBatch(rank_topk_batch(3)(sink)) ...)
+    """
+    from pyspark.sql import Window as W
+
+    def wrap(sink: "Callable[[DataFrame, int], None]"):
+        def process(batch: DataFrame, batch_id: int) -> None:
+            group = [c for c in batch.columns
+                     if c not in ("window_start", "window_end", by)]
+            rnk = F.row_number().over(
+                W.partitionBy("window_start").orderBy(
+                    F.desc(by), *[F.asc(c) for c in group]
+                )
+            )
+            sink(
+                batch.withColumn("rnk", rnk).where(F.col("rnk") <= k),
+                batch_id,
+            )
+
+        return process
+
+    return wrap
 
 
 def session_windows(

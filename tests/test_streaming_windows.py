@@ -264,3 +264,46 @@ def test_sliding_windowed_counts_stream(spark, tmp_path):
     assert got[("10:00", "a")] == 2
     assert got[("10:00", "b")] == 1
     assert got[("10:01", "b")] == 1
+
+
+def test_trending_stream_topk(spark, tmp_path):
+    """End-to-end streaming trending: sliding windowed counts ranked
+    per window in foreachBatch (rank_topk_batch)."""
+    from dwds_livestream_spark.streaming.windows import rank_topk_batch
+
+    src = tmp_path / "src_trend"
+    src.mkdir()
+    (src / "b1.jsonl").write_text(
+        "\n".join(
+            [_jsonl("2024-12-08T10:00:10Z", "a")] * 3
+            + [_jsonl("2024-12-08T10:00:20Z", "b")] * 2
+            + [_jsonl("2024-12-08T10:00:40Z", "c")]
+        )
+    )
+    _order_files(src)
+    counts = windowed_counts(
+        _read_stream(spark, src),
+        window="2 minutes",
+        slide="1 minute",
+        watermark="1 minute",
+        group_cols=["lemma"],
+    )
+    batches: list[list] = []
+    q = (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(rank_topk_batch(2)(lambda b, i: batches.append(b.collect())))
+        .option("checkpointLocation", str(tmp_path / "ckpt_trend"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [r for b in batches for r in b]
+    top = {
+        (r.window_start.strftime("%H:%M"), r.rnk): (r.lemma, r.n_events)
+        for r in rows
+    }
+    # both windows (09:59, 10:00) hold all 6 events: a=3, b=2, c=1
+    for ws in ("09:59", "10:00"):
+        assert top[(ws, 1)] == ("a", 3)
+        assert top[(ws, 2)] == ("b", 2)
+    assert all(r.rnk <= 2 for r in rows)
