@@ -41,10 +41,26 @@ def to_json_events(df: DataFrame) -> Column | DataFrame:
     )
 
 
-def from_json_events(df: DataFrame, column: str = "value") -> DataFrame:
+def from_json_events(
+    df: DataFrame, column: str = "value", drop_malformed: bool = True
+) -> DataFrame:
     """P11 — JSONL lines -> typed enriched-event rows
-    (collector.clj:32-34, 65) with the P9 casts applied."""
+    (collector.clj:32-34, 65) with the P9 casts applied.
+
+    ``drop_malformed`` extends the reference's F7 malformed-line guard
+    (access_log.clj:80,92-93) to the JSONL path: unparseable lines
+    (``from_json`` -> null struct) and records missing the required
+    timestamp/lemma are dropped instead of flowing on as all-null rows
+    — at 100 TB one poisoned upstream file must not null-pollute the
+    fact table or crash the collector (the reference would hit the
+    exception-retry loop, collector.clj:48-53)."""
     parsed = df.select(F.from_json(F.col(column), ENRICHED_EVENT_WIRE).alias("e"))
+    if drop_malformed:
+        parsed = parsed.where(
+            F.col("e").isNotNull()
+            & F.col("e.timestamp").isNotNull()
+            & F.col("e.lemma").isNotNull()
+        )
     return parsed.select(
         F.to_timestamp("e.timestamp").alias("timestamp"),
         F.col("e.lemma").alias("lemma"),

@@ -126,3 +126,22 @@ def test_dimension_snapshot_swap(spark):
     snap.refresh()
     assert snap.current().first().source == "DWDS"
     snap.stop()
+
+
+def test_from_json_drops_malformed_lines(spark):
+    """F7 guard on the JSONL path: garbage lines and records missing
+    required fields are dropped, valid lines survive."""
+    raw = spark.createDataFrame(
+        [
+            ('{"timestamp":"2024-12-08T23:00:18Z","lemma":"obskur"}',),
+            ("not json at all {",),
+            ('{"lemma":"missing-ts"}',),
+            ('{"timestamp":"2024-12-08T23:00:19Z"}',),
+            ("",),
+        ],
+        ["value"],
+    )
+    out = from_json_events(raw).collect()
+    assert [r.lemma for r in out] == ["obskur"]
+    kept_all = from_json_events(raw, drop_malformed=False).count()
+    assert kept_all == 5
