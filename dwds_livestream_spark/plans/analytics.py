@@ -111,6 +111,46 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly per-key series over the 30-day events span with
+    last-observation-carried-forward on the gaps (operators/gapfill.py
+    — the time_bucket_gapfill/locf analog)."""
+    from ..operators.gapfill import gap_fill_locf
+
+    ev = _t(spark, sf_dir, "events")
+    return gap_fill_locf(
+        ev,
+        [F.col("user_id") % 20],
+        "ts",
+        {"avg_value": F.round(F.avg("value"), 6)},
+        step="hour",
+    ).select(
+        F.col("k0").alias("k"),
+        "bucket",
+        "avg_value",
+        "avg_value_filled",
+        "is_gap",
+    )
+
+
+ORACLE_GAP_FILL_LOCF = """
+WITH b AS (SELECT user_id % 20 AS k, date_trunc('hour', ts) AS bucket,
+                  ROUND(avg(value), 6) AS avg_value
+           FROM events GROUP BY 1, 2),
+ext AS (SELECT k, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY k),
+spine AS (SELECT k, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
+          FROM ext),
+j AS (SELECT s.k, s.bucket, b.avg_value
+      FROM spine s LEFT JOIN b ON b.k = s.k AND b.bucket = s.bucket)
+SELECT k, bucket, avg_value,
+       last_value(avg_value IGNORE NULLS) OVER (
+         PARTITION BY k ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value_filled,
+       avg_value IS NULL AS is_gap
+FROM j
+"""
+
+
 def q_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trending top-k over sliding windows — the reference's viz use
     case ("what's hot right now", viz.cljs) as a first-class query:

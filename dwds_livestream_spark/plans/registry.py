@@ -61,6 +61,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_unpivot": A.q_lineitem_unpivot,
     "events_profile": A.q_events_profile,
     "trending_topk": A.q_trending_topk,
+    "gap_fill_locf": A.q_gap_fill_locf,
     # remaining TPC-H shapes (plans/tpch.py): correlated subqueries,
     # semi/anti chains, disjunctive predicates, distributions, ratios
     "q2_min_cost_part": T.q2_min_cost_part,
@@ -136,6 +137,7 @@ ORACLE_SQL: dict[str, str] = {
     "lineitem_unpivot": A.ORACLE_LINEITEM_UNPIVOT,
     "events_profile": A.ORACLE_EVENTS_PROFILE,
     "trending_topk": A.ORACLE_TRENDING_TOPK,
+    "gap_fill_locf": A.ORACLE_GAP_FILL_LOCF,
     "q2_min_cost_part": T.ORACLE_Q2,
     "q8_market_share": T.ORACLE_Q8,
     "q9_product_profit": T.ORACLE_Q9,

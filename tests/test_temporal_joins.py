@@ -111,3 +111,34 @@ def test_asof_plan_single_shuffle(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_gap_fill_locf_semantics(spark):
+    """Gaps get the last prior observation; leading buckets exist only
+    from each key's first observation; is_gap marks synthesized rows."""
+    from pyspark.sql import Row
+
+    from dwds_livestream_spark.operators.gapfill import gap_fill_locf
+
+    df = spark.createDataFrame(
+        [
+            Row(k="a", ts="2024-01-01 10:15:00", v=1.0),
+            Row(k="a", ts="2024-01-01 13:45:00", v=4.0),
+            Row(k="b", ts="2024-01-01 11:05:00", v=9.0),
+        ]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = gap_fill_locf(
+        df, ["k"], "ts", {"v": F.round(F.avg("v"), 6)}, step="hour"
+    )
+    rows = {
+        (r.k0, r.bucket.strftime("%H")): (r.v, r.v_filled, r.is_gap)
+        for r in out.collect()
+    }
+    # key a: spine 10..13, gaps at 11 and 12 carry 1.0 forward
+    assert rows[("a", "10")] == (1.0, 1.0, False)
+    assert rows[("a", "11")] == (None, 1.0, True)
+    assert rows[("a", "12")] == (None, 1.0, True)
+    assert rows[("a", "13")] == (4.0, 4.0, False)
+    # key b: single observation, single-bucket spine
+    assert rows[("b", "11")] == (9.0, 9.0, False)
+    assert len(rows) == 5
