@@ -151,6 +151,95 @@ FROM j
 """
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: a user
+    counts at stage N only with an event strictly after their stage
+    N-1 entry. Three keyed aggregations chained on user_id — every
+    join and groupBy shares the same hash key, so the whole funnel is
+    ONE shuffle lineage of the fact table (no re-partitioning between
+    stages), then a 3-row summary."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.select(F.lit("1_view").alias("stage"), "user_id")
+        .unionByName(s2.select(F.lit("2_click").alias("stage"), "user_id"))
+        .unionByName(s3.select(F.lit("3_purchase").alias("stage"), "user_id"))
+        .groupBy("stage")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+ORACLE_FUNNEL = """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+SELECT stage, count(*) AS n_users FROM (
+  SELECT '1_view' AS stage, user_id FROM s1
+  UNION ALL SELECT '2_click', user_id FROM s2
+  UNION ALL SELECT '3_purchase', user_id FROM s3
+) GROUP BY stage
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week,
+    distinct-active counted per week offset. Two aggregations on
+    user_id + one join on the same key; the (cohort, offset) matrix is
+    tiny at any scale."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    # .cast("date"): week-and-coarser truncation is a calendar date on
+    # both engines (DuckDB's date_trunc('week') returns DATE)
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("w")
+    ).distinct()
+    return (
+        active.join(first, "user_id")
+        .select(
+            "cohort",
+            (F.datediff("w", "cohort") / 7).cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+ORACLE_RETENTION_COHORTS = """
+WITH first AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+               FROM events GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+SELECT cohort,
+       CAST(date_diff('day', cohort, w) / 7 AS INT) AS week_offset,
+       count(DISTINCT user_id) AS n_users
+FROM active JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def q_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trending top-k over sliding windows — the reference's viz use
     case ("what's hot right now", viz.cljs) as a first-class query:

@@ -62,6 +62,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_profile": A.q_events_profile,
     "trending_topk": A.q_trending_topk,
     "gap_fill_locf": A.q_gap_fill_locf,
+    "funnel": A.q_funnel,
+    "retention_cohorts": A.q_retention_cohorts,
     # remaining TPC-H shapes (plans/tpch.py): correlated subqueries,
     # semi/anti chains, disjunctive predicates, distributions, ratios
     "q2_min_cost_part": T.q2_min_cost_part,
@@ -138,6 +140,8 @@ ORACLE_SQL: dict[str, str] = {
     "events_profile": A.ORACLE_EVENTS_PROFILE,
     "trending_topk": A.ORACLE_TRENDING_TOPK,
     "gap_fill_locf": A.ORACLE_GAP_FILL_LOCF,
+    "funnel": A.ORACLE_FUNNEL,
+    "retention_cohorts": A.ORACLE_RETENTION_COHORTS,
     "q2_min_cost_part": T.ORACLE_Q2,
     "q8_market_share": T.ORACLE_Q8,
     "q9_product_profit": T.ORACLE_Q9,
