@@ -356,3 +356,64 @@ def simhash_near_pairs(
         .select("doc_a", "doc_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def levenshtein_near_pairs(
+    docs: DataFrame,
+    max_dist: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Edit-distance near-dup pairs (doc_a < doc_b, levenshtein <=
+    ``max_dist``) with EXACT length-band blocking: edit distance >= the
+    length difference, so a pair can only qualify when
+    ``|len(a) - len(b)| <= max_dist`` — each doc joins the length bands
+    ``floor(len/(d+1))`` and its two neighbors, which provably covers
+    every qualifying pair (no recall loss, unlike prefix blocking).
+
+    Scale: the band join replaces the all-pairs cross product with
+    per-band products; the levenshtein itself uses Spark's thresholded
+    form (early-exit at ``max_dist + 1``). Long uniform-length corpora
+    still need a cheaper prefilter first (MinHash/SimHash candidates
+    from this module) — band blocking bounds candidates by length
+    distribution, the hash prefilters bound them by content.
+    """
+    band = 1 + max_dist
+    base = docs.select(
+        F.col(id_col), F.col(text_col).alias("__t"), F.length(text_col).alias("__len")
+    )
+    blocked = base.select(
+        id_col,
+        "__t",
+        "__len",
+        F.explode(
+            F.array(
+                (F.floor(F.col("__len") / band) - 1),
+                F.floor(F.col("__len") / band),
+                (F.floor(F.col("__len") / band) + 1),
+            )
+        ).alias("__band"),
+    )
+    a = blocked.select(
+        F.col(id_col).alias("doc_a"), F.col("__t").alias("__ta"),
+        F.col("__len").alias("__la"), "__band",
+    )
+    # right side joins only its OWN band: each ordered pair then meets
+    # exactly once via the left side's +/-1 bands — no dropDuplicates
+    b = base.select(
+        F.col(id_col).alias("doc_b"), F.col("__t").alias("__tb"),
+        F.col("__len").alias("__lb"),
+        F.floor(F.col("__len") / band).alias("__band"),
+    )
+    dist = F.levenshtein("__ta", "__tb", max_dist + 1)
+    return (
+        a.join(b, "__band")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
+        )
+        .select("doc_a", "doc_b", dist.alias("edit_dist"))
+        # thresholded levenshtein returns -1 when the distance exceeds
+        # the threshold — exclude those, not just > max_dist
+        .where((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
+    )

@@ -30,6 +30,7 @@ from ..operators.curation import (
 )
 from ..operators.dedup import (
     exact_dedup,
+    levenshtein_near_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_near_pairs,
@@ -88,6 +89,31 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only (xxhash64 not reproducible in DuckDB)."""
     return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs with exact length-band blocking
+    (operators/dedup.py::levenshtein_near_pairs). The oracle is the
+    unblocked all-pairs formulation — a hash match proves the blocking
+    loses no pairs.
+
+    Runs on a deterministic 1-in-5 subset: all-pairs edit distance is
+    O(n² · d · L) by nature, and the at-scale composition is
+    levenshtein as a VERIFIER on MinHash/SimHash candidate pairs (see
+    levenshtein_near_pairs docstring), not a corpus-wide blocker."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    return levenshtein_near_pairs(docs, max_dist=60)
+
+
+ORACLE_DEDUP_LEVENSHTEIN = """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist
+FROM documents a JOIN documents b
+  ON a.doc_id < b.doc_id
+ AND abs(len(a.text) - len(b.text)) <= 60
+WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 = 0
+  AND levenshtein(a.text, b.text) <= 60
+"""
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

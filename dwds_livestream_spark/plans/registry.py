@@ -86,6 +86,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": L.q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": L.q_dedup_minhash_lsh,
     "dedup_simhash": L.q_dedup_simhash,
+    "dedup_levenshtein": L.q_dedup_levenshtein,
     "dedup_clusters": L.q_dedup_clusters,
     "curation_pipeline": L.q_curation_pipeline,
     "similarity_topk": L.q_similarity_topk,
@@ -159,6 +160,7 @@ ORACLE_SQL: dict[str, str] = {
     "q22_idle_customers": T.ORACLE_Q22,
     "dedup_exact": L.ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": L.ORACLE_DEDUP_NGRAM_JACCARD,
+    "dedup_levenshtein": L.ORACLE_DEDUP_LEVENSHTEIN,
     "dedup_clusters": L.ORACLE_DEDUP_CLUSTERS,
     "curation_pipeline": L.ORACLE_CURATION_PIPELINE,
     "similarity_topk": L.ORACLE_SIMILARITY_TOPK,

@@ -158,3 +158,43 @@ def test_ivf_topk_recall_and_exactness_at_full_probe(spark, embeddings):
     assert {(r.query_id, r.rank, r.neighbor_id) for r in full} == {
         (r.query_id, r.rank, r.neighbor_id) for r in exact3
     }
+
+
+def test_levenshtein_band_blocking_exact(spark):
+    """Band blocking must find exactly the brute-force pairs — including
+    pairs whose lengths straddle a band boundary — each pair once."""
+    from dwds_livestream_spark.operators.dedup import levenshtein_near_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a" * 10),           # len 10
+            (2, "a" * 10 + "b"),     # len 11, dist 1 to doc 1
+            (3, "a" * 14),           # len 14: band 2 (d=6 -> width 7), dist 4 to doc 1 (band 1)
+            (4, "c" * 10),           # len 10, dist 10 to doc 1 (> d)
+            (5, "a" * 30),           # far away in length
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.edit_dist
+        for r in levenshtein_near_pairs(docs, max_dist=6).collect()
+    }
+    import itertools
+
+    rows = {r.doc_id: r.text for r in docs.collect()}
+
+    def lev(s, t):
+        d = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            prev, d[0] = d[0], i
+            for j, ct in enumerate(t, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (cs != ct))
+        return d[len(t)]
+
+    want = {
+        (a, b): lev(rows[a], rows[b])
+        for a, b in itertools.combinations(sorted(rows), 2)
+        if lev(rows[a], rows[b]) <= 6
+    }
+    assert got == want
+    assert (1, 3) in got  # cross-band pair found despite boundary
