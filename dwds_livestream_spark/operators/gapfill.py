@@ -77,3 +77,60 @@ def gap_fill_locf(
         )
     first = next(iter(values))
     return out.withColumn("is_gap", F.col(first).isNull())
+
+
+def gap_fill_interpolate(
+    df: DataFrame,
+    key_cols: list[str | Column],
+    ts_col: str,
+    value: Column,
+    value_name: str = "v",
+    step: str = "hour",
+) -> DataFrame:
+    """Like :func:`gap_fill_locf` but gaps are LINEARLY interpolated
+    between the surrounding observations (the ``interpolate()``
+    companion to ``locf()``). Leading/trailing edges (no observation on
+    one side) fall back to the nearest observation.
+
+    Two window passes per key — one backward-looking (previous non-null
+    observation and its bucket), one forward-looking — then a pure
+    arithmetic projection; still no self-join, state one row per key
+    per direction."""
+    if step not in _STEPS:
+        raise ValueError(f"step must be one of {_STEPS}")
+    dense = gap_fill_locf(df, key_cols, ts_col, {value_name: value}, step=step)
+    keys = [f"k{i}" for i in range(len(key_cols))]
+    v = F.col(value_name)
+    obs_bucket = F.when(v.isNotNull(), F.col("bucket"))
+    back = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_v = F.last(v, ignorenulls=True).over(back)
+    prev_t = F.last(obs_bucket, ignorenulls=True).over(back)
+    next_v = F.first(v, ignorenulls=True).over(fwd)
+    next_t = F.first(obs_bucket, ignorenulls=True).over(fwd)
+    span = F.unix_timestamp(next_t) - F.unix_timestamp(prev_t)
+    frac = (F.unix_timestamp("bucket") - F.unix_timestamp(prev_t)) / span
+    # no final rounding: inputs are already rounded, and the bare IEEE
+    # expression is bit-reproducible across engines, while ROUND
+    # implementations differ by one ulp at 5-at-the-boundary cases
+    interp = (
+        F.when(v.isNotNull(), v)
+        .when(prev_v.isNull(), next_v)  # leading edge
+        .when(next_v.isNull(), prev_v)  # trailing edge
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+    )
+    return dense.select(
+        *keys,
+        "bucket",
+        v.alias(value_name),
+        interp.alias(f"{value_name}_interp"),
+        "is_gap",
+    )

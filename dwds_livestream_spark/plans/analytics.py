@@ -151,6 +151,53 @@ FROM j
 """
 
 
+def q_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across gaps (the interpolate() companion to
+    locf()); edges fall back to the nearest observation."""
+    from ..operators.gapfill import gap_fill_interpolate
+
+    ev = _t(spark, sf_dir, "events")
+    return gap_fill_interpolate(
+        ev,
+        [F.col("user_id") % 20],
+        "ts",
+        F.round(F.avg("value"), 6),
+        value_name="v",
+        step="hour",
+    ).withColumnRenamed("k0", "k")
+
+
+ORACLE_GAP_FILL_INTERPOLATE = """
+WITH b AS (SELECT user_id % 20 AS k, date_trunc('hour', ts) AS bucket,
+                  ROUND(avg(value), 6) AS v
+           FROM events GROUP BY 1, 2),
+ext AS (SELECT k, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY k),
+spine AS (SELECT k, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
+          FROM ext),
+j AS (SELECT s.k, s.bucket, b.v
+      FROM spine s LEFT JOIN b ON b.k = s.k AND b.bucket = s.bucket),
+wnd AS (SELECT k, bucket, v,
+  last_value(v IGNORE NULLS) OVER back AS prev_v,
+  last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER back AS prev_t,
+  first_value(v IGNORE NULLS) OVER fwd AS next_v,
+  first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER fwd AS next_t
+  FROM j
+  WINDOW back AS (PARTITION BY k ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         fwd AS (PARTITION BY k ORDER BY bucket
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT k, bucket, v,
+  CASE WHEN v IS NOT NULL THEN v
+       WHEN prev_v IS NULL THEN next_v
+       WHEN next_v IS NULL THEN prev_v
+       ELSE prev_v + (next_v - prev_v) *
+              ((epoch(bucket) - epoch(prev_t)) / (epoch(next_t) - epoch(prev_t)))
+  END AS v_interp,
+  v IS NULL AS is_gap
+FROM wnd
+"""
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view -> click -> purchase: a user
     counts at stage N only with an event strictly after their stage

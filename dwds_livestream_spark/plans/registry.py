@@ -62,6 +62,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_profile": A.q_events_profile,
     "trending_topk": A.q_trending_topk,
     "gap_fill_locf": A.q_gap_fill_locf,
+    "gap_fill_interpolate": A.q_gap_fill_interpolate,
     "funnel": A.q_funnel,
     "retention_cohorts": A.q_retention_cohorts,
     # remaining TPC-H shapes (plans/tpch.py): correlated subqueries,
@@ -141,6 +142,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_profile": A.ORACLE_EVENTS_PROFILE,
     "trending_topk": A.ORACLE_TRENDING_TOPK,
     "gap_fill_locf": A.ORACLE_GAP_FILL_LOCF,
+    "gap_fill_interpolate": A.ORACLE_GAP_FILL_INTERPOLATE,
     "funnel": A.ORACLE_FUNNEL,
     "retention_cohorts": A.ORACLE_RETENTION_COHORTS,
     "q2_min_cost_part": T.ORACLE_Q2,

@@ -142,3 +142,20 @@ def test_gap_fill_locf_semantics(spark):
     # key b: single observation, single-bucket spine
     assert rows[("b", "11")] == (9.0, 9.0, False)
     assert len(rows) == 5
+
+
+def test_gap_fill_interpolate_semantics(spark):
+    from pyspark.sql import Row
+
+    from dwds_livestream_spark.operators.gapfill import gap_fill_interpolate
+
+    df = spark.createDataFrame(
+        [
+            Row(k="a", ts="2024-01-01 10:00:00", v=1.0),
+            Row(k="a", ts="2024-01-01 13:00:00", v=7.0),
+        ]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = gap_fill_interpolate(df, ["k"], "ts", F.avg("v"), step="hour")
+    got = {r.bucket.strftime("%H"): r.v_interp for r in out.collect()}
+    # linear ramp 1 -> 7 across 3 hours
+    assert got == {"10": 1.0, "11": 3.0, "12": 5.0, "13": 7.0}
