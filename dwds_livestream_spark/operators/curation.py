@@ -206,6 +206,46 @@ def repetition_stats(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data-mixing sampler: keep each source's rows at its target rate,
+    deterministically. The keep decision is a content-addressed md5
+    bucket of the row id compared against a per-source hex threshold —
+    a pure projection + filter (no shuffle, no rand()), so the mixture
+    is reproducible row-for-row on any engine, any partitioning, any
+    rerun, and UPSAMPLING a source later (raising its rate) keeps every
+    previously sampled row (thresholds are nested).
+
+    The per-source rate table is a CASE expression, not a join —
+    mixture specs are tiny and this keeps the operator map-only.
+    """
+    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    expr = None
+    for src, rate in sorted(rates.items()):
+        thr = F.lit(_hex_threshold(rate))
+        cond = F.col(source_col) == src
+        expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
+    thr_col = (
+        expr.otherwise(F.lit(_hex_threshold(default_rate)))
+        if expr is not None
+        else F.lit(_hex_threshold(default_rate))
+    )
+    return df.where(bucket < thr_col)
+
+
+def _hex_threshold(rate: float) -> str:
+    """4-hex-digit threshold: bucket strings below it ≈ ``rate`` of the
+    uniform md5 space ('g' sorts after every hex digit, admitting
+    everything at rate 1.0)."""
+    n = max(0, min(65536, round(rate * 65536)))
+    return "g" if n == 65536 else format(n, "04x")
+
+
 def word_topk(
     df: DataFrame, k: int = 20, text_col: str = "text"
 ) -> DataFrame:

@@ -22,6 +22,7 @@ from ..functions.text import (
 from ..operators.components import connected_components
 from ..operators.curation import (
     decontaminate,
+    mixture_sample,
     pii_redact,
     repetition_stats,
     split_report,
@@ -514,6 +515,36 @@ FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
       FROM documents)
 GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20
 """
+
+
+MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+MIX_DEFAULT = 0.1
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixing sampler: per-source keep rates via
+    content-addressed md5 thresholds (no rand(); reproducible and
+    nested under rate increases)."""
+    return mixture_sample(
+        _t(spark, sf_dir, "documents"), MIX_RATES, default_rate=MIX_DEFAULT
+    ).select("doc_id", "source")
+
+
+def _oracle_mixture() -> str:
+    from ..operators.curation import _hex_threshold
+
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN '{_hex_threshold(r)}'"
+        for s, r in sorted(MIX_RATES.items())
+    )
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      (CASE {whens} ELSE '{_hex_threshold(MIX_DEFAULT)}' END)
+"""
+
+
+ORACLE_MIXTURE_SAMPLE = _oracle_mixture()
 
 
 # -------------------------------------------------------- multimodal

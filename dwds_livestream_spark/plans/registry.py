@@ -106,6 +106,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redact": L.q_pii_redact,
     "repetition_stats": L.q_repetition_stats,
     "word_topk": L.q_word_topk,
+    "mixture_sample": L.q_mixture_sample,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -177,6 +178,7 @@ ORACLE_SQL: dict[str, str] = {
     "pii_redact": L.ORACLE_PII_REDACT,
     "repetition_stats": L.ORACLE_REPETITION_STATS,
     "word_topk": L.ORACLE_WORD_TOPK,
+    "mixture_sample": L.ORACLE_MIXTURE_SAMPLE,
     # rows-only (no oracle): dedup_minhash_lsh, dedup_simhash,
     # similarity_lsh_topk, winnow_fingerprints, multimodal_features
 }

@@ -98,3 +98,27 @@ def test_word_topk_total_order(docs):
     assert rows[0].cnt == 4
     # ties broken lexicographically: a,b,c,d all have cnt=2
     assert [r.word for r in rows][1:] == ["a", "b"]
+
+
+def test_mixture_sample_rates_and_nesting(spark):
+    from dwds_livestream_spark.operators.curation import mixture_sample
+
+    docs = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("source"),
+    )
+    half = mixture_sample(docs, {"a": 1.0, "b": 0.5})
+    counts = {
+        r.source: r.n
+        for r in half.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["a"] == 10_000  # rate 1.0 keeps everything
+    assert 0.45 < counts["b"] / 10_000 < 0.55
+    # nesting: raising b's rate keeps every previously sampled row
+    fuller = mixture_sample(docs, {"a": 1.0, "b": 0.8})
+    prev = {r.doc_id for r in half.collect()}
+    now = {r.doc_id for r in fuller.collect()}
+    assert prev <= now
+    # determinism across replans
+    again = {r.doc_id for r in mixture_sample(docs, {"a": 1.0, "b": 0.5}).collect()}
+    assert again == prev

@@ -128,3 +128,46 @@ def test_serve_with_tail_equals_direct(spark, tmp_path):
     served = serve_with_tail(spark, roll, fact, hot_dates=["2024-12-03"])
     got = {(str(r.date), r.lemma): r.n_events for r in served.collect()}
     assert got == _full_rollup(spark, fact)
+
+
+def test_maintained_writer_in_streaming_query(spark, tmp_path):
+    """maintained_parquet_writer behind a real checkpointed streaming
+    query: after availableNow drains, fact and rollup are consistent."""
+    import json
+
+    from dwds_livestream_spark.operators.rollup_maintain import (
+        maintained_parquet_writer,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.jsonl").write_text(
+        "\n".join(
+            json.dumps(e)
+            for e in [
+                {"ts": "2024-12-01T10:00:00Z", "lemma": "a"},
+                {"ts": "2024-12-01T11:00:00Z", "lemma": "a"},
+                {"ts": "2024-12-02T09:00:00Z", "lemma": "b"},
+            ]
+        )
+    )
+    fact = str(tmp_path / "fact")
+    roll = str(tmp_path / "rollup")
+    stream = (
+        spark.readStream.format("text")
+        .load(str(src))
+        .selectExpr("from_json(value, 'ts timestamp, lemma string') AS e")
+        .select("e.ts", "e.lemma")
+    )
+    q = (
+        stream.writeStream.foreachBatch(maintained_parquet_writer(fact, roll))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _rollup(spark, roll) == _full_rollup(spark, fact)
+    assert _rollup(spark, roll) == {
+        ("2024-12-01", "a"): 2,
+        ("2024-12-02", "b"): 1,
+    }
