@@ -73,6 +73,33 @@ def jdbc_writer(
     return write
 
 
+def idempotent(
+    writer: Callable[[DataFrame, int], None], ledger_path: str
+) -> Callable[[DataFrame, int], None]:
+    """Exactly-once wrapper for writers whose target cannot deduplicate
+    (plain parquet append, JDBC without a key): a tiny batch-id ledger
+    records each completed batch, and a replayed batch (restart between
+    the data write and the checkpoint commit — the one gap in
+    foreachBatch's at-least-once contract) is skipped instead of
+    re-appended. Ledger writes are one marker file per batch id, so
+    the check is an O(1) driver-side existence test, not a data scan —
+    the reference's retried INSERT could duplicate rows here
+    (collector.clj:100-105, SURVEY.md §1.4); this closes that gap.
+    """
+    import os
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(ledger_path, f"batch-{batch_id}.done")
+        if os.path.exists(marker):
+            return
+        writer(batch, batch_id)
+        os.makedirs(ledger_path, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write("")
+
+    return write
+
+
 def start_fact_sink(
     enriched: DataFrame,
     writer: Callable[[DataFrame, int], None],

@@ -171,3 +171,16 @@ def test_maintained_writer_in_streaming_query(spark, tmp_path):
         ("2024-12-01", "a"): 2,
         ("2024-12-02", "b"): 1,
     }
+
+
+def test_idempotent_writer_skips_replayed_batch(spark, tmp_path):
+    from dwds_livestream_spark.sinks.fact_sink import idempotent
+
+    fact = str(tmp_path / "fact_i")
+    write = idempotent(parquet_writer(fact), str(tmp_path / "ledger"))
+    b = _batch(spark, [("2024-12-01 10:00:00", "a")])
+    write(b, 7)
+    write(b, 7)  # replay after a crash between write and checkpoint
+    assert spark.read.parquet(fact).count() == 1
+    write(b, 8)  # a genuinely new batch still appends
+    assert spark.read.parquet(fact).count() == 2
