@@ -57,8 +57,15 @@ def compact_fact_table(
     path: str,
     target_file_bytes: int = 128 << 20,
     max_files_per_partition: int = 4,
+    zorder_cols: list[str] | None = None,
+    zorder_bits: int = 8,
 ) -> list[str]:
     """Rewrite fragmented date partitions into size-targeted files.
+
+    ``zorder_cols`` switches the within-partition clustering from the
+    default lexicographic (date, lemma) to a Morton key over the given
+    columns (sinks/zorder.py) — use when queries filter multiple
+    independent columns and the second one deserves file skipping too.
 
     Returns the list of compacted date values (empty = nothing to do).
     """
@@ -76,12 +83,32 @@ def compact_fact_table(
     df: DataFrame = spark.read.parquet(path).where(
         F.col("date").isin([F.lit(d).cast("date") for d in victims])
     )
+    if zorder_cols:
+        from .zorder import _bucketize, morton_key, numeric_proxy
+
+        proxies = {c: numeric_proxy(df, c) for c in zorder_cols}
+        stats_row = df.agg(
+            *[F.min(proxies[c]).alias(f"lo_{c}") for c in zorder_cols],
+            *[F.max(proxies[c]).alias(f"hi_{c}") for c in zorder_cols],
+        ).collect()[0]
+        bucket_cols = [
+            _bucketize(
+                proxies[c], stats_row[f"lo_{c}"], stats_row[f"hi_{c}"], zorder_bits
+            )
+            for c in zorder_cols
+        ]
+        df = df.withColumn("__z", morton_key(bucket_cols, zorder_bits))
+        cluster_cols = ["date", "__z"]
+    else:
+        cluster_cols = ["date", "lemma"]
+
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         (
-            df.repartitionByRange(n_out, "date", "lemma")
-            .sortWithinPartitions("date", "lemma")
+            df.repartitionByRange(n_out, *cluster_cols)
+            .sortWithinPartitions(*cluster_cols)
+            .drop("__z")
             .write.mode("overwrite")
             .partitionBy("date")
             .parquet(path)

@@ -25,6 +25,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def numeric_proxy(df: DataFrame, col: str) -> Column:
+    """Order-preserving double proxy for any bucketizable column type:
+    numerics cast, dates/timestamps via epoch, strings via the first 7
+    bytes (null-padded so prefix ordering survives the numeric view)."""
+    t = dict(df.dtypes)[col]
+    c = F.col(col)
+    if t == "date":
+        return F.unix_date(c).cast("double")
+    if t.startswith("timestamp"):
+        return c.cast("long").cast("double")
+    if t in ("string", "varchar"):
+        return F.conv(
+            F.hex(F.encode(F.rpad(c, 7, "\x00"), "UTF-8")), 16, 10
+        ).cast("double")
+    return c.cast("double")
+
+
 def _bucketize(col: Column, lo: float, hi: float, bits: int) -> Column:
     """Uniform bucket index in [0, 2^bits) via width_bucket. (Quantile
     boundaries would equalize bucket population under skew — uniform is
@@ -70,12 +87,13 @@ def zorder_write(
     resulting per-file min/max envelopes are tight in EVERY z dimension
     (asserted quantitatively in tests/test_zorder.py).
     """
+    proxies = {c: numeric_proxy(df, c) for c in cols}
     stats = df.agg(
-        *[F.min(c).cast("double").alias(f"lo_{c}") for c in cols],
-        *[F.max(c).cast("double").alias(f"hi_{c}") for c in cols],
+        *[F.min(proxies[c]).alias(f"lo_{c}") for c in cols],
+        *[F.max(proxies[c]).alias(f"hi_{c}") for c in cols],
     ).collect()[0]
     buckets = [
-        _bucketize(F.col(c), stats[f"lo_{c}"], stats[f"hi_{c}"], bits)
+        _bucketize(proxies[c], stats[f"lo_{c}"], stats[f"hi_{c}"], bits)
         for c in cols
     ]
     (

@@ -86,3 +86,35 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "EqualTo(lemma,lemma00123)" in plan.split("PushedFilters")[1].splitlines()[0]
     assert q.count() > 0
+
+
+def test_zorder_compaction_preserves_rows_and_prunes(spark, tmp_path):
+    """compact_fact_table(zorder_cols=...) keeps the row set and date
+    pruning while clustering files along the Morton curve."""
+    from dwds_livestream_spark.sinks.compaction import (
+        compact_fact_table,
+        partition_file_stats,
+    )
+
+    path = str(tmp_path / "factz")
+    w = parquet_writer(path)
+    for b in range(8):
+        w(_sink_rows(spark, 300), b)
+    total_before = spark.read.parquet(path).count()
+
+    compacted = compact_fact_table(
+        spark, path, max_files_per_partition=4, zorder_cols=["lemma", "article_date"]
+    )
+    assert compacted
+
+    after = partition_file_stats(path)
+    assert max(n for n, _ in after.values()) <= 4
+    back = spark.read.parquet(path)
+    assert back.count() == total_before
+    assert back.columns == ["ts", "lemma", "article_type", "article_source",
+                            "article_date", "date"]  # __z never persisted
+    plan = (
+        back.where(F.col("date") == "2024-12-03")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
