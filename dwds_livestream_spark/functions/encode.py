@@ -42,7 +42,10 @@ def to_json_events(df: DataFrame) -> Column | DataFrame:
 
 
 def from_json_events(
-    df: DataFrame, column: str = "value", drop_malformed: bool = True
+    df: DataFrame,
+    column: str = "value",
+    drop_malformed: bool = True,
+    observe: bool = False,
 ) -> DataFrame:
     """P11 — JSONL lines -> typed enriched-event rows
     (collector.clj:32-34, 65) with the P9 casts applied.
@@ -55,6 +58,20 @@ def from_json_events(
     fact table or crash the collector (the reference would hit the
     exception-retry loop, collector.clj:48-53)."""
     parsed = df.select(F.from_json(F.col(column), ENRICHED_EVENT_WIRE).alias("e"))
+    if observe:
+        # named observation surfaced in every progress event
+        # (observedMetrics.parse) — the drop is counted, never silent;
+        # ThroughputListener accumulates it (streaming/metrics.py)
+        bad = (
+            F.col("e").isNull()
+            | F.col("e.timestamp").isNull()
+            | F.col("e.lemma").isNull()
+        )
+        parsed = parsed.observe(
+            "parse",
+            F.count(F.when(bad, 1)).alias("n_malformed"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
     if drop_malformed:
         parsed = parsed.where(
             F.col("e").isNotNull()

@@ -47,10 +47,17 @@ class ThroughputListener(StreamingQueryListener):
             "batch_duration_ms": (payload.get("durationMs") or {}).get(
                 "triggerExecution"
             ),
+            "observed": payload.get("observedMetrics") or {},
         }
         self.totals[qid] = self.totals.get(qid, 0) + (
             payload.get("numInputRows") or 0
         )
+        observed = payload.get("observedMetrics") or {}
+        parse = observed.get("parse") or {}
+        if parse.get("n_malformed"):
+            self.totals["malformed"] = self.totals.get("malformed", 0) + int(
+                parse["n_malformed"]
+            )
 
     def onQueryIdle(self, event) -> None:
         pass

@@ -85,4 +85,4 @@ def collector_stream(
         .option("maxFilesPerTrigger", 16)
         .load(jsonl_dir)
     )
-    return from_json_events(raw)
+    return from_json_events(raw, observe=True)

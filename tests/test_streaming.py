@@ -156,3 +156,47 @@ def test_throughput_listener(spark, tmp_path, dim):
         assert sum(listener.totals.values()) >= 30  # meter counted the lines
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_malformed_lines_observed_and_dropped(spark, tmp_path):
+    """The collector path counts malformed lines in observedMetrics
+    (never silently) while dropping them from the typed stream."""
+    import json as _json
+    import time as _time
+
+    from dwds_livestream_spark.streaming.metrics import ThroughputListener
+    from dwds_livestream_spark.streaming.pipeline import collector_stream
+
+    src = tmp_path / "jsonl"
+    src.mkdir()
+    (src / "b1.jsonl").write_text(
+        "\n".join(
+            [
+                _json.dumps({"timestamp": "2024-12-08T23:00:18Z", "lemma": "obskur"}),
+                "garbage {",
+                _json.dumps({"lemma": "no-ts"}),
+            ]
+        )
+    )
+    listener = ThroughputListener()
+    spark.streams.addListener(listener)
+    try:
+        rows = []
+        q = (
+            collector_stream(spark, str(src))
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda b, i: rows.extend(b.collect()))
+            .option("checkpointLocation", str(tmp_path / "ckpt_obs"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener delivery is asynchronous
+        for _ in range(50):
+            if listener.totals.get("malformed"):
+                break
+            _time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+    assert [r.lemma for r in rows] == ["obskur"]
+    assert listener.totals.get("malformed") == 2
