@@ -1261,3 +1261,105 @@ SELECT 'event_type', count(*), count(*) - count(event_type), count(DISTINCT even
        NULL, NULL, NULL, NULL, min(event_type), max(event_type)
 FROM events
 """
+
+
+# ------------------------------------------------------- anomaly detection
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-anomaly detection over the event stream: hourly count per
+    event_type scored against its trailing-24h mean/stddev; |z| >= 2
+    flags a spike or dropout. The batch form of what the reference's
+    throughput meters (metrics.clj:16-26) would alert on.
+
+    Scale: one shuffle to (event_type, hour) — cardinality ~types x
+    hours, tiny vs input — then a keyed window per event_type.
+    Pre-aggregation makes the window input small no matter how large
+    the raw stream is; at 100 TB the scan dominates and is
+    column-pruned to (ts, event_type)."""
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        F.count("*").over(w).alias("n_hist"),
+        F.avg(F.col("n").cast("double")).over(w).alias("mean_n"),
+        F.stddev(F.col("n").cast("double")).over(w).alias("sd_n"),
+    )
+    return (
+        scored.where(
+            (F.col("n_hist") >= 12)
+            & (F.col("sd_n") > 0)
+            & (F.abs((F.col("n") - F.col("mean_n")) / F.col("sd_n")) >= 2.0)
+        )
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            F.round("mean_n", 4).alias("mean_n"),
+            F.round(
+                (F.col("n") - F.col("mean_n")) / F.col("sd_n"), 4
+            ).alias("z"),
+        )
+    )
+
+
+ORACLE_ANOMALY_ZSCORE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, hour, n,
+         count(*) OVER w AS n_hist,
+         avg(CAST(n AS DOUBLE)) OVER w AS mean_n,
+         stddev_samp(CAST(n AS DOUBLE)) OVER w AS sd_n
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour, n, round(mean_n, 4) AS mean_n,
+       round((n - mean_n) / sd_n, 4) AS z
+FROM scored
+WHERE n_hist >= 12 AND sd_n > 0 AND abs((n - mean_n) / sd_n) >= 2.0
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-style next-event transition counts: per user, order events
+    by time and count (event_type -> next event_type) pairs — the
+    behavioral-model companion to q_funnel.
+
+    Scale: ONE shuffle on user_id feeds both the ordering window and
+    (via partial aggregation) the tiny transition matrix; no
+    self-join. Deterministic tie-break on event_id."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    return pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+
+
+ORACLE_EVENT_TRANSITIONS = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+)
+SELECT from_type, to_type, count(*) AS n_transitions
+FROM pairs WHERE to_type IS NOT NULL
+GROUP BY 1, 2
+"""

@@ -65,6 +65,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gap_fill_interpolate": A.q_gap_fill_interpolate,
     "funnel": A.q_funnel,
     "retention_cohorts": A.q_retention_cohorts,
+    "anomaly_zscore": A.q_anomaly_zscore,
+    "event_transitions": A.q_event_transitions,
     # remaining TPC-H shapes (plans/tpch.py): correlated subqueries,
     # semi/anti chains, disjunctive predicates, distributions, ratios
     "q2_min_cost_part": T.q2_min_cost_part,
@@ -146,6 +148,8 @@ ORACLE_SQL: dict[str, str] = {
     "gap_fill_interpolate": A.ORACLE_GAP_FILL_INTERPOLATE,
     "funnel": A.ORACLE_FUNNEL,
     "retention_cohorts": A.ORACLE_RETENTION_COHORTS,
+    "anomaly_zscore": A.ORACLE_ANOMALY_ZSCORE,
+    "event_transitions": A.ORACLE_EVENT_TRANSITIONS,
     "q2_min_cost_part": T.ORACLE_Q2,
     "q8_market_share": T.ORACLE_Q8,
     "q9_product_profit": T.ORACLE_Q9,
