@@ -1363,3 +1363,63 @@ SELECT from_type, to_type, count(*) AS n_transitions
 FROM pairs WHERE to_type IS NOT NULL
 GROUP BY 1, 2
 """
+
+
+# ------------------------------------------------------------- histogram
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bound histogram of event values per type: 20 bins over
+    [0, 200), out-of-range clamped to edge bins. Single-pass (no
+    min/max pre-scan), pure arithmetic binning -> one shuffle on the
+    tiny (type, bin) key space with map-side partial aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    bin_ = F.least(
+        F.greatest(F.floor(F.col("value") / 10.0), F.lit(0)), F.lit(19)
+    ).cast("int")
+    return (
+        ev.groupBy("event_type", bin_.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("min_v"),
+            F.round(F.max("value"), 2).alias("max_v"),
+        )
+    )
+
+
+ORACLE_VALUE_HISTOGRAM = """
+SELECT event_type,
+       CAST(least(greatest(floor(value / 10.0), 0), 19) AS INT) AS bin,
+       count(*) AS n,
+       round(min(value), 2) AS min_v,
+       round(max(value), 2) AS max_v
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-user event sample: 3 events per user chosen by
+    content-addressed md5 order — rerun-stable, engine-independent, no
+    RNG state (the distributed analog of reservoir sampling; same
+    content-hash trick as mixture_sample / stratified_split).
+
+    One shuffle on user_id; the window's per-partition top-k never
+    materializes more than k rows per key past the sort."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        ev.withColumn("pick", F.row_number().over(w))
+        .where(F.col("pick") <= 3)
+        .select("user_id", "pick", "event_id", "event_type")
+    )
+
+
+ORACLE_SAMPLE_PER_KEY = """
+WITH ranked AS (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS pick
+  FROM events
+)
+SELECT user_id, pick, event_id, event_type FROM ranked WHERE pick <= 3
+"""

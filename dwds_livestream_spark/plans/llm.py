@@ -17,6 +17,7 @@ from ..functions.text import (
     language_id,
     quality_score,
     token_stats,
+    tokens,
     winnowing_fingerprints,
 )
 from ..operators.components import connected_components
@@ -554,3 +555,65 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(
         documents_as_assets(_t(spark, sf_dir, "documents")), fake=True
     ).drop("feature")
+
+
+# ------------------------------------------------------------ tf-idf
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by smoothed TF-IDF
+    (keyword extraction for corpus exploration / topic labeling).
+
+    Two shuffles total: (doc, term) counts, then term -> document
+    frequency joined back (df table is vocabulary-sized, broadcast at
+    any corpus scale). Deterministic tie-break (score desc, term asc).
+    idf = ln((N + 1) / (df + 1)) + 1."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar; one count job on the driver
+    tf = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("doc_id", "rank", "term", "tfidf")
+    )
+
+
+def _oracle_tfidf() -> str:
+    return r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> len(x) > 0)) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf, dfreq, n WHERE tf.term = dfreq.term
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, tfidf FROM ranked WHERE rank <= 5
+"""
+
+
+ORACLE_TFIDF_TOPTERMS = _oracle_tfidf()

@@ -67,6 +67,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retention_cohorts": A.q_retention_cohorts,
     "anomaly_zscore": A.q_anomaly_zscore,
     "event_transitions": A.q_event_transitions,
+    "value_histogram": A.q_value_histogram,
+    "sample_per_key": A.q_sample_per_key,
     # remaining TPC-H shapes (plans/tpch.py): correlated subqueries,
     # semi/anti chains, disjunctive predicates, distributions, ratios
     "q2_min_cost_part": T.q2_min_cost_part,
@@ -109,6 +111,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": L.q_repetition_stats,
     "word_topk": L.q_word_topk,
     "mixture_sample": L.q_mixture_sample,
+    "tfidf_topterms": L.q_tfidf_topterms,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -150,6 +153,8 @@ ORACLE_SQL: dict[str, str] = {
     "retention_cohorts": A.ORACLE_RETENTION_COHORTS,
     "anomaly_zscore": A.ORACLE_ANOMALY_ZSCORE,
     "event_transitions": A.ORACLE_EVENT_TRANSITIONS,
+    "value_histogram": A.ORACLE_VALUE_HISTOGRAM,
+    "sample_per_key": A.ORACLE_SAMPLE_PER_KEY,
     "q2_min_cost_part": T.ORACLE_Q2,
     "q8_market_share": T.ORACLE_Q8,
     "q9_product_profit": T.ORACLE_Q9,
@@ -183,6 +188,7 @@ ORACLE_SQL: dict[str, str] = {
     "repetition_stats": L.ORACLE_REPETITION_STATS,
     "word_topk": L.ORACLE_WORD_TOPK,
     "mixture_sample": L.ORACLE_MIXTURE_SAMPLE,
+    "tfidf_topterms": L.ORACLE_TFIDF_TOPTERMS,
     # rows-only (no oracle): dedup_minhash_lsh, dedup_simhash,
     # similarity_lsh_topk, winnow_fingerprints, multimodal_features
 }
