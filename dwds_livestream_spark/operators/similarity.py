@@ -395,3 +395,69 @@ def embedding_near_dup_pairs(
     return cand.select(
         "id_a", "id_b", _pair_cosine("id_a_vec", "id_b_vec").alias("cosine")
     ).where(F.col("cosine") >= threshold)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    exact: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with the IVF coarse
+    quantizer, score near-dup pairs only WITHIN each cluster, form
+    connected components, keep the min-id representative per component.
+
+    Output grain: one row per vector — (vec_id, cluster_id, keep,
+    cluster_size); ``keep`` marks the representative.
+
+    ``exact=True`` skips the coarse clustering and scores all pairs —
+    the correctness-oracle path (recursive-CTE closure in DuckDB);
+    tests assert the clustered path reproduces it on testdata.
+
+    Scale: the clustered path never shuffles more than O(n) centroid
+    assignments plus within-cell pair candidates (cells are ~n/k and
+    pair work is GEMM-batched per cell); components add O(E · log n)
+    keyed shuffles. In a persisted deployment the corpus is partitioned
+    by centroid_id so each cell's pair scan is partition-local.
+    """
+    from .components import connected_components
+
+    if exact:
+        pairs = embedding_near_dup_pairs(
+            df, threshold=threshold, id_col=id_col, vec_col=vec_col, exact=True
+        ).select("id_a", "id_b")
+    else:
+        centroids = _train_coarse_quantizer(df, id_col, vec_col, n_centroids)
+        assign = _assign_centroids_udf(centroids, nprobe=1)
+        c = df.select(
+            F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
+        ).withColumn("centroid_id", F.element_at(assign("vec"), 1))
+        a = c.select(
+            F.col("centroid_id"),
+            F.col("id").alias("id_a"),
+            F.col("vec").alias("va"),
+        )
+        b = c.select(
+            F.col("centroid_id"),
+            F.col("id").alias("id_b"),
+            F.col("vec").alias("vb"),
+        )
+        pairs = (
+            a.join(b, "centroid_id")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", _pair_cosine("va", "vb").alias("cosine"))
+            .where(F.col("cosine") >= threshold)
+            .select("id_a", "id_b")
+        )
+    comps = connected_components(
+        pairs, src="id_a", dst="id_b", nodes=df, node_col=id_col
+    )
+    w = Window.partitionBy("cluster_id")
+    return comps.select(
+        F.col("node").alias(id_col),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("keep"),
+    ).withColumn("cluster_size", F.count("*").over(w))

@@ -617,3 +617,144 @@ SELECT doc_id, rank, term, tfidf FROM ranked WHERE rank <= 5
 
 
 ORACLE_TFIDF_TOPTERMS = _oracle_tfidf()
+
+
+# ------------------------------------------------- sequence packing
+PACK_BUDGET = 512
+PACK_SHARDS = 8
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (operators/packing.py): every doc
+    assigned a (shard, pack_no, pack_pos) by greedy contiguous fill."""
+    from ..operators.packing import sequence_pack
+
+    return sequence_pack(
+        _t(spark, sf_dir, "documents"), budget=PACK_BUDGET, n_shards=PACK_SHARDS
+    )
+
+
+_PACK_CTE = rf"""
+WITH d AS (
+  SELECT doc_id, source, CAST(doc_id % {PACK_SHARDS} AS INT) AS shard,
+         len(list_filter(string_split_regex(text, '\s+'),
+                         x -> len(x) > 0)) AS n_tokens
+  FROM documents),
+p AS (
+  SELECT doc_id, source, shard, n_tokens,
+         CAST(floor(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             / {PACK_BUDGET}.0) AS INT) AS pack_no
+  FROM d)
+"""
+
+ORACLE_SEQUENCE_PACK = (
+    _PACK_CTE
+    + """
+SELECT doc_id, source, shard, n_tokens, pack_no,
+       CAST(ROW_NUMBER() OVER (PARTITION BY source, shard, pack_no
+                               ORDER BY doc_id) - 1 AS INT) AS pack_pos
+FROM p
+"""
+)
+
+
+def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pack fill report over sequence_pack output."""
+    from ..operators.packing import pack_stats, sequence_pack
+
+    packed = sequence_pack(
+        _t(spark, sf_dir, "documents"), budget=PACK_BUDGET, n_shards=PACK_SHARDS
+    )
+    return pack_stats(packed, budget=PACK_BUDGET)
+
+
+ORACLE_PACK_STATS = (
+    _PACK_CTE
+    + f"""
+SELECT source, shard, pack_no, count(*) AS n_docs,
+       SUM(n_tokens) AS pack_tokens,
+       ROUND(SUM(n_tokens) / {PACK_BUDGET}.0, 6) AS fill_ratio
+FROM p GROUP BY source, shard, pack_no
+"""
+)
+
+
+# -------------------------------------------- frequency heavy hitters
+def _words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), r"\s+"), lambda t: F.length(t) > 0
+            )
+        ).alias("word")
+    )
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact support-threshold frequent items over the corpus
+    vocabulary (operators/sketches.py)."""
+    from ..operators.sketches import heavy_hitters
+
+    return heavy_hitters(_words(spark, sf_dir), "word", min_share=0.002)
+
+
+ORACLE_HEAVY_HITTERS = r"""
+WITH w AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                     x -> len(x) > 0)) AS item
+           FROM documents),
+c AS (SELECT item, count(*) AS cnt FROM w GROUP BY item),
+t AS (SELECT sum(cnt) AS total FROM c)
+SELECT item, cnt, ROUND(cnt * 1.0 / total, 6) AS share
+FROM c, t WHERE ROUND(cnt * 1.0 / total, 6) >= 0.002
+"""
+
+
+def q_misra_gries_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (summary weights depend on input partitioning); the
+    Misra-Gries superset guarantee vs exact heavy hitters is asserted
+    in tests/test_packing_sketches.py."""
+    from ..operators.sketches import misra_gries_topk
+
+    return misra_gries_topk(_words(spark, sf_dir), "word", k=32)
+
+
+# ---------------------------------------------------- semantic dedup
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep/drop decision per vector (exact pair path — the
+    IVF-clustered scale path is asserted equal to it in tests)."""
+    from ..operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.5, exact=True
+    )
+
+
+ORACLE_SEMANTIC_DEDUP = """
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+           SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS aa,
+           SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS bb
+    FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 unnest(a.embedding) AS x, unnest(b.embedding) AS y
+          FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+    GROUP BY id_a, id_b)
+  WHERE ROUND(dot / (sqrt(aa) * sqrt(bb)), 6) >= 0.5
+),
+und AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT vec_id AS n FROM embeddings),
+reach(src, dst) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+comp AS (SELECT src AS vec_id, min(dst) AS cluster_id
+         FROM reach GROUP BY src)
+SELECT vec_id, cluster_id, vec_id = cluster_id AS keep,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp
+"""

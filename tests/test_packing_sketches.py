@@ -1,0 +1,101 @@
+"""Sequence packing, frequency sketches, and semantic dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dwds_livestream_spark.operators.packing import pack_stats, sequence_pack
+from dwds_livestream_spark.operators.sketches import (
+    heavy_hitters,
+    misra_gries_topk,
+)
+from dwds_livestream_spark.operators.similarity import semantic_dedup
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_sequence_pack_budget_and_contiguity(spark):
+    # 1 shard so the fill order is just doc_id order
+    docs = _docs(
+        spark,
+        [(i, "s", " ".join(["w"] * 10)) for i in range(10)],  # 10 tokens each
+    )
+    packed = sequence_pack(docs, budget=25, n_shards=1).collect()
+    by_id = {r.doc_id: r for r in sorted(packed, key=lambda r: r.doc_id)}
+    # cumulative-exclusive tokens: 0,10,20,... -> floor(/25): 0,0,0,1,1,2,...
+    assert [by_id[i].pack_no for i in range(10)] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+    # positions restart per pack and follow doc_id order
+    assert [by_id[i].pack_pos for i in range(3)] == [0, 1, 2]
+    assert by_id[3].pack_pos == 0
+    stats = {r.pack_no: r for r in pack_stats(
+        sequence_pack(docs, budget=25, n_shards=1), budget=25).collect()}
+    assert stats[0].n_docs == 3 and stats[0].pack_tokens == 30
+    assert round(stats[0].fill_ratio, 2) == 1.2  # greedy fill may overflow
+
+
+def test_sequence_pack_sharding_is_disjoint_and_total(spark):
+    docs = _docs(spark, [(i, f"s{i % 2}", "a b c") for i in range(40)])
+    packed = sequence_pack(docs, budget=6, n_shards=4)
+    assert packed.count() == 40  # every doc assigned exactly once
+    assert packed.select("doc_id").distinct().count() == 40
+    # shard is doc-derived, not source-derived
+    assert packed.select("shard").distinct().count() == 4
+
+
+def test_heavy_hitters_exact_share(spark):
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 15 + [("d",)] * 5
+    df = spark.createDataFrame(rows, "item string")
+    hh = {r.item: r for r in heavy_hitters(df, "item", min_share=0.1).collect()}
+    assert set(hh) == {"a", "b", "c"}
+    assert hh["a"].cnt == 50 and abs(hh["a"].share - 0.5) < 1e-9
+
+
+def test_misra_gries_superset_of_frequent(spark):
+    # n = 1000; with k=9 every item with freq > n/(k+1)=100 MUST survive
+    rows = (
+        [("hot1",)] * 300
+        + [("hot2",)] * 200
+        + [("warm",)] * 120
+        + [(f"noise{i % 95}",) for i in range(380)]
+    )
+    df = spark.createDataFrame(rows, "item string").repartition(8)
+    got = {r.item for r in misra_gries_topk(df, "item", k=9).collect()}
+    assert {"hot1", "hot2", "warm"} <= got
+    # and the merged summary is bounded by k
+    assert len(got) <= 9
+
+
+def test_misra_gries_weight_is_lower_bound(spark):
+    rows = [("x",)] * 500 + [(f"n{i}",) for i in range(100)]
+    df = spark.createDataFrame(rows, "item string").repartition(4)
+    res = {r.item: r.weight_lb for r in misra_gries_topk(df, "item", k=8).collect()}
+    assert res["x"] <= 500
+    assert res["x"] >= 500 - (600 // (8 + 1)) - 8  # n/(k+1) per partition merge slack
+
+
+def test_semantic_dedup_clustered_matches_exact(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = {
+        (r.vec_id, r.cluster_id, r.keep, r.cluster_size)
+        for r in semantic_dedup(emb, threshold=0.5, exact=True).collect()
+    }
+    clustered = {
+        (r.vec_id, r.cluster_id, r.keep, r.cluster_size)
+        for r in semantic_dedup(
+            emb, threshold=0.5, exact=False, n_centroids=4
+        ).collect()
+    }
+    # clustered path can only MISS cross-cell pairs; on this data it
+    # should find everything — require >= 95% agreement and identical
+    # vector coverage
+    assert len(clustered) == len(exact)
+    agree = len(exact & clustered)
+    assert agree / len(exact) >= 0.95
+    # exactly one representative per cluster, and it's the min id
+    reps = [r for r in semantic_dedup(emb, threshold=0.5, exact=True)
+            .where("keep").collect()]
+    assert all(r.vec_id == r.cluster_id for r in reps)
