@@ -892,3 +892,46 @@ SELECT doc_id, count(*) AS n_bigrams,
        round(exp(avg(nll)), 6) AS ppl
 FROM nlls GROUP BY doc_id
 """
+
+
+# -------------------------------------- exact duplicate-span dedup
+SPAN_LENGTH = 8
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-et-al-style duplicated-substring coverage spans
+    (operators/substring_dedup.py); xxhash64 gram keys on the Spark
+    side, gram-text keys in the oracle — a collision would surface as
+    a hash mismatch here."""
+    from ..operators.substring_dedup import duplicate_spans
+
+    return duplicate_spans(_t(spark, sf_dir, "documents"), length=SPAN_LENGTH)
+
+
+ORACLE_DUPLICATE_SPANS = rf"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+  FROM documents),
+w AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         array_to_string(toks[i : i + {SPAN_LENGTH} - 1], ' ') AS gram
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - {SPAN_LENGTH} + 1)) AS i
+        FROM d WHERE len(toks) >= {SPAN_LENGTH})),
+dup AS (SELECT gram FROM w GROUP BY gram HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM w JOIN dup USING (gram)),
+s AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER dw IS NULL
+                OR pos - lag(pos) OVER dw > {SPAN_LENGTH}
+              THEN 1 ELSE 0 END AS ns
+  FROM hits WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+sp AS (SELECT doc_id, pos,
+              sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+       FROM s)
+SELECT doc_id, min(pos) AS span_start,
+       CAST(max(pos) + {SPAN_LENGTH} AS INT) AS span_end,
+       CAST(max(pos) + {SPAN_LENGTH} - min(pos) AS INT) AS span_tokens
+FROM sp GROUP BY doc_id, span_id
+"""

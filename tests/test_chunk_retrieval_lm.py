@@ -107,3 +107,55 @@ def test_lm_perplexity_hand_case(spark):
     # single-token / empty docs excluded
     out2 = lm_perplexity(_docs(spark, [(1, "x y"), (2, "z")])).collect()
     assert {r.doc_id for r in out2} == {1}
+
+
+# ---------------------------------------------- duplicate spans
+from dwds_livestream_spark.operators.substring_dedup import (  # noqa: E402
+    duplicate_spans,
+)
+
+
+def test_duplicate_spans_finds_planted_repeat(spark):
+    shared = " ".join(f"s{i}" for i in range(10))  # 10-token shared run
+    docs = _docs(
+        spark,
+        [
+            (1, "u1 u2 u3 " + shared + " u4 u5"),
+            (2, "v1 " + shared + " v2 v3 v4"),
+            (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),  # unique, no spans
+        ],
+    )
+    out = duplicate_spans(docs, length=8).collect()
+    spans = {r.doc_id: (r.span_start, r.span_end) for r in out}
+    # doc1: shared tokens occupy offsets [3, 13); doc2: [1, 11)
+    assert spans == {1: (3, 13), 2: (1, 11)}
+    assert all(r.span_tokens == 10 for r in out)
+
+
+def test_duplicate_spans_merges_overlapping_coverage(spark):
+    # two dup 4-grams overlapping in doc 3 -> one merged span
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d"),
+            (2, "c d e f"),
+            (3, "a b c d e f"),  # covers [0,4) and [2,6) -> merge [0,6)
+        ],
+    )
+    out = duplicate_spans(docs, length=4).collect()
+    d3 = [r for r in out if r.doc_id == 3]
+    assert [(r.span_start, r.span_end) for r in d3] == [(0, 6)]
+
+
+def test_duplicate_spans_hash_equals_text_keys(spark):
+    docs = _docs(
+        spark,
+        [(i, f"p{i} " + " ".join(f"c{j}" for j in range(12))) for i in range(6)],
+    )
+    a = sorted(
+        map(tuple, duplicate_spans(docs, length=8, hash_grams=True).collect())
+    )
+    b = sorted(
+        map(tuple, duplicate_spans(docs, length=8, hash_grams=False).collect())
+    )
+    assert a == b and len(a) > 0
