@@ -1,0 +1,228 @@
+"""Data-selection / tokenizer-induction operators for training-data
+pipelines (project brief; beyond the reference surface — SURVEY.md §7
+Phase 5).
+
+Scale design notes (100 TB corpus, 1000 executors):
+
+- ``ngram_topk`` / ``bpe_pair_topk``: the n-gram (resp. adjacent-pair)
+  arrays are built IN-ROW with higher-order functions over one token
+  array — the only shuffle is the classic two-phase count on the gram
+  key (map-side partial combine first), same shape as ``word_topk``.
+- ``dsir_weights``: the two language models (target vs corpus unigram
+  distributions) aggregate to vocabulary-sized tables, which broadcast
+  back onto a single tokenize pass — one keyed shuffle on (doc, word)
+  plus two vocab-sized aggregates; no O(corpus) join shuffle. This is
+  the DSIR (Xie et al. 2023) importance-resampling signal with word
+  features; at 100 TB the word key is replaced by a hashed bucket
+  (murmur3 % 2^20) which only shrinks the broadcast side further.
+- ``length_bounds_filter``: the percentile bounds are a 1-row exact
+  aggregate cross-joined (broadcast) onto a map-only filter scan.
+- ``source_overlap``: per-source DISTINCT md5 fingerprints (one shuffle
+  keyed by hash — uniform), then a source-level self-join on the hash;
+  output is #sources² rows, driver-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def _grams(df: DataFrame, text_col: str, n: int) -> DataFrame:
+    """One exploded (gram) row per n-gram position; the token array is
+    materialized once per row before the transform references it (the
+    inline form re-evaluates the split per position — O(n²)/doc trap
+    documented on curation._with_shingles)."""
+    toked = df.withColumn("__toks", tokens(F.lower(F.col(text_col))))
+    n_pos = F.greatest(F.size("__toks") - (n - 1), F.lit(0))
+    # guard: sequence(1, 0) is DESCENDING in Spark — short docs must hit
+    # the empty branch, not produce slice(.., 0, ..) errors
+    gram = F.when(
+        n_pos > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_pos),
+            lambda i: F.array_join(F.slice("__toks", i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toked.select(F.explode(gram).alias("gram"))
+
+
+def ngram_topk(
+    df: DataFrame, n: int = 3, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Global top-k word n-grams (collocation mining / corpus stats).
+
+    Two-phase count with map-side partial combine; total-order
+    tie-break (count desc, gram asc) keeps the result deterministic
+    under equal counts on any partitioning."""
+    return (
+        _grams(df, text_col, n)
+        .groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(k)
+    )
+
+
+def bpe_pair_topk(
+    df: DataFrame, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Top-k adjacent character pairs within words — the first merge
+    step of BPE tokenizer induction (Sennrich et al. 2016), scaled out.
+
+    Pairs are built in-row (per word: chars[i] || chars[i+1]) and
+    weighted by word frequency: counting each DISTINCT word once per
+    occurrence is exactly what the flatten does here, so the single
+    shuffle is the pair-count aggregate. At vocabulary-bounded corpora
+    a pre-aggregate on word (word_topk shape) would shrink the explode;
+    both shapes keep one shuffle."""
+    toked = df.withColumn("__toks", tokens(F.lower(F.col(text_col))))
+    pairs_per_word = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("__w") - 1, F.lit(0))),
+        lambda i: F.col("__w").substr(i, F.lit(2)),
+    )
+    return (
+        toked.select(F.explode("__toks").alias("__w"))
+        .select(F.explode(pairs_per_word).alias("pair"))
+        .where(F.length("pair") == 2)
+        .groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(k)
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_sources: list[str],
+    smoothing: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """DSIR-style importance weights: per-document log-likelihood ratio
+    log p_target(doc) - log p_corpus(doc) under add-k-smoothed unigram
+    LMs, where the target LM is estimated from ``target_sources``.
+
+    Documents scoring > 0 look more like the target domain than the
+    corpus average — the resampling signal of Xie et al. 2023 (DSIR).
+    Word-feature variant; the at-scale variant hashes words into 2^20
+    murmur3 buckets, which changes only the key width.
+
+    Plan: one tokenize pass -> per-doc word counts (ONE shuffle on
+    (doc_id, word)); the two LM tables aggregate from that same frame
+    to vocabulary size and broadcast back; final per-doc sum reuses the
+    doc_id clustering."""
+    counts = (
+        df.select(
+            F.col(id_col),
+            F.col(source_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("word"),
+        )
+        .groupBy(id_col, source_col, "word")
+        .agg(F.count("*").alias("c"))
+    )
+    is_target = F.col(source_col).isin(list(target_sources))
+    lm = counts.groupBy("word").agg(
+        F.sum(F.when(is_target, F.col("c")).otherwise(F.lit(0))).alias("tc"),
+        F.sum("c").alias("rc"),
+    )
+    totals = lm.agg(
+        F.sum("tc").alias("tn"),
+        F.sum("rc").alias("rn"),
+        F.count("*").alias("v"),
+    )
+    a = float(smoothing)
+    scored = counts.join(F.broadcast(lm), "word").join(
+        F.broadcast(totals)
+    )
+    log_ratio = F.col("c") * (
+        F.log((F.col("tc") + a) / (F.col("tn") + a * F.col("v")))
+        - F.log((F.col("rc") + a) / (F.col("rn") + a * F.col("v")))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("c").cast("int").alias("n_tokens"),
+            F.round(F.sum(log_ratio), 6).alias("log_ratio"),
+        )
+        .withColumn("keep", F.col("log_ratio") > 0)
+    )
+
+
+def length_bounds_filter(
+    df: DataFrame,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    length_col: str = "n_chars",
+) -> DataFrame:
+    """Keep rows whose ``length_col`` lies within the exact
+    [lo, hi] corpus percentiles (outlier-trimming quality filter).
+
+    The bounds are a 1-row EXACT percentile aggregate (linear
+    interpolation — same definition as DuckDB's quantile_cont, so the
+    oracle matches bit-for-bit after 6dp rounding); the filter itself
+    is a broadcast-cross-join + map-only scan. At 100 TB the exact
+    percentile becomes approx_percentile with a documented error bound;
+    the plan shape is unchanged."""
+    bounds = df.agg(
+        F.round(F.expr(f"percentile({length_col}, {lo})"), 6).alias("__lo"),
+        F.round(F.expr(f"percentile({length_col}, {hi})"), 6).alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds))
+        .where(F.col(length_col).between(F.col("__lo"), F.col("__hi")))
+        .drop("__lo", "__hi")
+    )
+
+
+def source_overlap(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pairwise content overlap between sources: Jaccard similarity of
+    each source pair's DISTINCT word-n-gram shingle sets (ordered pairs
+    a < b). Detects mirrored / re-crawled corpora before mixing —
+    shingle-level (not whole-document md5) so partial mirrors and
+    boilerplate overlap register too.
+
+    Plan: distinct (source, shingle) — one shuffle keyed by the
+    near-uniform shingle; the pair join is keyed on the shingle and
+    aggregates straight down to #source² rows, so no skew and a
+    driver-sized output. At 100 TB the shingle string is replaced by
+    its xxhash64 (8-byte keys on the wide shuffle)."""
+    toked = df.withColumn("__toks", tokens(F.lower(F.col(text_col))))
+    n_pos = F.greatest(F.size("__toks") - (n - 1), F.lit(0))
+    gram = F.when(
+        n_pos > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_pos),
+            lambda i: F.array_join(F.slice("__toks", i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    fp = (
+        toked.select(F.col(source_col).alias("src"), F.explode(gram).alias("h"))
+        .distinct()
+    )
+    sizes = fp.groupBy("src").agg(F.count("*").alias("n"))
+    inter = (
+        fp.alias("a")
+        .join(fp.alias("b"), (F.col("a.h") == F.col("b.h")) & (F.col("a.src") < F.col("b.src")))
+        .groupBy(F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(F.broadcast(sizes).alias("sa"), F.col("src_a") == F.col("sa.src"))
+        .join(F.broadcast(sizes).alias("sb"), F.col("src_b") == F.col("sb.src"))
+        .select(
+            "src_a",
+            "src_b",
+            F.round(
+                F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i")), 6
+            ).alias("jaccard"),
+        )
+    )

@@ -935,3 +935,137 @@ SELECT doc_id, min(pos) AS span_start,
        CAST(max(pos) + {SPAN_LENGTH} - min(pos) AS INT) AS span_tokens
 FROM sp GROUP BY doc_id, span_id
 """
+
+
+# ------------------------------------------ data selection / tokenizer
+DSIR_TARGET = ["src0", "src1", "src2"]
+
+
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 word trigrams (collocation mining; one keyed
+    shuffle with map-side combine — operators/selection.py)."""
+    from ..operators.selection import ngram_topk
+
+    return ngram_topk(_t(spark, sf_dir, "documents"), n=3, k=20)
+
+
+ORACLE_NGRAM_TOPK = r"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> len(x) > 0) AS w
+  FROM documents),
+g AS (SELECT array_to_string(w[i:i+2], ' ') AS gram
+      FROM toks, unnest(range(1, greatest(len(w)-2, 0)+1)) AS t(i))
+SELECT gram, count(*) AS cnt
+FROM g GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT 20
+"""
+
+
+def q_bpe_pair_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent character pairs — the first BPE merge step of
+    tokenizer induction (operators/selection.py)."""
+    from ..operators.selection import bpe_pair_topk
+
+    return bpe_pair_topk(_t(spark, sf_dir, "documents"), k=20)
+
+
+ORACLE_BPE_PAIR_TOPK = r"""
+WITH words AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> len(x) > 0)) AS w
+  FROM documents),
+p AS (SELECT substr(w, i, 2) AS pair
+      FROM words, unnest(range(1, greatest(len(w)-1, 0)+1)) AS t(i))
+SELECT pair, count(*) AS cnt
+FROM p WHERE len(pair) = 2
+GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20
+"""
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (target = src0-2) — log-likelihood ratio
+    between target and corpus unigram LMs (operators/selection.py)."""
+    from ..operators.selection import dsir_weights
+
+    return dsir_weights(_t(spark, sf_dir, "documents"), DSIR_TARGET)
+
+
+_DSIR_IN = ", ".join(f"'{s}'" for s in DSIR_TARGET)
+ORACLE_DSIR_WEIGHTS = rf"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> len(x) > 0)) AS word
+  FROM documents),
+counts AS (SELECT doc_id, source, word, count(*) AS c
+           FROM toks GROUP BY 1, 2, 3),
+lm AS (SELECT word,
+              sum(CASE WHEN source IN ({_DSIR_IN}) THEN c ELSE 0 END) AS tc,
+              sum(c) AS rc
+       FROM counts GROUP BY word),
+tot AS (SELECT sum(tc) AS tn, sum(rc) AS rn, count(*) AS v FROM lm),
+scored AS (
+  SELECT c.doc_id,
+         CAST(sum(c.c) AS INT) AS n_tokens,
+         round(sum(c.c * (ln((lm.tc + 1.0) / (tot.tn + 1.0 * tot.v))
+                        - ln((lm.rc + 1.0) / (tot.rn + 1.0 * tot.v)))), 6)
+           AS log_ratio
+  FROM counts c JOIN lm USING (word), tot
+  GROUP BY c.doc_id)
+SELECT doc_id, n_tokens, log_ratio, log_ratio > 0 AS keep FROM scored
+"""
+
+
+def q_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-trimming length filter: keep docs inside the exact
+    [p05, p95] n_chars percentiles (operators/selection.py)."""
+    from ..operators.selection import length_bounds_filter
+
+    return length_bounds_filter(
+        _t(spark, sf_dir, "documents"), lo=0.05, hi=0.95
+    )
+
+
+ORACLE_LENGTH_FILTER = """
+WITH b AS (SELECT round(quantile_cont(n_chars, 0.05), 6) AS lo,
+                  round(quantile_cont(n_chars, 0.95), 6) AS hi
+           FROM documents)
+SELECT d.* FROM documents d, b WHERE d.n_chars BETWEEN b.lo AND b.hi
+"""
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-contamination matrix: Jaccard of distinct word
+    5-gram shingle sets per source pair (operators/selection.py)."""
+    from ..operators.selection import source_overlap
+
+    return source_overlap(_t(spark, sf_dir, "documents"), n=5)
+
+
+ORACLE_SOURCE_OVERLAP = r"""
+WITH toks AS (
+  SELECT source, list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> len(x) > 0) AS w
+  FROM documents),
+fp AS (SELECT DISTINCT source AS src, array_to_string(w[i:i+4], ' ') AS h
+       FROM toks, unnest(range(1, greatest(len(w)-4, 0)+1)) AS t(i)),
+sizes AS (SELECT src, count(*) AS n FROM fp GROUP BY src),
+inter AS (SELECT a.src AS src_a, b.src AS src_b, count(*) AS i
+          FROM fp a JOIN fp b ON a.h = b.h AND a.src < b.src
+          GROUP BY 1, 2)
+SELECT src_a, src_b,
+       round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.src = src_a
+JOIN sizes sb ON sb.src = src_b
+"""
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (iterative float algorithm — no SQL oracle); numpy
+    Lloyd's-algorithm parity asserted in tests/test_selection_clustering.py."""
+    from ..operators.clustering import kmeans_assignments
+
+    return kmeans_assignments(
+        _t(spark, sf_dir, "embeddings"), k=8, n_iter=5
+    )
