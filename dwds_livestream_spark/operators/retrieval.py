@@ -89,3 +89,40 @@ def bm25_topk(
         .orderBy(F.desc("score"), "doc_id")
         .limit(topk)
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    min_df: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize an inverted index: term -> document frequency +
+    sorted posting list (comma-joined string, so the output is flat,
+    hash-comparable, and identical across engines).
+
+    Plan: DISTINCT (term, doc) — one shuffle keyed by near-uniform
+    terms — then a single hash aggregate; the posting list is sorted
+    in-row (sort_array) after collect_list, so no global sort. At
+    100 TB posting lists for stopword-grade terms get long: the min_df
+    gate stays, and hot terms would be range-bucketed (term, bucket)
+    before the aggregate — same two-shuffle budget."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .distinct()
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .where(F.col("df") >= min_df)
+    )

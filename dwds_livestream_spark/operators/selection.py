@@ -226,3 +226,85 @@ def source_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k adjacent-word collocations by pointwise mutual information:
+    pmi(a,b) = ln( P(a,b) / (P(a)·P(b)) ) over bigram occurrences, with
+    a minimum-support gate (rare pairs otherwise dominate PMI).
+
+    Plan: ONE tokenize pass feeds both the unigram and the in-row
+    bigram explode; two vocabulary-sized aggregates; the unigram table
+    broadcasts back onto the bigram counts twice (left/right word).
+    All corpus-sized shuffles are keyed by near-uniform words. Output
+    deterministic: pmi desc, pair asc tie-break."""
+    toked = df.withColumn("__toks", tokens(F.lower(F.col(text_col))))
+    n_pos = F.greatest(F.size("__toks") - 1, F.lit(0))
+    bigram = F.when(
+        n_pos > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_pos),
+            lambda i: F.struct(
+                F.element_at("__toks", i).alias("w1"),
+                F.element_at("__toks", i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = (
+        toked.select(F.explode(bigram).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= min_count)
+    )
+    uni = (
+        toked.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    n_pairs = pairs.groupBy().agg(F.sum("pair_cnt").alias("np"))
+    n_words = uni.groupBy().agg(F.sum("cnt").alias("nw"))
+    scored = (
+        pairs.join(F.broadcast(uni.withColumnRenamed("w", "w1")
+                               .withColumnRenamed("cnt", "c1")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2")
+                          .withColumnRenamed("cnt", "c2")), "w2")
+        .join(F.broadcast(n_pairs))
+        .join(F.broadcast(n_words))
+        .select(
+            "w1", "w2", "pair_cnt",
+            F.round(
+                F.log(
+                    (F.col("pair_cnt") / F.col("np"))
+                    / ((F.col("c1") / F.col("nw")) * (F.col("c2") / F.col("nw")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(k)
+
+
+def canonical_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-exact dedup under canonicalization: lowercase, strip
+    non-alphanumerics (unicode-aware), collapse whitespace — catches
+    trivially-reformatted duplicates that byte-exact md5 dedup misses.
+    Map-only projection + the same single-shuffle group as exact_dedup.
+    Output: canon_hash, keeper_id, n_dups."""
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^\p{L}\p{N}\s]", ""),
+            r"\s+", " ",
+        )
+    )
+    return (
+        df.groupBy(F.md5(canon).alias("canon_hash"))
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_dups"))
+    )

@@ -1069,3 +1069,70 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assignments(
         _t(spark, sf_dir, "embeddings"), k=8, n_iter=5
     )
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-word collocations by PMI, min support 5
+    (operators/selection.py)."""
+    from ..operators.selection import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"), k=20, min_count=5)
+
+
+ORACLE_PMI_COLLOCATIONS = r"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> len(x) > 0) AS w
+  FROM documents),
+bi AS (SELECT w[i] AS w1, w[i+1] AS w2
+       FROM toks, unnest(range(1, greatest(len(w)-1, 0)+1)) AS t(i)),
+pairs AS (SELECT w1, w2, count(*) AS pair_cnt
+          FROM bi GROUP BY 1, 2 HAVING count(*) >= 5),
+uni AS (SELECT unnest(w) AS word FROM toks),
+cnts AS (SELECT word, count(*) AS cnt FROM uni GROUP BY word),
+np AS (SELECT sum(pair_cnt) AS np FROM pairs),
+nw AS (SELECT sum(cnt) AS nw FROM cnts)
+SELECT w1, w2, pair_cnt,
+       round(ln((pair_cnt * 1.0 / np.np) /
+                ((c1.cnt * 1.0 / nw.nw) * (c2.cnt * 1.0 / nw.nw))), 6) AS pmi
+FROM pairs
+JOIN cnts c1 ON c1.word = w1
+JOIN cnts c2 ON c2.word = w2, np, nw
+ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20
+"""
+
+
+def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup under lowercase/punctuation/whitespace canonicalization
+    (operators/selection.py)."""
+    from ..operators.selection import canonical_dedup
+
+    return canonical_dedup(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_CANONICAL_DEDUP = r"""
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+           '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g'))) AS canon_hash,
+       min(doc_id) AS keeper_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term -> (df, sorted posting list) index materialization
+    (operators/retrieval.py)."""
+    from ..operators.retrieval import inverted_index
+
+    return inverted_index(_t(spark, sf_dir, "documents"), min_df=2)
+
+
+ORACLE_INVERTED_INDEX = r"""
+WITH td AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> len(x) > 0)) AS term
+  FROM documents)
+SELECT term, count(*) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM td GROUP BY term HAVING count(*) >= 2
+"""

@@ -132,3 +132,43 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     out, cents = kmeans(df, k=3, n_iter=3)
     assert not np.isnan(cents).any()
     assert out.count() == 3
+
+
+def test_pmi_prefers_exclusive_pairs(spark):
+    from dwds_livestream_spark.operators.selection import pmi_collocations
+
+    # "strong coffee" always co-occur exclusively; "the" pairs with many
+    rows = [(i, "strong coffee is the best the worst the thing", "s") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = pmi_collocations(df, k=50, min_count=5).collect()
+    scores = {(r.w1, r.w2): r.pmi for r in out}
+    assert scores[("strong", "coffee")] == max(scores.values())
+
+
+def test_canonical_dedup_catches_reformatted(spark):
+    from dwds_livestream_spark.operators.selection import canonical_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello, World!", "s"),
+            (2, "hello   world", "s"),
+            (3, "HELLO... WORLD?!", "s"),
+            (4, "different text", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.keeper_id: r.n_dups for r in canonical_dedup(df).collect()}
+    assert out == {1: 3, 4: 1}
+
+
+def test_inverted_index_postings_sorted(spark):
+    from dwds_livestream_spark.operators.retrieval import inverted_index
+
+    df = spark.createDataFrame(
+        [(3, "b a", "s"), (1, "a b", "s"), (2, "a c", "s")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.term: (r.df, r.postings) for r in inverted_index(df, min_df=2).collect()}
+    assert out["a"] == (3, "1,2,3")
+    assert out["b"] == (2, "1,3")
+    assert "c" not in out  # below min_df
