@@ -1423,3 +1423,99 @@ WITH ranked AS (
 )
 SELECT user_id, pick, event_id, event_type FROM ranked WHERE pick <= 3
 """
+
+
+def q_stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-aggregate battery per event type: Pearson
+    correlation, sample covariance/stddev, and the OLS trend
+    (regr_slope/intercept) of value against hour-of-day.
+
+    One hash aggregate — every moment accumulates map-side in the same
+    pass (no second scan, no window); at 100 TB this is a pure
+    partial/final aggregate keyed by the 5-value event_type."""
+    ev = _t(spark, sf_dir, "events")
+    x = F.hour("ts").cast("double")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.corr("value", x), 6).alias("corr_hour"),
+            F.round(F.covar_samp("value", x), 6).alias("covar_hour"),
+            F.round(F.stddev_samp("value"), 6).alias("stddev_value"),
+            F.round(F.regr_slope(F.col("value"), x), 6).alias("slope"),
+            F.round(F.regr_intercept(F.col("value"), x), 6).alias("intercept"),
+        )
+    )
+
+
+ORACLE_STATS_REGRESSION = """
+SELECT event_type,
+       count(*) AS n,
+       round(corr(value, CAST(hour(ts) AS DOUBLE)), 6) AS corr_hour,
+       round(covar_samp(value, CAST(hour(ts) AS DOUBLE)), 6) AS covar_hour,
+       round(stddev_samp(value), 6) AS stddev_value,
+       round(regr_slope(value, CAST(hour(ts) AS DOUBLE)), 6) AS slope,
+       round(regr_intercept(value, CAST(hour(ts) AS DOUBLE)), 6) AS intercept
+FROM events GROUP BY event_type
+"""
+
+
+def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile summary of value per event type: ntile(10) over a TOTAL
+    order (value, event_id tie-break — deterministic on any engine),
+    then per-decile count/min/max. One shuffle keyed by event_type for
+    the window + one keyed aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
+
+
+ORACLE_VALUE_DECILES = """
+WITH d AS (
+  SELECT event_type, value,
+         ntile(10) OVER (PARTITION BY event_type
+                         ORDER BY value, event_id) AS decile
+  FROM events)
+SELECT event_type, decile, count(*) AS n,
+       round(min(value), 6) AS lo, round(max(value), 6) AS hi
+FROM d GROUP BY 1, 2
+"""
+
+
+def q_spend_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-spend distribution position: percent_rank and cume_dist
+    of each buyer's total purchase value (top-1% / long-tail analysis).
+    The per-user aggregate is the only corpus-sized shuffle; the global
+    window runs over the already user-sized frame."""
+    ev = _t(spark, sf_dir, "events")
+    spend = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 6).alias("spend"))
+    )
+    w = Window.orderBy(F.desc("spend"), F.asc("user_id"))
+    return spend.select(
+        "user_id",
+        "spend",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+ORACLE_SPEND_PERCENT_RANK = """
+WITH spend AS (
+  SELECT user_id, round(sum(value), 6) AS spend
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+SELECT user_id, spend,
+       round(percent_rank() OVER (ORDER BY spend DESC, user_id ASC), 6) AS pct_rank,
+       round(cume_dist() OVER (ORDER BY spend DESC, user_id ASC), 6) AS cume
+FROM spend
+"""

@@ -307,3 +307,48 @@ def test_trending_stream_topk(spark, tmp_path):
         assert top[(ws, 1)] == ("a", 3)
         assert top[(ws, 2)] == ("b", 2)
     assert all(r.rnk <= 2 for r in rows)
+
+
+def test_windowed_distinct_users_stream_and_batch_parity(spark, tmp_path):
+    from dwds_livestream_spark.streaming.windows import windowed_distinct_users
+
+    src = tmp_path / "src_dist"
+    src.mkdir()
+
+    def _ev(ts, uid):
+        return json.dumps({"timestamp": ts, "user_id": uid})
+
+    (src / "b1.jsonl").write_text("\n".join([
+        _ev("2024-01-01T10:00:10Z", 1),
+        _ev("2024-01-01T10:00:20Z", 1),   # dup user in-window
+        _ev("2024-01-01T10:00:30Z", 2),
+        _ev("2024-01-01T10:01:10Z", 3),
+    ]))
+    _order_files(src)
+
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+        .selectExpr("from_json(value, 'timestamp timestamp, user_id long') AS e")
+        .select("e.timestamp", "e.user_id")
+    )
+    out = windowed_distinct_users(stream, "1 minute", "2 minutes")
+    batches = _run_update(spark, out, tmp_path, "dist_users")
+    got = {str(r.window_start): r.n_users for b in batches for r in b}
+    # HLL at rsd=5% is exact at these cardinalities
+    assert got == {"2024-01-01 10:00:00": 2, "2024-01-01 10:01:00": 1}
+
+    # batch parity: the same expression on a batch frame, exact twin
+    batch_df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 10, 0, 10), 1),
+         (dt.datetime(2024, 1, 1, 10, 0, 20), 1),
+         (dt.datetime(2024, 1, 1, 10, 0, 30), 2),
+         (dt.datetime(2024, 1, 1, 10, 1, 10), 3)],
+        "timestamp timestamp, user_id long",
+    )
+    exact = {
+        str(r.window_start): r.n_users
+        for r in windowed_distinct_users(batch_df, "1 minute", exact=True).collect()
+    }
+    assert exact == got
