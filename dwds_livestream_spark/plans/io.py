@@ -19,6 +19,12 @@ _NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANOS_TS_COLUMNS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
+        dtype = dict(df.dtypes).get(col)
+        if dtype == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        elif dtype == "timestamp_ntz":
+            # parquet timestamp[us] without timezone: interpret as UTC
+            # instant (session timezone is pinned UTC), matching DuckDB's
+            # naive-µs semantics so oracle value hashes agree.
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
