@@ -1519,3 +1519,237 @@ SELECT user_id, spend,
        round(cume_dist() OVER (ORDER BY spend DESC, user_id ASC), 6) AS cume
 FROM spend
 """
+
+
+# ------------------------------------------------------- time-series battery
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resample: per (event_type, hour) open/high/low/close bars
+    over the event value — the classic time-series downsampling shape
+    (reference's persisted table exists for exactly this kind of
+    longer-period analysis, README.md:9-12).
+
+    Scale: one hash shuffle on (event_type, hour); the two row_number
+    windows and the final groupBy share that partitioning, so Catalyst
+    reuses a single Exchange. Bars/hour is bounded, so the result is
+    tiny regardless of input size.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("hour"),
+        "ts", "event_id", "value",
+    )
+    wa = Window.partitionBy("event_type", "hour").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select(
+        "*",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return ranked.groupBy("event_type", "hour").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("n_events"),
+    )
+
+
+ORACLE_OHLC_BARS = """
+WITH r AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events)
+SELECT event_type, hour,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high, MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*) AS n_events
+FROM r GROUP BY event_type, hour
+"""
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user: each observation is held
+    until the next one, so it is weighted by its holding duration
+    (standard irregular-time-series mean; plain AVG over-weights
+    bursts). Integer microsecond weights keep the arithmetic exact
+    until the final division.
+
+    Scale: one shuffle on user_id shared by the lead() window and the
+    groupBy; per-user state is a running sum, never a buffer.
+    """
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.unix_micros(F.col("ts"))
+    seg = ev.select(
+        "user_id", "value", (F.lead(t_us).over(w) - t_us).alias("dt_us")
+    ).where(F.col("dt_us").isNotNull())
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            (F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us")).alias("twa_raw"),
+            F.sum("dt_us").alias("span_us"),
+            F.count("*").alias("n_segments"),
+        )
+        .where(F.col("span_us") > 0)
+        .select(
+            "user_id",
+            F.round("twa_raw", 4).alias("twa"),
+            "span_us",
+            "n_segments",
+        )
+    )
+
+
+ORACLE_TIME_WEIGHTED_AVG = """
+WITH seg AS (
+  SELECT user_id, value,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - epoch_us(ts) AS dt_us
+  FROM events)
+SELECT user_id, ROUND(SUM(value * dt_us) / SUM(dt_us), 4) AS twa,
+       SUM(dt_us) AS span_us, COUNT(*) AS n_segments
+FROM seg WHERE dt_us IS NOT NULL
+GROUP BY user_id HAVING SUM(dt_us) > 0
+"""
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event_type: clamp values to the exact
+    [p05, p95] band (F.percentile — exact linear interpolation, the
+    same definition as SQL percentile_cont) and compare the clamped
+    mean against the raw mean — the robust-mean step of an outlier-
+    tolerant metrics pipeline.
+
+    Scale: percentiles aggregate to one tiny frame (rows = #types)
+    that is broadcast back; the base table is scanned twice but never
+    shuffled on a wide key. Exact percentile needs a per-group sort at
+    scale — swap F.percentile for percentile_approx when the group
+    cardinality makes that sort the bottleneck (documented trade).
+    """
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    pct = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    j = ev.join(F.broadcast(pct), "event_type")
+    clamped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 4).alias("mean_raw"),
+        F.round(F.avg(clamped), 4).alias("mean_winsorized"),
+        F.round(F.min("p05"), 4).alias("p05"),
+        F.round(F.min("p95"), 4).alias("p95"),
+    )
+
+
+ORACLE_WINSORIZE = """
+WITH pct AS (
+  SELECT event_type,
+         percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS p05,
+         percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS p95
+  FROM events GROUP BY event_type)
+SELECT e.event_type, COUNT(*) AS n,
+       ROUND(AVG(e.value), 4) AS mean_raw,
+       ROUND(AVG(LEAST(GREATEST(e.value, p.p05), p.p95)), 4) AS mean_winsorized,
+       ROUND(MIN(p.p05), 4) AS p05, ROUND(MIN(p.p95), 4) AS p95
+FROM events e JOIN pct p USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind cube/rollup,
+    which q_cube_activity / q_rollup_revenue already cover): per
+    (type, day), per type, per day, and grand total in ONE pass with
+    GROUPING() flags disambiguating real NULLs from subtotal rows.
+
+    Scale: Spark plans this as a single Expand (4x row multiply)
+    followed by one hash aggregate — one shuffle, no self-union of
+    four scans.
+    """
+    ev = _t(spark, sf_dir, "events")
+    ev.select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    ).createOrReplaceTempView("gs_events")
+    return spark.sql(
+        """
+        SELECT event_type, day,
+               CAST(GROUPING(event_type) AS INT) AS g_type,
+               CAST(GROUPING(day) AS INT) AS g_day,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        FROM gs_events
+        GROUP BY GROUPING SETS ((event_type, day), (event_type), (day), ())
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT event_type, CAST(ts AS DATE) AS day,
+       CAST(GROUPING(event_type) AS INT) AS g_type,
+       CAST(GROUPING(CAST(ts AS DATE)) AS INT) AS g_day,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)), (event_type),
+                        (CAST(ts AS DATE)), ())
+"""
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event_type: median absolute
+    deviation (MAD), flagging values beyond 3 scaled MADs
+    (1.4826 * MAD estimates sigma under normality) — the robust
+    alternative to the z-score battery in q_anomaly_zscore.
+
+    Scale: two aggregate passes over the base frame with the tiny
+    per-type medians broadcast back between them; nothing wide ever
+    shuffles. F.median is exact (interpolated) to hash-match the
+    oracle; at extreme group sizes swap for approx_percentile(0.5).
+    """
+    ev = _t(spark, sf_dir, "events").select("event_type", "value").where(
+        F.col("value").isNotNull()
+    )
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    stats = dev.groupBy("event_type").agg(
+        F.median("adev").alias("mad"),
+        F.min("med").alias("med"),
+        F.count("*").alias("n"),
+    )
+    out = (
+        dev.join(F.broadcast(stats.select("event_type", "mad")), "event_type")
+        .where(F.col("adev") > 3 * 1.4826 * F.col("mad"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_out"))
+    )
+    return stats.join(out, "event_type", "left").select(
+        "event_type",
+        F.round("med", 4).alias("med"),
+        F.round("mad", 4).alias("mad"),
+        "n",
+        F.coalesce("n_out", F.lit(0)).cast("long").alias("n_outliers"),
+    )
+
+
+ORACLE_MAD_OUTLIERS = """
+WITH base AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+med AS (SELECT event_type, median(value) AS med FROM base GROUP BY event_type),
+dev AS (SELECT b.event_type, m.med, abs(b.value - m.med) AS adev
+        FROM base b JOIN med m USING (event_type)),
+stats AS (SELECT event_type, median(adev) AS mad, MIN(med) AS med,
+                 COUNT(*) AS n
+          FROM dev GROUP BY event_type)
+SELECT s.event_type, ROUND(s.med, 4) AS med, ROUND(s.mad, 4) AS mad, s.n,
+       COALESCE(o.n_out, 0) AS n_outliers
+FROM stats s LEFT JOIN (
+  SELECT d.event_type, COUNT(*) AS n_out
+  FROM dev d JOIN stats t USING (event_type)
+  WHERE d.adev > 3 * 1.4826 * t.mad GROUP BY d.event_type) o
+USING (event_type)
+"""
