@@ -169,3 +169,25 @@ def test_sequence_pack_single_shuffle(spark, sf_dir):
     # one hashpartitioning exchange on (source, shard); the second
     # window (pack_pos) reuses it
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ohlc_bars_single_exchange(spark, sf_dir):
+    # both row_number windows + the final groupBy hash on
+    # (event_type, hour): Catalyst must reuse ONE exchange.
+    plan = _plan(A.q_ohlc_bars(spark, sf_dir))
+    assert plan.count("Exchange ") == 1
+
+
+def test_time_weighted_avg_single_exchange(spark, sf_dir):
+    # lead() window and groupBy both partition by user_id.
+    plan = _plan(A.q_time_weighted_avg(spark, sf_dir))
+    assert plan.count("Exchange ") == 1
+
+
+def test_grouping_sets_one_expand_one_shuffle(spark, sf_dir):
+    # 4 grouping sets in a single Expand + hash aggregate,
+    # not a 4-way union of scans.
+    plan = _plan(A.q_grouping_sets(spark, sf_dir))
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange ") == 1
+    assert plan.count("Union") == 0
