@@ -1753,3 +1753,164 @@ FROM stats s LEFT JOIN (
   WHERE d.adev > 3 * 1.4826 * t.mad GROUP BY d.event_type) o
 USING (event_type)
 """
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction (CDC apply): read `events` as an
+    upsert/delete stream keyed by (user_id, event_type) — a row is a
+    DELETE when value < 10, else an UPSERT; the last writer by
+    (ts, event_id) wins. Output is the live keyed state, i.e. the
+    MERGE INTO / log-structured-table compaction primitive.
+
+    Scale: one shuffle on the state key; row_number keeps only the
+    head per key, so the output is bounded by key cardinality. At
+    100 TB this is exactly how a snapshot is derived from a CDC log —
+    partition the log by key-hash and compact per partition.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = ev.select("*", F.row_number().over(w).alias("rn")).where(
+        F.col("rn") == 1
+    )
+    return latest.where(F.col("value") >= 10).select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("updated_at"),
+        F.col("value").alias("state_value"),
+    )
+
+
+ORACLE_CDC_APPLY = """
+WITH r AS (
+  SELECT user_id, event_type, ts, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, event_type, ts AS updated_at, value AS state_value
+FROM r WHERE rn = 1 AND value >= 10
+"""
+
+
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval analytics: each event opens an interval of
+    floor(value) seconds; report the peak number of simultaneously
+    open intervals per event_type and the first instant it is reached
+    (max-concurrent-sessions / capacity planning shape).
+
+    Scale: +1/-1 endpoint deltas are pre-aggregated per (type, t) —
+    map-side combinable — then ONE keyed shuffle feeds the running
+    sum and the peak ranking (same partitioning, exchange reused).
+    Integer-microsecond arithmetic end to end; floor() pinned on both
+    sides because SQL CAST(double AS INT) rounds where Spark truncates.
+    """
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.unix_micros("ts").alias("s_us"),
+            (
+                F.unix_micros("ts")
+                + F.floor("value").cast("long") * F.lit(1_000_000)
+            ).alias("e_us"),
+        )
+    )
+    deltas = ev.select(
+        "event_type", F.col("s_us").alias("t"), F.lit(1).alias("d")
+    ).unionAll(
+        ev.select("event_type", F.col("e_us").alias("t"), F.lit(-1).alias("d"))
+    )
+    per_t = deltas.groupBy("event_type", "t").agg(F.sum("d").alias("net"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = per_t.select("event_type", "t", F.sum("net").over(w).alias("open"))
+    w2 = Window.partitionBy("event_type").orderBy(
+        F.col("open").desc(), F.col("t").asc()
+    )
+    return (
+        run.select("*", F.row_number().over(w2).alias("rn"))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("open").alias("peak_concurrency"),
+            F.timestamp_micros("t").alias("peak_at"),
+        )
+    )
+
+
+ORACLE_MAX_CONCURRENCY = """
+WITH iv AS (
+  SELECT event_type, epoch_us(ts) AS s_us,
+         epoch_us(ts) + CAST(FLOOR(value) AS BIGINT) * 1000000 AS e_us
+  FROM events WHERE value IS NOT NULL),
+d AS (SELECT event_type, s_us AS t, 1 AS d FROM iv
+      UNION ALL
+      SELECT event_type, e_us AS t, -1 AS d FROM iv),
+per_t AS (SELECT event_type, t, SUM(d) AS net FROM d GROUP BY 1, 2),
+run AS (SELECT event_type, t,
+               SUM(net) OVER (PARTITION BY event_type ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) AS open
+        FROM per_t),
+rk AS (SELECT event_type, t, open,
+              row_number() OVER (PARTITION BY event_type
+                                 ORDER BY open DESC, t ASC) AS rn
+       FROM run)
+SELECT event_type, open AS peak_concurrency, make_timestamp(t) AS peak_at
+FROM rk WHERE rn = 1
+"""
+
+
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest run of consecutive active days per
+    user (the canonical streak/retention shape). Island anchor =
+    day - row_number(), constant exactly along a consecutive run.
+
+    Scale: distinct() and both windows all hash on user_id — one
+    logical partitioning reused; per-user state is day-count sized.
+    """
+    days = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    streaks = (
+        days.select(
+            "user_id",
+            "day",
+            F.date_sub(F.col("day"), F.row_number().over(w)).alias("anchor"),
+        )
+        .groupBy("user_id", "anchor")
+        .agg(F.count("*").alias("streak_days"), F.min("day").alias("start_day"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.col("streak_days").desc(), F.col("start_day").asc()
+    )
+    return (
+        streaks.select("*", F.row_number().over(w2).alias("rn"))
+        .where(F.col("rn") == 1)
+        .select("user_id", "streak_days", "start_day")
+    )
+
+
+ORACLE_ACTIVITY_STREAKS = """
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+g AS (SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                        AS INT) AS anchor
+      FROM days),
+s AS (SELECT user_id, anchor, COUNT(*) AS streak_days, MIN(day) AS start_day
+      FROM g GROUP BY 1, 2),
+r AS (SELECT user_id, streak_days, start_day,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY streak_days DESC, start_day ASC) AS rn
+      FROM s)
+SELECT user_id, streak_days, start_day FROM r WHERE rn = 1
+"""

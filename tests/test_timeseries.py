@@ -99,3 +99,46 @@ def test_mad_outliers_flags_extreme_point(spark, monkeypatch):
     monkeypatch.setattr(A, "_t", lambda spark, sf, name: df)
     [row] = A.q_mad_outliers(spark, "unused").collect()
     assert (row.med, row.mad, row.n, row.n_outliers) == (3.0, 1.0, 5, 1)
+
+
+def test_cdc_apply_last_write_wins_and_delete(spark, monkeypatch):
+    df = _events(
+        spark,
+        [
+            (1, _ts("2024-01-01 00:00:00"), 1, "a", 50.0),
+            (2, _ts("2024-01-01 00:01:00"), 1, "a", 70.0),   # wins for (1,a)
+            (3, _ts("2024-01-01 00:00:00"), 2, "a", 60.0),
+            (4, _ts("2024-01-01 00:01:00"), 2, "a", 5.0),    # tombstone (<10)
+        ],
+    )
+    monkeypatch.setattr(A, "_t", lambda spark, sf, name: df)
+    out = {r.user_id: r.state_value for r in A.q_cdc_apply(spark, "unused").collect()}
+    assert out == {1: 70.0}
+
+
+def test_max_concurrency_sweep_line(spark, monkeypatch):
+    # intervals [0,60) [30,90) [45,105): peak 3 open at t=45
+    df = _events(
+        spark,
+        [
+            (1, _ts("2024-01-01 00:00:00"), 1, "m", 60.0),
+            (2, _ts("2024-01-01 00:00:30"), 1, "m", 60.0),
+            (3, _ts("2024-01-01 00:00:45"), 1, "m", 60.0),
+        ],
+    )
+    monkeypatch.setattr(A, "_t", lambda spark, sf, name: df)
+    [row] = A.q_max_concurrency(spark, "unused").collect()
+    assert row.peak_concurrency == 3
+    assert row.peak_at == _ts("2024-01-01 00:00:45")
+
+
+def test_activity_streaks_longest_island(spark, monkeypatch):
+    # user 1 active Jan 1-3 (streak 3) and Jan 10; earliest-start tie-break
+    days = ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-10"]
+    df = _events(
+        spark,
+        [(i, _ts(f"{d} 12:00:00"), 1, "m", 1.0) for i, d in enumerate(days)],
+    )
+    monkeypatch.setattr(A, "_t", lambda spark, sf, name: df)
+    [row] = A.q_activity_streaks(spark, "unused").collect()
+    assert (row.streak_days, str(row.start_day)) == (3, "2024-01-01")
