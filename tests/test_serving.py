@@ -90,3 +90,57 @@ def test_client_tap_removed_on_disconnect(served):
         hub.publish(['{"tick": 1}'], batch_id=99)  # drive the write loop
         time.sleep(0.05)
     assert not hub._subs  # untap on disconnect (http.clj finally-block)
+
+
+UA = "Mozilla/5.0 (Windows NT 10.0; Win64; x64)"
+
+
+def test_full_live_topology_pipeline_to_http_client(spark, tmp_path):
+    """§3.1 end to end: access-log dir -> streaming parse/enrich ->
+    hub -> HTTP JSONL client — the complete reference topology
+    (tailer to socket) in one test."""
+    import json
+
+    from pyspark.sql import Row
+
+    from dwds_livestream_spark.schemas import DIMENSION
+    from dwds_livestream_spark.streaming.pipeline import start_live_server
+
+    logdir = tmp_path / "logs"
+    logdir.mkdir()
+    lines = [
+        f'10.0.0.1 - - [08/Dec/2024:23:00:{s:02d} +0000] '
+        f'"GET /wb/w{s} HTTP/1.1" 200 100 "-" "{UA}"'
+        for s in range(5)
+    ]
+    (logdir / "a.log").write_text("\n".join(lines))
+    dim = spark.createDataFrame(
+        [Row(lemma="w1", hidx=None, lemma_type="AR_G", form_type="Hauptform",
+             article_type="Vollartikel", status="x", source="WDG", date=None)],
+        DIMENSION,
+    ).drop("status")
+
+    hub = BroadcastHub()
+    server = LivestreamHTTPServer(hub).start()
+    conn, resp = _get(server.port, "/api/jsonl", timeout=60.0)
+    # big-buffer tap via a second client is not needed: the streaming
+    # batch publishes all 5 lines at once; client buffer=1 conflates to
+    # the newest — assert on that single enriched event.
+    q = start_live_server(
+        spark,
+        str(logdir),
+        lambda: dim,
+        checkpoint=str(tmp_path / "ckpt"),
+        publish=hub.publish,
+        trigger={"availableNow": True},
+    )
+    try:
+        got = json.loads(resp.fp.readline())
+        assert got["lemma"].startswith("w")
+        if got["lemma"] == "w1":  # enriched via the broadcast join
+            assert got["source"] == "WDG"
+    finally:
+        q.awaitTermination(60)
+        resp.close()
+        conn.close()
+        server.stop()
