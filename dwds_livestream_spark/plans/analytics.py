@@ -1914,3 +1914,46 @@ r AS (SELECT user_id, streak_days, start_day,
       FROM s)
 SELECT user_id, streak_days, start_day FROM r WHERE rn = 1
 """
+
+
+def q_regex_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-driven bot filter (SURVEY.md §2.4): when the 173 rlike
+    alternations (F5) become a *table* of patterns, the scalable form
+    is a broadcast ANTI join with an rlike theta-condition — new
+    patterns deploy as data, no plan change. Demonstrated over UAs
+    synthesized deterministically from `events`.
+
+    Scale: the pattern side is tiny and broadcast; the fact side
+    streams through a BroadcastNestedLoopJoin — no shuffle, no
+    collect. (RE2-safe patterns here so DuckDB can mirror the
+    predicate; the Java-dialect lookaround patterns live in
+    functions/bots.py and are covered by access_log_parse.)
+    """
+    ev = _t(spark, sf_dir, "events")
+    ua = (
+        F.when(F.col("user_id") % 5 == 0, F.lit("Googlebot/2.1"))
+        .when(F.col("user_id") % 5 == 1, F.lit("curl/8.0"))
+        .otherwise(F.lit("Mozilla/5.0 (X11; Linux x86_64)"))
+    )
+    uas = ev.select("event_id", ua.alias("user_agent"))
+    patterns = spark.createDataFrame(
+        [("Googlebot",), ("^curl/",), ("spider",)], ["pattern"]
+    )
+    return uas.join(
+        F.broadcast(patterns),
+        F.expr("user_agent rlike pattern"),
+        "left_anti",
+    )
+
+
+ORACLE_REGEX_ANTIJOIN = """
+WITH uas AS (
+  SELECT event_id,
+         CASE WHEN user_id % 5 = 0 THEN 'Googlebot/2.1'
+              WHEN user_id % 5 = 1 THEN 'curl/8.0'
+              ELSE 'Mozilla/5.0 (X11; Linux x86_64)' END AS user_agent
+  FROM events),
+p AS (SELECT * FROM (VALUES ('Googlebot'), ('^curl/'), ('spider')) t(pattern))
+SELECT event_id, user_agent FROM uas u
+WHERE NOT EXISTS (SELECT 1 FROM p WHERE regexp_matches(u.user_agent, p.pattern))
+"""

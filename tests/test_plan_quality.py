@@ -191,3 +191,10 @@ def test_grouping_sets_one_expand_one_shuffle(spark, sf_dir):
     assert plan.count("Expand") == 1
     assert plan.count("Exchange ") == 1
     assert plan.count("Union") == 0
+
+
+def test_regex_antijoin_broadcasts_pattern_side(spark, sf_dir):
+    # pattern table broadcast; fact side never shuffles.
+    plan = _plan(A.q_regex_antijoin(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan and "LeftAnti" in plan
+    assert "Exchange hashpartitioning" not in plan
