@@ -1957,3 +1957,74 @@ p AS (SELECT * FROM (VALUES ('Googlebot'), ('^curl/'), ('spider')) t(pattern))
 SELECT event_id, user_agent FROM uas u
 WHERE NOT EXISTS (SELECT 1 FROM p WHERE regexp_matches(u.user_agent, p.pattern))
 """
+
+
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit (the dbt-test / Deequ shape): one row per
+    declared constraint with its violation count — primary-key
+    uniqueness, not-null, referential integrity, and a domain check,
+    over the star schema.
+
+    Scale: each check is an independent aggregate/anti-join;
+    violation counts aggregate to one tiny row per check. The FK
+    checks broadcast the PK side when it fits, else hash-join —
+    either way output stays O(#checks).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    ev = _t(spark, sf_dir, "events")
+
+    pk_dups = (
+        orders.groupBy("o_orderkey")
+        .count()
+        .where(F.col("count") > 1)
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("orders_pk_unique").alias("check"), "n")
+    )
+    fk_orders = (
+        orders.join(
+            customer.select("c_custkey"),
+            orders.o_custkey == customer.c_custkey,
+            "left_anti",
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("orders_custkey_fk").alias("check"), "n")
+    )
+    fk_lineitem = (
+        lineitem.join(
+            orders.select("o_orderkey"),
+            lineitem.l_orderkey == orders.o_orderkey,
+            "left_anti",
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("lineitem_orderkey_fk").alias("check"), "n")
+    )
+    ev_nulls = ev.where(F.col("event_type").isNull()).agg(
+        F.count("*").alias("n")
+    ).select(F.lit("events_type_not_null").alias("check"), "n")
+    qty_domain = lineitem.where(
+        (F.col("l_quantity") <= 0) | (F.col("l_quantity") > 50)
+    ).agg(F.count("*").alias("n")).select(
+        F.lit("lineitem_qty_domain").alias("check"), "n"
+    )
+    return pk_dups.unionAll(fk_orders).unionAll(fk_lineitem).unionAll(
+        ev_nulls
+    ).unionAll(qty_domain)
+
+
+ORACLE_DQ_CHECKS = """
+SELECT 'orders_pk_unique' AS check, COUNT(*) AS n FROM (
+  SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'orders_custkey_fk', COUNT(*) FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem_orderkey_fk', COUNT(*) FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'events_type_not_null', COUNT(*) FROM events WHERE event_type IS NULL
+UNION ALL
+SELECT 'lineitem_qty_domain', COUNT(*) FROM lineitem
+WHERE l_quantity <= 0 OR l_quantity > 50
+"""
