@@ -34,9 +34,15 @@ def build_session(
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
 
+    # local[N] keeps everything in the driver JVM, whose default 1g heap
+    # starves 32 concurrent tasks (window sorts OOM ~20M rows). Size it
+    # like the executor it actually is; harness override via env.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         # Determinism: the reference serializes UTC instants everywhere.
         .config("spark.sql.session.timeZone", "UTC")
         # Runtime re-planning: coalesce post-shuffle partitions, split

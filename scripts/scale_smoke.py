@@ -161,6 +161,45 @@ def main() -> None:
     plan = tr._jdf.queryExecution().executedPlan().toString()
     report("trending_preagg", n * 4, t0, plan, "partial_count")
 
+    # time-series battery at scale, on the same synthetic events:
+    # reuse the registry plans by pointing their table loader at the
+    # synthetic frame (same trick the unit tests use).
+    from dwds_livestream_spark.plans import analytics as A  # noqa: PLC0415
+
+    ev_typed = events.withColumn(
+        "event_type",
+        F.element_at(
+            F.array(*[F.lit(t) for t in ("view", "click", "purchase", "scroll", "hover")]),
+            (F.col("user_id") % 5 + 1).cast("int"),
+        ),
+    )
+    real_t = A._t
+    A._t = lambda spark, sf, name: ev_typed
+    try:
+        # OHLC: both windows + groupBy on one reused exchange, no join
+        t0 = time.perf_counter()
+        o = A.q_ohlc_bars(spark, "synthetic")
+        rows = o.count()
+        plan = o._jdf.queryExecution().executedPlan().toString()
+        report("ohlc_bars", n, t0, plan, "Window", "Join")
+
+        # CDC compaction: one keyed shuffle, output bounded by keys
+        t0 = time.perf_counter()
+        c = A.q_cdc_apply(spark, "synthetic")
+        rows = c.count()
+        plan = c._jdf.queryExecution().executedPlan().toString()
+        report("cdc_apply", n, t0, plan, "Window", "Join")
+
+        # sweep-line concurrency: 2n endpoint deltas, pre-aggregated
+        # map-side before the single keyed shuffle
+        t0 = time.perf_counter()
+        m = A.q_max_concurrency(spark, "synthetic")
+        rows = m.count()
+        plan = m._jdf.queryExecution().executedPlan().toString()
+        report("max_concurrency", n * 2, t0, plan, "Union", "Join")
+    finally:
+        A._t = real_t
+
 
 if __name__ == "__main__":
     main()
