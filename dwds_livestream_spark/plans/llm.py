@@ -1136,3 +1136,50 @@ SELECT term, count(*) AS df,
        string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
 FROM td GROUP BY term HAVING count(*) >= 2
 """
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production shape: a NEW shard (sources
+    src10..src19) is deduped within itself (keep lowest doc_id per
+    content fingerprint) and then against the EXISTING corpus index
+    (distinct fingerprints of src0..src9) via anti-join. Only
+    never-seen documents survive to be appended.
+
+    Scale: the index is fingerprints-only (16 bytes/doc), so the
+    anti-join shuffles hashes, never text; at 100 TB both sides hash-
+    partition on fingerprint and the index partitions are reusable
+    across daily shards (bucketed layout, see operators/bucketed.py).
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5("text")
+    index = (
+        docs.where(F.length("source") == 4)
+        .select(fp.alias("fingerprint"))
+        .distinct()
+    )
+    new = docs.where(F.length("source") > 4).select(
+        "doc_id", "source", fp.alias("fingerprint")
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    shard_unique = (
+        new.select("*", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return shard_unique.join(index, "fingerprint", "left_anti")
+
+
+ORACLE_DEDUP_INCREMENTAL = """
+WITH fp AS (SELECT doc_id, source, md5(text) AS fingerprint FROM documents),
+idx AS (SELECT DISTINCT fingerprint FROM fp WHERE length(source) = 4),
+new AS (SELECT * FROM fp WHERE length(source) > 4),
+uniq AS (SELECT doc_id, source, fingerprint,
+                row_number() OVER (PARTITION BY fingerprint
+                                   ORDER BY doc_id) AS rn
+         FROM new)
+SELECT fingerprint, doc_id, source FROM uniq u
+WHERE rn = 1
+  AND NOT EXISTS (SELECT 1 FROM idx WHERE idx.fingerprint = u.fingerprint)
+"""
