@@ -26,8 +26,10 @@ def main() -> None:
     spark = build_session(app_name="dwds-livestream-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # one tiny warmup action so JVM/codegen startup isn't billed to q1
+    # warmup: JVM/codegen startup and the parquet reader path (footer
+    # decode, vectorized reader classes) must not be billed to q1
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():

@@ -2028,3 +2028,65 @@ UNION ALL
 SELECT 'lineitem_qty_domain', COUNT(*) FROM lineitem
 WHERE l_quantity <= 0 OR l_quantity > 50
 """
+
+
+def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's revenue —
+    the percent-of-total window shape (sum over the enclosing
+    partition) layered on a q5-style star join.
+
+    Scale: dimensions broadcast onto the lineitem scan; the share
+    window runs over the tiny aggregated frame (#nations rows), so the
+    second pass is free.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        li.join(F.broadcast(orders.join(F.broadcast(cust),
+                                        orders.o_custkey == cust.c_custkey)),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("decimal(18,4)")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("r_name")
+    return rev.select(
+        "r_name",
+        "n_name",
+        "revenue",
+        F.round(
+            F.col("revenue").cast("double")
+            / F.sum(F.col("revenue").cast("double")).over(w),
+            6,
+        ).alias("share"),
+    )
+
+
+ORACLE_REVENUE_SHARE = """
+WITH rev AS (
+  SELECT r_name, n_name,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4))
+           AS revenue
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name)
+SELECT r_name, n_name, revenue,
+       ROUND(CAST(revenue AS DOUBLE) /
+             SUM(CAST(revenue AS DOUBLE)) OVER (PARTITION BY r_name),
+             6) AS share
+FROM rev
+"""
