@@ -119,6 +119,59 @@ def frame_sample_plan(
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_images(
+    assets: DataFrame, width: int = 64, height: int = 64, fake: bool = True
+) -> DataFrame:
+    """Resize image payloads via mapInPandas — the brief's resize op.
+
+    Real deployment: swap the fake for a PIL ``Image.resize`` call;
+    the Spark plumbing (schema, Arrow batches, metadata update) is
+    identical. The deterministic fake treats the payload as a byte
+    grid and nearest-neighbor-samples it to width*height bytes, so
+    output sizes, schema, and partitioning are exercised for real.
+    """
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, modality, payload in zip(
+                pdf["asset_id"], pdf["modality"], pdf["payload"]
+            ):
+                if modality != "image":
+                    continue
+                if not fake:
+                    _decode_image_real(payload)  # raises: real decode stub
+                buf = bytes(payload or b"")
+                if buf:
+                    step = max(len(buf) / target, 1e-9)
+                    out = bytes(
+                        buf[min(int(i * step), len(buf) - 1)]
+                        for i in range(target)
+                    )
+                else:
+                    out = bytes(target)
+                rows.append((asset_id, modality, out, width, height))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_SCHEMA.fields]
+            )
+
+    return assets.select("asset_id", "modality", "payload").mapInPandas(
+        run, RESIZED_SCHEMA
+    )
+
+
 def documents_as_assets(documents: DataFrame) -> DataFrame:
     """Adapter used by tests/queries: treat document text bytes as an
     opaque payload so the multimodal plumbing runs on real testdata."""

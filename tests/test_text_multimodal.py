@@ -17,6 +17,7 @@ from dwds_livestream_spark.functions.text import (
     winnowing_fingerprints,
 )
 from dwds_livestream_spark.operators.multimodal import (
+    resize_images,
     documents_as_assets,
     extract_features,
     frame_sample_plan,
@@ -131,3 +132,20 @@ def test_frame_sample_plan(spark):
     got = sorted(r.frame_ts_ms for r in rows)
     assert got == [0, 1000, 2000]
     assert all(r.asset_id == 1 for r in rows)
+
+
+def test_resize_images_byte_grid(spark):
+    assets = spark.createDataFrame(
+        [
+            Row(asset_id=1, modality="image", payload=bytes(range(200))),
+            Row(asset_id=2, modality="image", payload=b""),
+            Row(asset_id=3, modality="video", payload=b"skip"),
+        ]
+    )
+    out = {r.asset_id: r for r in resize_images(assets, 8, 8).collect()}
+    assert set(out) == {1, 2}  # only images resized
+    assert all(len(r.payload) == 64 for r in out.values())
+    assert (out[1].width, out[1].height) == (8, 8)
+    # nearest-neighbor sampling is deterministic and order-preserving
+    assert out[1].payload[0] == 0 and out[1].payload[-1] >= out[1].payload[0]
+    assert out[2].payload == bytes(64)  # empty payload -> zero canvas
