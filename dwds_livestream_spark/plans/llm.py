@@ -1183,3 +1183,33 @@ SELECT fingerprint, doc_id, source FROM uniq u
 WHERE rn = 1
   AND NOT EXISTS (SELECT 1 FROM idx WHERE idx.fingerprint = u.fingerprint)
 """
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids, dimension-wise: the training step
+    behind IVF coarse quantizers and class prototypes (operators/
+    clustering.py consumes exactly this shape as its init).
+
+    Scale: posexplode multiplies rows by the dimensionality but the
+    per-(label, dim) averages partial-aggregate map-side, so the
+    shuffle carries #labels x dims rows of (sum, count) — independent
+    of corpus size. For very high dims swap explode for the
+    mapInPandas partial-sum path in operators/clustering.py (same
+    output, one pass, no row multiply).
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+    return ex.groupBy("label", "dim").agg(
+        F.round(F.avg("x"), 5).alias("centroid"),
+        F.count("*").alias("n"),
+    )
+
+
+ORACLE_EMBEDDING_CENTROIDS = """
+WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding) AS x
+  FROM embeddings)
+SELECT label, dim, ROUND(AVG(x), 5) AS centroid, COUNT(*) AS n
+FROM ex GROUP BY label, dim
+"""
