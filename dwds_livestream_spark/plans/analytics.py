@@ -2090,3 +2090,41 @@ SELECT r_name, n_name, revenue,
              6) AS share
 FROM rev
 """
+
+
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU per day): count of distinct
+    users active in [day-6, day] for every active day — the retention
+    dashboard shape that resists plain windows because COUNT(DISTINCT)
+    does not decompose over sliding frames.
+
+    Scale: the corpus collapses to distinct (day, user) pairs FIRST
+    (one shuffle, map-side combinable); the day-spine side of the
+    range join is #days rows and broadcast, so the 7x row multiply
+    happens on the already-tiny distinct frame, never on raw events.
+    """
+    du = (
+        _t(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("active_day"), "user_id")
+        .distinct()
+    )
+    spine = du.select(F.col("active_day").alias("day")).distinct()
+    joined = du.join(
+        F.broadcast(spine),
+        (F.col("active_day") <= F.col("day"))
+        & (F.col("active_day") >= F.date_sub(F.col("day"), 6)),
+    )
+    return joined.groupBy("day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+
+
+ORACLE_ROLLING_ACTIVE_USERS = """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS active_day, user_id
+            FROM events),
+spine AS (SELECT DISTINCT active_day AS day FROM du)
+SELECT s.day, COUNT(DISTINCT d.user_id) AS wau
+FROM spine s JOIN du d
+  ON d.active_day BETWEEN s.day - 6 AND s.day
+GROUP BY s.day
+"""
