@@ -2128,3 +2128,61 @@ FROM spine s JOIN du d
   ON d.active_day BETWEEN s.day - 6 AND s.day
 GROUP BY s.day
 """
+
+
+def q_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the most
+    recent prior view by the same user, but only within a 1-hour
+    lookback — the marketing-attribution shape, an as-of SELF-join on
+    the event stream with a tolerance filter composed on top.
+
+    Scale: same single-shuffle union+window as-of plan as
+    q_asof_latest_order (operators/asof.py) — no candidate-pair
+    explosion; the tolerance is a post-filter, costs nothing.
+    """
+    ev = _t(spark, sf_dir, "events")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("vts"))
+        .agg(F.max("event_id").alias("view_id"))  # dedup ties for determinism
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="vts",
+        payload=["view_id"],
+    )
+    within = (F.col("matched_ts").isNotNull()) & (
+        F.unix_micros("ts") - F.unix_micros("matched_ts") <= 3600 * 1_000_000
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(within, F.col("view_id")).alias("attributed_view_id"),
+        F.when(within, F.col("matched_ts")).alias("view_ts"),
+    )
+
+
+ORACLE_ATTRIBUTION_ASOF = """
+WITH v AS (
+  SELECT user_id, ts AS vts, MAX(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+),
+j AS (
+  SELECT p.event_id, p.user_id, p.ts, p.value, v.view_id, v.vts
+  FROM (SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase') p
+  ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.vts
+)
+SELECT event_id, user_id, ts, value,
+       CASE WHEN vts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(vts) <= 3600000000::BIGINT
+            THEN view_id END AS attributed_view_id,
+       CASE WHEN vts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(vts) <= 3600000000::BIGINT
+            THEN vts END AS view_ts
+FROM j
+"""
