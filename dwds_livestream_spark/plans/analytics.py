@@ -2186,3 +2186,41 @@ SELECT event_id, user_id, ts, value,
             THEN vts END AS view_ts
 FROM j
 """
+
+
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the 20 part pairs most often
+    ordered together (same order), with support counts — the
+    relational analog of the text-side PMI collocations query.
+
+    Scale: the self-join shuffles once on l_orderkey; pair explosion
+    is quadratic only in ORDER SIZE (~7 lines -> ~21 pairs), so total
+    pairs stay linear in lineitems. The pair-count aggregate partial-
+    combines map-side; top-k is a TakeOrdered, never a full sort.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+ORACLE_BASKET_PAIRS = """
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+"""
