@@ -198,3 +198,31 @@ def test_regex_antijoin_broadcasts_pattern_side(spark, sf_dir):
     plan = _plan(A.q_regex_antijoin(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan and "LeftAnti" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
+    # Spark's runtime bloom-filter pruning (on by default in this
+    # build) is the 100 TB path for selective non-broadcast star
+    # joins: the big side is pre-filtered by a bloom of the selective
+    # side's join keys. The 10 GB application-side threshold correctly
+    # gates it out of the tiny fixtures, so force it here to pin that
+    # the rule itself stays active.
+    from dwds_livestream_spark.plans.io import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").where(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        assert "might_contain" in _plan(j)  # bloom probe on the big side
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
