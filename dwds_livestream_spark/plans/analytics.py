@@ -2224,3 +2224,69 @@ GROUP BY 1, 2
 ORDER BY n_orders DESC, part_a, part_b
 LIMIT 20
 """
+
+
+def q_churned_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set-op coverage (the INTERSECT twin of
+    q_active_buyer_overlap): buyers active in the first half of the
+    event window who never purchased in the second half — the churn
+    cohort.
+
+    Scale: EXCEPT plans as a left-anti hash aggregate over the two
+    pre-filtered scans — one shuffle on the (tiny, distinct) user
+    sets, not on raw events.
+    """
+    ev = _t(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 190.0)
+    )
+    mid = F.lit("2024-01-16").cast("timestamp")
+    first_half = ev.where(F.col("ts") < mid).select("user_id")
+    second_half = ev.where(F.col("ts") >= mid).select("user_id")
+    return first_half.distinct().subtract(second_half)  # EXCEPT (distinct)
+
+
+ORACLE_CHURNED_BUYERS = """
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'purchase' AND value > 190.0
+  AND ts < TIMESTAMP '2024-01-16'
+EXCEPT
+SELECT user_id FROM events
+WHERE event_type = 'purchase' AND value > 190.0
+  AND ts >= TIMESTAMP '2024-01-16'
+"""
+
+
+def q_nth_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / nth_value window coverage: each user's first and
+    third event (type + time) over their full history — the onboarding-
+    funnel inspection shape.
+
+    Scale: one keyed window over user_id; the unbounded frame is safe
+    because only two positions are read per partition.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    per_user = ev.select(
+        "user_id",
+        F.first_value("event_type").over(w).alias("first_type"),
+        F.first_value("ts").over(w).alias("first_ts"),
+        F.nth_value("event_type", 3).over(w).alias("third_type"),
+        F.nth_value("ts", 3).over(w).alias("third_ts"),
+    )
+    return per_user.distinct()
+
+
+ORACLE_NTH_EVENT_PER_USER = """
+SELECT DISTINCT user_id,
+       first_value(event_type) OVER w AS first_type,
+       first_value(ts) OVER w AS first_ts,
+       nth_value(event_type, 3) OVER w AS third_type,
+       nth_value(ts, 3) OVER w AS third_ts
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
