@@ -2290,3 +2290,49 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """
+
+
+def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE session_window aggregate —
+    the idiomatic form of q_sessionize (which keeps the windows/
+    gaps-and-islands formulation for SQL-engine parity). Same 30-min
+    gap; session end is last-event + gap by definition of the
+    operator, and it works unchanged on a streaming frame with a
+    watermark.
+
+    Scale: one shuffle on (user_id), sessions merged per key by the
+    aggregate itself — no ordered window pass at all.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+ORACLE_SESSIONIZE_NATIVE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM g
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, session_no
+"""
