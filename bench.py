@@ -60,7 +60,7 @@ def _stream_throughput() -> dict | None:
 
     env = dict(os.environ)
     env.setdefault("STREAM_BENCH_SECONDS", "25")
-    env.setdefault("STREAM_BENCH_EPS", "3000")
+    env.setdefault("STREAM_BENCH_EPS", "12000")
     try:
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
