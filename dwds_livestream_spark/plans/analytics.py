@@ -2336,3 +2336,42 @@ SELECT user_id, MIN(ts) AS session_start,
        COUNT(*) AS n_events
 FROM s GROUP BY user_id, session_no
 """
+
+
+def q_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation: each user's first five event types as
+    an ordered path string (view>click>purchase...) — the sequence-
+    mining input shape (collect_list is unordered by contract, so the
+    order is made explicit by sorting (rn, type) structs).
+
+    Scale: the row_number window and the groupBy share the user_id
+    partitioning (one exchange); the rn <= 5 filter bounds per-user
+    state before aggregation.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= 5)
+    return seq.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("first5"),
+        F.max("rn").alias("n"),
+    )
+
+
+ORACLE_USER_EVENT_SEQUENCES = """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS first5,
+       MAX(rn) AS n
+FROM r WHERE rn <= 5 GROUP BY user_id
+"""
