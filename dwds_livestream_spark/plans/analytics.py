@@ -2375,3 +2375,70 @@ SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS first5,
        MAX(rn) AS n
 FROM r WHERE rn <= 5 GROUP BY user_id
 """
+
+
+def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed iterations, damping 0.85) on the undirected
+    customer<->supplier trade graph (distinct pairs that share an
+    order) — the iterative-graph shape beyond connected components,
+    oracle-checked against the same recurrence unrolled in SQL.
+
+    Scale: each iteration is one join + one keyed aggregate (the
+    standard map-reduce PageRank); degrees and edges are reused
+    across iterations, so at 100 TB you cache/bucket `edges` once and
+    every iteration shuffles only (node, contribution) pairs.
+    Bidirectional edges mean no dangling mass to redistribute.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = e0.unionAll(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = edges.groupBy("a").agg(F.count("*").alias("deg")).cache()
+    n = deg.count()
+    rank = deg.select("a", F.lit(1.0 / n).alias("r"))
+    for _ in range(3):
+        contrib = (
+            edges.join(rank, "a")
+            .join(deg, "a")
+            .select(F.col("b").alias("a"), (F.col("r") / F.col("deg")).alias("c"))
+        )
+        rank = contrib.groupBy("a").agg(
+            (F.lit(0.15 / n) + F.lit(0.85) * F.sum("c")).alias("r")
+        )
+    return (
+        rank.select("a", F.round("r", 10).alias("rank"))
+        .orderBy(F.desc("rank"), "a")
+        .limit(50)
+    )
+
+
+ORACLE_PAGERANK_TRADE = """
+WITH e0 AS (
+  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+deg AS (SELECT a, COUNT(*) AS deg FROM edges GROUP BY a),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+r0 AS (SELECT a, 1.0 / (SELECT n FROM nn) AS r FROM deg),
+r1 AS (SELECT e.b AS a,
+              0.15 / (SELECT n FROM nn) + 0.85 * SUM(r0.r / deg.deg) AS r
+       FROM edges e JOIN r0 ON e.a = r0.a JOIN deg ON e.a = deg.a
+       GROUP BY e.b),
+r2 AS (SELECT e.b AS a,
+              0.15 / (SELECT n FROM nn) + 0.85 * SUM(r1.r / deg.deg) AS r
+       FROM edges e JOIN r1 ON e.a = r1.a JOIN deg ON e.a = deg.a
+       GROUP BY e.b),
+r3 AS (SELECT e.b AS a,
+              0.15 / (SELECT n FROM nn) + 0.85 * SUM(r2.r / deg.deg) AS r
+       FROM edges e JOIN r2 ON e.a = r2.a JOIN deg ON e.a = deg.a
+       GROUP BY e.b)
+SELECT a, ROUND(r, 10) AS rank FROM r3
+ORDER BY rank DESC, a LIMIT 50
+"""
