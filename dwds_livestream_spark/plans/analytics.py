@@ -2442,3 +2442,39 @@ r3 AS (SELECT e.b AS a,
 SELECT a, ROUND(r, 10) AS rank FROM r3
 ORDER BY rank DESC, a LIMIT 50
 """
+
+
+def q_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day (users-to-date) — running
+    COUNT(DISTINCT) is not window-expressible, so it becomes the
+    first-seen trick: each user's first active day marks one "new
+    user", and the running total of new users IS the distinct count.
+
+    Scale: one shuffle to (user, first_day), one tiny per-day
+    aggregate, and the cumulative window runs over #days rows.
+    """
+    first_day = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("day"))
+    )
+    daily_new = first_day.groupBy("day").agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily_new.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("users_to_date"),
+    )
+
+
+ORACLE_CUMULATIVE_UNIQUE_USERS = """
+WITH fd AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+            FROM events GROUP BY user_id),
+dn AS (SELECT day, COUNT(*) AS new_users FROM fd GROUP BY day)
+SELECT day, new_users,
+       SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+         AS users_to_date
+FROM dn
+"""
