@@ -1213,3 +1213,36 @@ WITH ex AS (
 SELECT label, dim, ROUND(AVG(x), 5) AS centroid, COUNT(*) AS n
 FROM ex GROUP BY label, dim
 """
+
+
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: documents split into terciles
+    (head/middle/tail) by bigram-LM perplexity — the standard quality
+    stratification before mixing/sampling.
+
+    The global ntile here is exact (one ordered pass over per-doc
+    scores); at corpus scale you'd bucket against approx tercile
+    thresholds (percentile_approx over ppl) instead of a global sort —
+    same downstream contract.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    ppl = q_lm_perplexity(spark, sf_dir).select("doc_id", "ppl")
+    w = Window.orderBy("ppl", "doc_id")
+    b = ppl.select("ppl", F.ntile(3).over(w).alias("bucket"))
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.min("ppl"), 6).alias("min_ppl"),
+        F.round(F.max("ppl"), 6).alias("max_ppl"),
+    )
+
+
+ORACLE_PPL_BUCKETS = f"""
+WITH per_doc AS ({ORACLE_LM_PERPLEXITY}),
+b AS (SELECT doc_id, ppl,
+             ntile(3) OVER (ORDER BY ppl, doc_id) AS bucket
+      FROM per_doc)
+SELECT bucket, COUNT(*) AS n_docs,
+       ROUND(MIN(ppl), 6) AS min_ppl, ROUND(MAX(ppl), 6) AS max_ppl
+FROM b GROUP BY bucket
+"""
