@@ -1,0 +1,39 @@
+"""Inventory integrity: every query either carries a DuckDB oracle or
+is on the documented rows-only list (hash-seeded / approximate /
+iterative operators) — no silent third state. Guards the registry as
+it grows."""
+
+from __future__ import annotations
+
+from dwds_livestream_spark.plans.registry import ORACLE_SQL, QUERIES
+
+ROWS_ONLY = {
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_lsh_topk",
+    "similarity_ivf_topk",
+    "winnow_fingerprints",
+    "multimodal_features",
+    "misra_gries_topk",
+    "kmeans_clusters",
+}
+
+
+def test_every_query_is_oracled_or_documented_rows_only():
+    missing = set(QUERIES) - set(ORACLE_SQL) - ROWS_ONLY
+    assert not missing, f"queries with no oracle and undocumented: {missing}"
+
+
+def test_rows_only_list_is_tight():
+    # a rows-only entry that HAS an oracle (or no query) is stale
+    assert not ROWS_ONLY & set(ORACLE_SQL)
+    assert ROWS_ONLY <= set(QUERIES)
+
+
+def test_no_orphan_oracles():
+    assert set(ORACLE_SQL) <= set(QUERIES)
+
+
+def test_oracles_are_nonempty_sql():
+    for name, sql in ORACLE_SQL.items():
+        assert "SELECT" in sql.upper(), name
