@@ -1246,3 +1246,32 @@ SELECT bucket, COUNT(*) AS n_docs,
        ROUND(MIN(ppl), 6) AS min_ppl, ROUND(MAX(ppl), 6) AS max_ppl
 FROM b GROUP BY bucket
 """
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-row L2 norms over the embedding arrays via F.aggregate — the
+    whole-stage-codegen higher-order-function path (no explode, no
+    shuffle, no Python). The left-to-right fold order matches SQL
+    list_sum, so the doubles agree bit-for-bit with the oracle.
+
+    Scale: map-only; this is the cheap prepass that decides whether
+    vectors need normalizing before cosine similarity (similarity.py
+    assumes unit vectors on its GEMM path).
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return emb.select(
+        "vec_id", "label", F.round(F.sqrt(sq), 6).alias("l2_norm")
+    )
+
+
+ORACLE_EMBEDDING_NORMS = """
+SELECT vec_id, label,
+       ROUND(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+FROM embeddings
+"""
