@@ -2399,7 +2399,10 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = e0.unionAll(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    edges = e0.unionAll(
+        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).cache()  # reused by all 3 iterations — without this every pass
+    # re-runs the orders x lineitem join
     deg = edges.groupBy("a").agg(F.count("*").alias("deg")).cache()
     n = deg.count()
     rank = deg.select("a", F.lit(1.0 / n).alias("r"))
