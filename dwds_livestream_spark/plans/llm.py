@@ -1275,3 +1275,42 @@ SELECT vec_id, label,
              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
 FROM embeddings
 """
+
+
+def q_source_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source z-score normalization of document lengths via
+    grouped-map ``applyInPandas`` — the Arrow-vectorized per-group
+    kernel path (the brief's applyInPandas surface), used where the
+    per-group computation is genuinely imperative; here the kernel is
+    simple enough to be SQL-expressible, which is what makes it
+    oracle-checkable.
+
+    Scale: one shuffle on source; each group arrives as one pandas
+    frame, so groups must fit an executor (sources here are bounded);
+    population std (ddof=0) matches SQL stddev_pop.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["n_chars"].mean()
+        sd = pdf["n_chars"].std(ddof=0)
+        z = (pdf["n_chars"] - mu) / sd if sd > 0 else pdf["n_chars"] * 0.0
+        return pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "source": pdf["source"],
+             "z": z.round(6)}
+        )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return docs.groupBy("source").applyInPandas(
+        normalize, "doc_id long, source string, z double"
+    )
+
+
+ORACLE_SOURCE_ZSCORES = """
+SELECT doc_id, source,
+       ROUND(CASE WHEN stddev_pop(n_chars) OVER (PARTITION BY source) > 0
+                  THEN (n_chars - AVG(n_chars) OVER (PARTITION BY source))
+                       / stddev_pop(n_chars) OVER (PARTITION BY source)
+                  ELSE 0.0 END, 6) AS z
+FROM documents
+"""
