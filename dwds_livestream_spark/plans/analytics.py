@@ -2481,3 +2481,34 @@ SELECT day, new_users,
          AS users_to_date
 FROM dn
 """
+
+
+def q_hourly_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly p50/p90/p99 value bands per event_type — the latency-
+    dashboard shape (exact percentiles, one grouped aggregate; at
+    extreme group counts swap F.percentile for percentile_approx,
+    whose sketch is mergeable map-side).
+
+    Scale: one hash shuffle on (type, hour); exact percentile holds a
+    per-group sorted buffer, bounded here by events/hour/type.
+    """
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        )
+    )
+
+
+ORACLE_HOURLY_PERCENTILE_BANDS = """
+SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+       ROUND(percentile_cont(0.5)  WITHIN GROUP (ORDER BY value), 6) AS p50,
+       ROUND(percentile_cont(0.9)  WITHIN GROUP (ORDER BY value), 6) AS p90,
+       ROUND(percentile_cont(0.99) WITHIN GROUP (ORDER BY value), 6) AS p99
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type, date_trunc('hour', ts)
+"""
