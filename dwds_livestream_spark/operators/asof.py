@@ -84,3 +84,59 @@ def asof_join(
         *[F.col(f"__last_p.{c}").alias(c) for c in payload],
     )
     return out
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str] | None = None,
+) -> DataFrame:
+    """Forward (nearest-later, inclusive) as-of join: for each left row
+    attach the right row with the same key and the SMALLEST
+    ``right_ts >= left_ts`` — the mirror of :func:`asof_join`, same
+    one-shuffle union+window plan with the frame reversed
+    (first non-null over [current, unbounded following]; left rows
+    sort before right rows at equal ts so same-instant matches are
+    inclusive). Matches DuckDB ``ASOF LEFT JOIN ... ON l.ts <= r.ts``.
+    """
+    payload = payload or [c for c in right.columns if c not in (on, right_ts)]
+
+    lhs = left.withColumn("__side", F.lit(0)).withColumn(
+        "__ts", F.col(left_ts)
+    )
+    rhs = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(F.col(right_ts).alias("__matched_ts"), *payload).alias("__p"),
+    )
+    for c in left.columns:
+        if c not in rhs.columns:
+            rhs = rhs.withColumn(c, F.lit(None))
+    if "__p" not in lhs.columns:
+        lhs = lhs.withColumn("__p", F.lit(None).cast(rhs.schema["__p"].dataType))
+
+    unioned = lhs.select(
+        on, "__ts", "__side", "__p", *[c for c in left.columns if c != on]
+    ).unionByName(
+        rhs.select(
+            on, "__ts", "__side", "__p", *[c for c in left.columns if c != on]
+        )
+    )
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__ts", "__side", "__p")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = unioned.withColumn(
+        "__next_p", F.first("__p", ignorenulls=True).over(w)
+    )
+    return carried.where(F.col("__side") == 0).select(
+        *left.columns,
+        F.col("__next_p.__matched_ts").alias("matched_ts"),
+        *[F.col(f"__next_p.{c}").alias(c) for c in payload],
+    )

@@ -2512,3 +2512,44 @@ SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
 FROM events WHERE value IS NOT NULL
 GROUP BY event_type, date_trunc('hour', ts)
 """
+
+
+def q_next_order_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (the mirror of q_asof_latest_order): for each
+    purchase event, the user's NEXT order on-or-after the event —
+    the time-to-conversion shape. Same one-shuffle union+window plan
+    with the frame reversed (operators/asof.py::asof_join_forward).
+    """
+    from ..operators.asof import asof_join_forward
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "ts", "user_id")
+    )
+    d = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("odate"),
+        )
+        .agg(F.max("o_orderkey").alias("next_orderkey"))
+    )
+    return asof_join_forward(
+        ev, d, on="user_id", left_ts="ts", right_ts="odate",
+        payload=["next_orderkey"],
+    )
+
+
+ORACLE_NEXT_ORDER_ASOF = """
+WITH d AS (
+  SELECT o_custkey AS user_id, o_orderdate AS odate,
+         MAX(o_orderkey) AS next_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.ts, e.user_id,
+       d.odate AS matched_ts, d.next_orderkey
+FROM (SELECT event_id, ts, user_id FROM events
+      WHERE event_type = 'purchase') e
+ASOF LEFT JOIN d ON e.user_id = d.user_id AND e.ts <= d.odate
+"""

@@ -159,3 +159,31 @@ def test_gap_fill_interpolate_semantics(spark):
     got = {r.bucket.strftime("%H"): r.v_interp for r in out.collect()}
     # linear ramp 1 -> 7 across 3 hours
     assert got == {"10": 1.0, "11": 3.0, "12": 5.0, "13": 7.0}
+
+
+def test_asof_forward_nearest_later_inclusive(spark):
+    import datetime as dt
+
+    from dwds_livestream_spark.operators.asof import asof_join_forward
+
+    def ts(s):
+        return dt.datetime.fromisoformat(s)
+
+    left = spark.createDataFrame(
+        [(1, 7, ts("2024-01-01 10:00:00")),
+         (2, 7, ts("2024-01-01 12:30:00")),
+         (3, 8, ts("2024-01-01 10:00:00"))],
+        "id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(7, ts("2024-01-01 09:00:00"), "early"),
+         (7, ts("2024-01-01 10:00:00"), "same"),   # inclusive match for id=1
+         (7, ts("2024-01-01 11:00:00"), "later")],
+        "k long, rts timestamp, tag string",
+    )
+    out = {r.id: r for r in asof_join_forward(
+        left, right, on="k", left_ts="ts", right_ts="rts", payload=["tag"]
+    ).collect()}
+    assert out[1].tag == "same"            # ts == rts is a match
+    assert out[2].tag is None              # nothing later -> left outer null
+    assert out[3].tag is None              # other key untouched
