@@ -2553,3 +2553,60 @@ FROM (SELECT event_id, ts, user_id FROM events
       WHERE event_type = 'purchase') e
 ASOF LEFT JOIN d ON e.user_id = d.user_id AND e.ts <= d.odate
 """
+
+
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift table: users ranked into spend deciles, each decile's
+    share of total revenue and cumulative share (the Lorenz-curve /
+    campaign-targeting shape on top of ntile + ratio-to-total).
+
+    Scale: the corpus collapses to per-user spend first; every window
+    after that runs over #users rows, and the decile aggregate over 10.
+    """
+    spend = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 6).alias("spend"))
+    )
+    w = Window.orderBy(F.desc("spend"), F.asc("user_id"))
+    deciled = spend.select(
+        "spend", F.ntile(10).over(w).alias("decile")
+    )
+    per_decile = deciled.groupBy("decile").agg(
+        F.count("*").alias("n_users"), F.sum("spend").alias("decile_spend")
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    total = Window.partitionBy()
+    return per_decile.select(
+        "decile",
+        "n_users",
+        F.round("decile_spend", 4).alias("decile_spend"),
+        F.round(
+            F.col("decile_spend") / F.sum("decile_spend").over(total), 6
+        ).alias("share"),
+        F.round(
+            F.sum("decile_spend").over(wc)
+            / F.sum("decile_spend").over(total),
+            6,
+        ).alias("cum_share"),
+    )
+
+
+ORACLE_DECILE_LIFT = """
+WITH spend AS (
+  SELECT user_id, ROUND(SUM(value), 6) AS spend
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+deciled AS (
+  SELECT spend, ntile(10) OVER (ORDER BY spend DESC, user_id) AS decile
+  FROM spend),
+pd AS (
+  SELECT decile, COUNT(*) AS n_users, SUM(spend) AS decile_spend
+  FROM deciled GROUP BY decile)
+SELECT decile, n_users, ROUND(decile_spend, 4) AS decile_spend,
+       ROUND(decile_spend / SUM(decile_spend) OVER (), 6) AS share,
+       ROUND(SUM(decile_spend) OVER (ORDER BY decile
+                                     ROWS UNBOUNDED PRECEDING)
+             / SUM(decile_spend) OVER (), 6) AS cum_share
+FROM pd
+"""
