@@ -2610,3 +2610,130 @@ SELECT decile, n_users, ROUND(decile_spend, 4) AS decile_spend,
              / SUM(decile_spend) OVER (), 6) AS cum_share
 FROM pd
 """
+
+
+def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality heatmap input: mean value and volume per
+    (event_type, day-of-week, hour-of-day) — the calendar-profile
+    shape (extract functions + one grouped aggregate).
+
+    Scale: one shuffle to a bounded 7x24x#types result; partial
+    aggregation does the heavy lifting map-side.
+    """
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return ev.groupBy(
+        "event_type",
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hod"),
+    ).agg(
+        F.count("*").alias("n"),
+        # DECIMAL sum: exact, so no engine-dependent rounding boundary
+        # (a rounded double AVG differed in the 4th decimal on one cell)
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("sum_value"),
+    )
+
+
+ORACLE_SEASONAL_PROFILE = """
+SELECT event_type, dayofweek(ts) + 1 AS dow, hour(ts) AS hod,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+
+
+def q_ship_lag_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfilment aging: days from order date to the order's LAST
+    shipment, distributed per order priority (join + per-order max +
+    percentile over the derived lag — an operations-SLA shape).
+
+    Scale: the lineitem->orders equi-join shuffles once on orderkey;
+    the lag percentiles aggregate per priority (5 rows out).
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    last_ship = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    lag = orders.join(
+        last_ship, orders.o_orderkey == last_ship.l_orderkey
+    ).select(
+        "o_orderpriority",
+        F.datediff("last_ship", "o_orderdate").alias("lag_days"),
+    )
+    return lag.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.avg("lag_days"), 4).alias("avg_lag"),
+        F.round(F.percentile("lag_days", F.lit(0.5)), 4).alias("p50_lag"),
+        F.round(F.percentile("lag_days", F.lit(0.95)), 4).alias("p95_lag"),
+    )
+
+
+ORACLE_SHIP_LAG_BY_PRIORITY = """
+WITH ls AS (SELECT l_orderkey, MAX(l_shipdate) AS last_ship
+            FROM lineitem GROUP BY l_orderkey),
+lag AS (SELECT o_orderpriority,
+               date_diff('day', o_orderdate, last_ship) AS lag_days
+        FROM orders JOIN ls ON o_orderkey = l_orderkey)
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       ROUND(AVG(lag_days), 4) AS avg_lag,
+       ROUND(percentile_cont(0.5)  WITHIN GROUP (ORDER BY lag_days), 4)
+         AS p50_lag,
+       ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY lag_days), 4)
+         AS p95_lag
+FROM lag GROUP BY o_orderpriority
+"""
+
+
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration (Herfindahl-Hirschman) index of supplier
+    revenue per nation: sum of squared revenue shares — the
+    ratio-to-total window squared and re-aggregated.
+
+    Scale: revenue collapses to (nation, supplier) first; both windows
+    and the final aggregate run over supplier-count-sized frames.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "s_suppkey")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+            ).cast("double").alias("rev")
+        )
+    )
+    w = Window.partitionBy("n_name")
+    share = rev.select(
+        "n_name", (F.col("rev") / F.sum("rev").over(w)).alias("share")
+    )
+    return share.groupBy("n_name").agg(
+        F.count("*").alias("n_suppliers"),
+        F.round(F.sum(F.col("share") * F.col("share")), 6).alias("hhi"),
+    )
+
+
+ORACLE_SUPPLIER_HHI = """
+WITH rev AS (
+  SELECT n_name, s_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  GROUP BY n_name, s_suppkey),
+share AS (SELECT n_name, rev / SUM(rev) OVER (PARTITION BY n_name) AS share
+          FROM rev)
+SELECT n_name, COUNT(*) AS n_suppliers,
+       ROUND(SUM(share * share), 6) AS hhi
+FROM share GROUP BY n_name
+"""
