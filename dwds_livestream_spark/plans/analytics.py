@@ -2737,3 +2737,41 @@ SELECT n_name, COUNT(*) AS n_suppliers,
        ROUND(SUM(share * share), 6) AS hhi
 FROM share GROUP BY n_name
 """
+
+
+def q_trailing_window_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window coverage (every other window here uses ROWS):
+    for each purchase, the user's total spend over the trailing 7
+    DAYS — a value-based frame over event-time seconds, which ROWS
+    frames cannot express when events are irregularly spaced.
+
+    Scale: one keyed shuffle; the range frame keeps a sliding
+    event-time buffer per user, bounded by events/7-days.
+    """
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select("event_id", "user_id", "ts", "value")
+    )
+    secs = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(secs)
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 4).alias("spend_7d"),
+    )
+
+
+ORACLE_TRAILING_WINDOW_SPEND = """
+SELECT event_id, user_id, ts,
+       ROUND(SUM(value) OVER (
+         PARTITION BY user_id ORDER BY epoch(ts)
+         RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 4) AS spend_7d
+FROM events
+WHERE event_type = 'purchase' AND value IS NOT NULL
+"""
