@@ -17,6 +17,7 @@ from ..operators.asof import asof_join
 from ..operators.dedup_dim import argmin_dedup
 from ..operators.enrich import enrich
 from ..operators.range_join import range_join
+from ..operators.ranking import distributed_rank, ntile_from_rank
 from ..operators.skew import salted_join
 from .io import load_table as _t
 
@@ -1493,20 +1494,37 @@ FROM d GROUP BY 1, 2
 def q_spend_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer-spend distribution position: percent_rank and cume_dist
     of each buyer's total purchase value (top-1% / long-tail analysis).
-    The per-user aggregate is the only corpus-sized shuffle; the global
-    window runs over the already user-sized frame."""
+
+    Scale: the per-user aggregate is the corpus-sized shuffle; the rank
+    itself comes from operators/ranking.distributed_rank (equi-depth
+    bucketed, hash-partitioned windows) — NOT a bare global window, so
+    no single task ever sorts all users. The ordering key
+    (spend desc, user_id) is total, so percent_rank/cume_dist collapse
+    to (rn-1)/(n-1) and rn/n — identical values to the window
+    built-ins, as the oracle proves.
+    """
     ev = _t(spark, sf_dir, "events")
     spend = (
         ev.where(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(F.round(F.sum("value"), 6).alias("spend"))
     )
-    w = Window.orderBy(F.desc("spend"), F.asc("user_id"))
-    return spend.select(
+    ranked = distributed_rank(
+        spend,
+        "spend",
+        descending=True,
+        tiebreakers=[F.asc("user_id")],
+        rank_col="__rn",
+        total_col="__n",
+    )
+    rn, n = F.col("__rn"), F.col("__n")
+    return ranked.select(
         "user_id",
         "spend",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(
+            F.when(n > 1, (rn - 1) / (n - 1)).otherwise(F.lit(0.0)), 6
+        ).alias("pct_rank"),
+        F.round(rn / n, 6).alias("cume"),
     )
 
 
@@ -2560,8 +2578,12 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     share of total revenue and cumulative share (the Lorenz-curve /
     campaign-targeting shape on top of ntile + ratio-to-total).
 
-    Scale: the corpus collapses to per-user spend first; every window
-    after that runs over #users rows, and the decile aggregate over 10.
+    Scale: the corpus collapses to per-user spend first; decile
+    assignment is arithmetic over a distributed_rank (ntile_from_rank
+    replicates SQL ntile semantics exactly from the global row number),
+    so no global single-partition sort anywhere — the oracle's plain
+    ntile proves value parity. The cumulative/total windows after that
+    run over 10 rows.
     """
     spend = (
         _t(spark, sf_dir, "events")
@@ -2569,9 +2591,17 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.round(F.sum("value"), 6).alias("spend"))
     )
-    w = Window.orderBy(F.desc("spend"), F.asc("user_id"))
-    deciled = spend.select(
-        "spend", F.ntile(10).over(w).alias("decile")
+    ranked = distributed_rank(
+        spend,
+        "spend",
+        descending=True,
+        tiebreakers=[F.asc("user_id")],
+        rank_col="__rn",
+        total_col="__n",
+    )
+    deciled = ranked.select(
+        "spend",
+        ntile_from_rank(F.col("__rn"), F.col("__n"), 10).alias("decile"),
     )
     per_decile = deciled.groupBy("decile").agg(
         F.count("*").alias("n_users"), F.sum("spend").alias("decile_spend")

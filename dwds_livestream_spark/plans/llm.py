@@ -1220,16 +1220,31 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (head/middle/tail) by bigram-LM perplexity — the standard quality
     stratification before mixing/sampling.
 
-    The global ntile here is exact (one ordered pass over per-doc
-    scores); at corpus scale you'd bucket against approx tercile
-    thresholds (percentile_approx over ppl) instead of a global sort —
-    same downstream contract.
+    Buckets are threshold-based: tercile bounds from one
+    ``percentile_approx`` aggregate, broadcast back onto a map-only
+    ``when()`` projection — no global sort, no single-partition window
+    anywhere (VERDICT r1 #2). At testdata scale the sketch is exact
+    (accuracy ≫ n: value at rank ceil(p·n)), which the oracle
+    replicates with an explicit row_number rank formula; ties at a
+    boundary fall into the lower bucket on both sides (``<=``), so the
+    hash match checks the bucketing itself.
     """
-    from pyspark.sql import Window  # noqa: PLC0415
-
     ppl = q_lm_perplexity(spark, sf_dir).select("doc_id", "ppl")
-    w = Window.orderBy("ppl", "doc_id")
-    b = ppl.select("ppl", F.ntile(3).over(w).alias("bucket"))
+    bounds = ppl.agg(
+        F.percentile_approx(
+            "ppl",
+            F.array(F.lit(1 / 3), F.lit(2 / 3)),
+            F.lit(1_000_000),
+        ).alias("__t")
+    )
+    t = F.col("__t")
+    b = ppl.crossJoin(F.broadcast(bounds)).select(
+        "ppl",
+        F.when(F.col("ppl") <= t[0], 1)
+        .when(F.col("ppl") <= t[1], 2)
+        .otherwise(3)
+        .alias("bucket"),
+    )
     return b.groupBy("bucket").agg(
         F.count("*").alias("n_docs"),
         F.round(F.min("ppl"), 6).alias("min_ppl"),
@@ -1239,9 +1254,20 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PPL_BUCKETS = f"""
 WITH per_doc AS ({ORACLE_LM_PERPLEXITY}),
-b AS (SELECT doc_id, ppl,
-             ntile(3) OVER (ORDER BY ppl, doc_id) AS bucket
-      FROM per_doc)
+st AS (SELECT ppl, row_number() OVER (ORDER BY ppl) AS rn,
+              COUNT(*) OVER () AS c
+       FROM per_doc),
+t AS (SELECT
+        MAX(CASE WHEN rn = CAST(ceil((1.0/3.0) * c) AS BIGINT)
+                 THEN ppl END) AS t1,
+        MAX(CASE WHEN rn = CAST(ceil((2.0/3.0) * c) AS BIGINT)
+                 THEN ppl END) AS t2
+      FROM st),
+b AS (SELECT ppl,
+             CASE WHEN ppl <= t1 THEN 1
+                  WHEN ppl <= t2 THEN 2
+                  ELSE 3 END AS bucket
+      FROM per_doc, t)
 SELECT bucket, COUNT(*) AS n_docs,
        ROUND(MIN(ppl), 6) AS min_ppl, ROUND(MAX(ppl), 6) AS max_ppl
 FROM b GROUP BY bucket

@@ -226,3 +226,43 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+# --------------------------------------------------- de-globalized ranks
+# VERDICT r1 #2/#4: the percent_rank / ntile / tercile queries must not
+# funnel the full frame through a single-partition sort. The ranking
+# machinery (operators/ranking.py) buckets by broadcast percentile
+# bounds and windows per-bucket; these gates pin that shape.
+
+
+def _has_ntile(plan: str) -> bool:
+    import re
+
+    # \bntile won't do: "percentile_approx" contains "ntile"
+    return re.search(r"(?<![a-z_])ntile\(", plan) is not None
+
+
+def test_ppl_buckets_no_global_sort(spark, sf_dir):
+    from dwds_livestream_spark.plans import llm as L
+
+    plan = _plan(L.q_ppl_buckets(spark, sf_dir))
+    assert not _has_ntile(plan)
+    assert "Window" not in plan  # threshold bucketing is pure projection
+    assert "Sort " not in plan
+
+
+def test_spend_percent_rank_windows_are_bucket_partitioned(spark, sf_dir):
+    plan = _plan(A.q_spend_percent_rank(spark, sf_dir))
+    assert not _has_ntile(plan)
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "__bucket#" in line  # every window hash-partitioned
+
+
+def test_decile_lift_rank_is_bucket_partitioned(spark, sf_dir):
+    import re
+
+    plan = _plan(A.q_decile_lift(spark, sf_dir))
+    assert not _has_ntile(plan)  # decile derived arithmetically from rank
+    m = re.search(r"row_number\(\) windowspecdefinition\((\w+)#", plan)
+    assert m is not None and m.group(1) == "__bucket"
