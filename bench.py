@@ -47,7 +47,22 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     result["streaming"] = _stream_throughput()
-    print(json.dumps(result))
+
+    # Full result to a file (the driver's stdout capture truncated the
+    # 133-query line in round 1 — BENCH_r01.json "parsed": null); the
+    # stdout line stays compact: totals + the 10 slowest queries.
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH.out.json"
+    )
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, indent=1, sort_keys=True)
+    compact = dict(result)
+    compact["queries"] = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
+    compact["n_queries"] = len(timings)
+    compact["full_results"] = "BENCH.out.json"
+    print(json.dumps(compact))
 
 
 def _stream_throughput() -> dict | None:
