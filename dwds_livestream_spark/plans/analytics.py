@@ -2339,8 +2339,10 @@ def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SESSIONIZE_NATIVE = """
 WITH g AS (
   SELECT user_id, ts, event_id,
+    -- >= : session_window windows are [t, t+gap), so an event landing
+    -- exactly at the gap boundary opens a NEW session (ADVICE r1)
     CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER
-              (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              (PARTITION BY user_id ORDER BY ts, event_id) >= 1800
          THEN 1 ELSE 0 END AS new_s
   FROM events
 ), s AS (
@@ -2776,18 +2778,21 @@ def q_trailing_window_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames cannot express when events are irregularly spaced.
 
     Scale: one keyed shuffle; the range frame keeps a sliding
-    event-time buffer per user, bounded by events/7-days.
+    event-time buffer per user, bounded by events/7-days. Frame bounds
+    use MICROsecond epochs on both sides (ADVICE r1): unix_timestamp
+    truncates to whole seconds while DuckDB epoch() is fractional, so
+    second-truncated frames can diverge on boundary rows.
     """
     ev = (
         _t(spark, sf_dir, "events")
         .where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
         .select("event_id", "user_id", "ts", "value")
     )
-    secs = F.unix_timestamp("ts")
+    micros = F.unix_micros("ts")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(secs)
-        .rangeBetween(-7 * 86400, 0)
+        .orderBy(micros)
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
     )
     return ev.select(
         "event_id",
@@ -2800,8 +2805,8 @@ def q_trailing_window_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TRAILING_WINDOW_SPEND = """
 SELECT event_id, user_id, ts,
        ROUND(SUM(value) OVER (
-         PARTITION BY user_id ORDER BY epoch(ts)
-         RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 4) AS spend_7d
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 604800000000::BIGINT PRECEDING AND CURRENT ROW), 4) AS spend_7d
 FROM events
 WHERE event_type = 'purchase' AND value IS NOT NULL
 """

@@ -80,6 +80,11 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_header("Content-Type", content_type)
             self.send_header("Cache-Control", "no-cache")
             self.send_header("X-Accel-Buffering", "no")
+            # Unframed stream body under HTTP/1.1: declare the
+            # connection non-reusable so conforming keep-alive clients
+            # can delimit the body by EOF (ADVICE r1).
+            self.send_header("Connection", "close")
+            self.close_connection = True
             self.end_headers()
             while not self.stopping.is_set():
                 lines = sub.poll()

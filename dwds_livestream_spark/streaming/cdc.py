@@ -4,8 +4,12 @@ stateful operator — the streaming twin of ``plans.analytics.q_cdc_apply``.
 The reference holds its mutable keyed state (the lemma dimension) in an
 atom swapped per refresh (wbdb.clj:39-49); here the state is first-class
 streaming state: a transformWithStateInPandas ValueState per key,
-updated by (ts, event_id)-ordered last-writer-wins, with deletes
-(tombstones) clearing the key. Output mode Update: each micro-batch
+updated by (ts, event_id)-ordered last-writer-wins. Deletes
+(tombstones) are RETAINED in state rather than cleared — the stored
+(ts, event_id) watermark is what rejects stale replays of pre-delete
+records; clearing on delete would resurrect them (ADVICE r1). At
+scale a delete-heavy stream therefore needs a state TTL/timeout to
+eventually evict tombstoned keys. Output mode Update: each micro-batch
 emits the new live state for every touched key, or a NULL-valued
 tombstone row so a downstream sink can delete.
 
