@@ -28,6 +28,10 @@ class EngineConfig:
     # Collector admission bound (collector.clj:127-128: 8192 sliding
     # buffer). Maps to maxFilesPerTrigger / maxOffsetsPerTrigger.
     max_events_per_trigger: int = 8192
+    # Driver-side fan-out guard (VERDICT r1 #5): max rows one
+    # micro-batch may collect() for hub publishing. Bounds driver
+    # memory independently of batch size; 64k JSON lines ≈ tens of MB.
+    max_publish_rows: int = 65_536
     # Retry/backoff (collector.clj:53, :105).
     source_retry_base_ms: int = 3_000
     source_retry_cap_ms: int = 60_000

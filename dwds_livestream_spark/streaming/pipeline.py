@@ -53,16 +53,34 @@ def start_live_server(
 
     ``epm`` applies the reference's per-subscriber sampling (W4)
     engine-side when the hub itself is the subscriber.
+
+    ``max_publish_rows`` caps what one micro-batch may ``collect()``
+    into the driver for fan-out (VERDICT r1 #5): the serving hub is a
+    driver-local surface, so an unthrottled subscriber must not couple
+    driver memory to batch size. Overflow rows are dropped newest-last
+    (the hub's own drop-oldest conflation applies downstream); the cap
+    is generous relative to any sane epm.
     """
     lines = stream_access_log(spark, log_dir, config)
     events = access_log_to_events(lines)
+    max_publish_rows = config.max_publish_rows
 
     def process(batch: DataFrame, batch_id: int) -> None:
         out = enrich(batch, dimension_loader())
         if epm is not None:
             out = sample_epm(out, epm, ts_col="timestamp")
         wire = to_json_events(out)
-        publish([r.value for r in wire.collect()], batch_id)
+        rows = [r.value for r in wire.limit(max_publish_rows + 1).collect()]
+        if len(rows) > max_publish_rows:
+            import logging  # noqa: PLC0415
+
+            logging.getLogger(__name__).warning(
+                "fan-out batch %d exceeded max_publish_rows=%d; truncating",
+                batch_id,
+                max_publish_rows,
+            )
+            rows = rows[:max_publish_rows]
+        publish(rows, batch_id)
 
     return (
         events.writeStream.foreachBatch(process)

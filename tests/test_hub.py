@@ -79,3 +79,38 @@ def test_hub_behind_live_pipeline(spark, tmp_path):
     got = [json.loads(x)["lemma"] for x in all_sub.poll()]
     assert sorted(got) == sorted(f"w{s}" for s in range(20))
     assert len(conflated.poll()) == 1
+
+
+def test_publish_rows_capped_per_batch(spark, tmp_path):
+    """VERDICT r1 #5: an oversized micro-batch must not collect()
+    unbounded rows into the driver — the fan-out truncates at
+    config.max_publish_rows."""
+    from dwds_livestream_spark.config import EngineConfig
+
+    logdir = tmp_path / "logs"
+    logdir.mkdir()
+    lines = [
+        f'10.0.0.1 - - [08/Dec/2024:23:00:{s % 60:02d} +0000] '
+        f'"GET /wb/w{s} HTTP/1.1" 200 100 "-" "{UA}"'
+        for s in range(50)
+    ]
+    (logdir / "a.log").write_text("\n".join(lines))
+    dim = spark.createDataFrame(
+        [Row(lemma="w1", hidx=None, lemma_type="AR_G", form_type="Hauptform",
+             article_type="Vollartikel", status="x", source="WDG", date=None)],
+        DIMENSION,
+    ).drop("status")
+
+    published: list[list[str]] = []
+    q = start_live_server(
+        spark, str(logdir),
+        dimension_loader=lambda: dim,
+        checkpoint=str(tmp_path / "ckpt"),
+        publish=lambda rows, bid: published.append(rows),
+        trigger={"availableNow": True},
+        config=EngineConfig(max_publish_rows=7),
+    )
+    q.awaitTermination(60)
+    assert published, "no batch published"
+    assert all(len(rows) <= 7 for rows in published)
+    assert sum(len(rows) for rows in published) >= 7  # cap actually hit
