@@ -12,7 +12,13 @@ start_fact_sink}.
 
 Usage:
   python scripts/collect.py JSONL_DIR OUT_PATH \
-      [--jdbc-url URL --jdbc-table T] [--once] [--trigger "1 second"]
+      [--jdbc-url URL --jdbc-table T] [--once] [--trigger "1 second"] \
+      [--http-url http://host/api/jsonl]
+
+With --http-url the reference's live long-poll transport is bridged in:
+an HttpLinePoller sidecar (sources/http_poll.py; reconnect with 3->60 s
+backoff, collector.clj:39-74 parity) spools received lines into
+JSONL_DIR, and the stream consumes them as usual.
 """
 
 from __future__ import annotations
@@ -45,10 +51,17 @@ def main() -> None:
                     help="drain available input and exit (availableNow)")
     ap.add_argument("--trigger", default="1 second")
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--http-url", default=None,
+                    help="long-poll JSONL endpoint to spool into jsonl_dir")
     args = ap.parse_args()
 
     spark = build_session(app_name="dwds-livestream-collect")
     spark.sparkContext.setLogLevel("WARN")
+
+    poller = None
+    if args.http_url:
+        from dwds_livestream_spark.sources.http_poll import HttpLinePoller
+        poller = HttpLinePoller(args.http_url, args.jsonl_dir).start()
 
     enriched = collector_stream(spark, args.jsonl_dir)
     if args.jdbc_url:
@@ -66,7 +79,11 @@ def main() -> None:
     query = start_fact_sink(enriched, writer, checkpoint, trigger=trigger)
     print(f"collecting {args.jsonl_dir} -> "
           f"{args.jdbc_url or args.out}; checkpoint={checkpoint}", flush=True)
-    query.awaitTermination()
+    try:
+        query.awaitTermination()
+    finally:
+        if poller is not None:
+            poller.stop()
 
 
 if __name__ == "__main__":

@@ -49,10 +49,19 @@ def main() -> None:
     )
     ap.add_argument("--trigger", default="1 second")
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--tail-file", default=None,
+                    help="tail ONE live access.log (reference Tailer "
+                         "parity, 1 s poll, rotation reopen) into "
+                         "log_dir via sources/tail.FileTailShim")
     args = ap.parse_args()
 
     spark = build_session(app_name="dwds-livestream-serve")
     spark.sparkContext.setLogLevel("WARN")
+
+    tail = None
+    if args.tail_file:
+        from dwds_livestream_spark.sources.tail import FileTailShim
+        tail = FileTailShim(args.tail_file, args.log_dir).start()
 
     snapshot = DimensionSnapshot(
         lambda: load_dimension_parquet(spark, args.dimension),
@@ -78,6 +87,8 @@ def main() -> None:
     )
 
     def shutdown(*_):
+        if tail is not None:
+            tail.stop()
         query.stop()
         server.stop()
         snapshot.stop()
