@@ -56,6 +56,15 @@ def jdbc_writer(
 ) -> Callable[[DataFrame, int], None]:
     props = dict(properties or {})
     props.setdefault("batchsize", str(config.sink_batch_size))
+    if table == "wb_page_request":
+        # reference DDL parity (collector/001-…up.sql:1-8): VARCHAR
+        # columns, not the dialect's unbounded-string default (Derby/
+        # Oracle map StringType to CLOB, which breaks predicates)
+        props.setdefault(
+            "createTableColumnTypes",
+            "lemma VARCHAR(128), article_type VARCHAR(64), "
+            "article_source VARCHAR(32)",
+        )
 
     def write(batch: DataFrame, batch_id: int) -> None:
         delay = config.sink_retry_base_ms / 1000.0

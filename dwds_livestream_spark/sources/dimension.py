@@ -40,7 +40,10 @@ def load_dimension_jdbc(
     props = dict(properties or {})
     props.setdefault("fetchsize", str(config.jdbc_fetch_size))
     raw = spark.read.jdbc(url, f"({LEMMA_ARTICLE_QUERY}) dim", properties=props)
-    return dedup_dimension(raw)
+    # dialect case-normalization: engines that canonicalize unquoted
+    # identifiers to UPPER (Derby, Oracle, H2) hand back uppercase
+    # result columns for the same query MySQL answers in lowercase
+    return dedup_dimension(raw.toDF(*[c.lower() for c in raw.columns]))
 
 
 def load_dimension_parquet(spark: SparkSession, path: str) -> DataFrame:

@@ -1,0 +1,148 @@
+"""Live-JDBC smoke (VERDICT r1 'What's missing' #4): round-trip the
+collector's JDBC writer + idempotent ledger and the S3 dimension scan
+through embedded Apache Derby — the JDBC engine already on Spark's
+classpath — so the quoting/dialect/batching edges actually execute
+instead of being shape-only.
+
+Derby stands in for the reference's MySQL/Postgres: same java.sql
+surface, same Spark JDBC write/read path (DerbyDialect), running
+in-process so no external service is needed.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def derby_url(spark, tmp_path_factory):
+    home = tmp_path_factory.mktemp("derby")
+    jvm = spark._jvm
+    jvm.java.lang.System.setProperty("derby.system.home", str(home))
+    jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", str(home / "derby.log")
+    )
+    return f"jdbc:derby:{home}/db;create=true"
+
+
+def _execute(spark, url: str, *statements: str) -> None:
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        for sql in statements:
+            st.execute(sql)
+        st.close()
+    finally:
+        conn.close()
+
+
+def _query_one(spark, url: str, sql: str):
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        rs = conn.createStatement().executeQuery(sql)
+        rs.next()
+        return rs.getLong(1)
+    finally:
+        conn.close()
+
+
+def test_jdbc_writer_batches_and_idempotent_ledger(spark, derby_url, tmp_path):
+    """128-row batched appends land; a replayed batch id is skipped by
+    the ledger instead of double-inserting (SURVEY §1.4 upgrade)."""
+    from dwds_livestream_spark.sinks.fact_sink import (
+        idempotent,
+        jdbc_writer,
+        start_fact_sink,
+    )
+    from dwds_livestream_spark.streaming.pipeline import collector_stream
+
+    src = tmp_path / "jsonl"
+    src.mkdir()
+
+    def event(lemma, hidx=None):
+        e = {"timestamp": "2024-12-08T23:00:18Z", "lemma": lemma,
+             "lemma_type": "AR_G", "form_type": "Hauptform",
+             "article_type": "Vollartikel", "source": "WDG",
+             "date": "1974-01-01"}
+        if hidx is not None:
+            e["hidx"] = hidx
+        return json.dumps(e)
+
+    n = 300  # > 2 full 128-row JDBC batches
+    (src / "b1.jsonl").write_text(
+        "\n".join(event(f"wort{i}") for i in range(n - 1))
+        + "\n" + event("Band", 1)
+    )
+
+    ledger = str(tmp_path / "ledger")
+    writer = idempotent(jdbc_writer(derby_url, "wb_page_request"), ledger)
+    q = start_fact_sink(
+        collector_stream(spark, str(src)),
+        writer,
+        checkpoint=str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+
+    assert _query_one(
+        spark, derby_url, 'SELECT COUNT(*) FROM wb_page_request'
+    ) == n
+
+    # replay batch 0 through the same writer: ledger must skip it
+    replay = spark.read.jdbc(derby_url, "wb_page_request").limit(5)
+    writer(replay, 0)
+    assert _query_one(
+        spark, derby_url, 'SELECT COUNT(*) FROM wb_page_request'
+    ) == n
+
+    # and without the ledger the same call WOULD double-insert —
+    # proving the test can actually detect the failure mode
+    jdbc_writer(derby_url, "wb_page_request")(replay, 0)
+    assert _query_one(
+        spark, derby_url, 'SELECT COUNT(*) FROM wb_page_request'
+    ) == n + 5
+
+    # the encode path survived the dialect round-trip
+    got = spark.read.jdbc(derby_url, "wb_page_request")
+    row = got.where("lemma = 'Band#1'").first()
+    assert row is not None
+    assert row.ts == dt.datetime(2024, 12, 8, 23, 0, 18)
+    assert row.article_date == dt.date(1974, 1, 1)
+
+
+def test_load_dimension_jdbc_pushed_join_and_dedup(spark, derby_url):
+    """S3: the lemma ⋈ article join runs inside the database (the scan
+    Spark sees is the joined subquery) and argmin-dedup lands on the
+    engine's uppercase-canonicalized result columns."""
+    from dwds_livestream_spark.sources.dimension import load_dimension_jdbc
+
+    _execute(
+        spark,
+        derby_url,
+        "CREATE TABLE lemma (lemma VARCHAR(128), hidx INT, "
+        "type VARCHAR(16), form_type VARCHAR(32), article_id INT)",
+        "CREATE TABLE article (id INT, type VARCHAR(32), "
+        "status VARCHAR(16), source VARCHAR(16), date DATE)",
+        "INSERT INTO article VALUES "
+        "(1, 'Vollartikel', 'Red-f', 'WDG', '1974-01-01'), "
+        "(2, 'Vollartikel', 'Red-f', 'DWDS', '2020-05-05')",
+        "INSERT INTO lemma VALUES "
+        "('Band', 2, 'AR_G', 'Hauptform', 1), "
+        "('Band', 1, 'AR_G', 'Hauptform', 2), "
+        "('obskur', NULL, 'AR_G', 'Hauptform', 1)",
+    )
+    dim = load_dimension_jdbc(spark, derby_url)
+    rows = {r.lemma: r for r in dim.collect()}
+    assert set(rows) == {"Band", "obskur"}
+    assert rows["Band"].hidx == 1  # argmin over hidx
+    assert rows["Band"].source == "DWDS"  # joined article payload
+    assert rows["obskur"].hidx is None  # nil kept, ranked as 0
+    assert dim.columns == [
+        "lemma", "hidx", "lemma_type", "form_type",
+        "article_type", "status", "source", "date",
+    ]
