@@ -79,9 +79,15 @@ BOT_PATTERNS: tuple[str, ...] = (
     r"(?i)selenium",
     r"(?i)playwright",
     r"(?i)puppeteer",
+    # API development / testing tools
+    r"(?i)^postman",
+    r"(?i)^insomnia/",
+    r"(?i)^httpie/",
     # monitoring / feed / preview agents
     r"(?i)pingdom|uptimerobot|statuscake|site24x7",
     r"(?i)feed(?:fetcher|parser|burner|validator)",
+    r"(?i)rss\b",
+    r"(?i)\bdaemon\b",
     r"(?i)w3c_validator",
     r"(?i)\bmonitor(?:ing)?\b",
     r"(?i)preview\b",
@@ -91,6 +97,7 @@ BOT_PATTERNS: tuple[str, ...] = (
     r"^[^\s]{50,}$",
     r"\(\)",
     r"(?i)^mozilla/\d\.\d$",
+    r"(?i)^mozilla/\d\.\d\s\(compatible;?\)$",
     r"^-?$",
     r"@[a-z][\w-]+\.",
 )
