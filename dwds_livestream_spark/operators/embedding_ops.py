@@ -1,0 +1,199 @@
+"""Embedding-matrix operators: distributed covariance/PCA and int8
+quantization — the linear-algebra prep steps of an embedding-heavy
+training-data pipeline (whitening/dim-reduction before ANN, compressed
+vector storage).
+
+Scale shapes:
+
+- Covariance/PCA: the d×d covariance is the classic one-pass
+  partial-sum reduction — each partition folds its vectors into
+  (count, Σx, ΣxxT) with one BLAS syrk-style accumulation inside an
+  Arrow batch iterator, and only d²-sized partials cross the wire
+  (mapInPandas + a d²-row aggregate; corpus size never shuffles). The
+  eigendecomposition of the d×d result is driver-side numpy — d is
+  model-embedding-sized (64..4096), not data-sized. Projection back
+  onto the top-k components is a broadcast matmul, map-only.
+- Quantization: per-dimension min/max is a posexplode + groupBy(dim)
+  with map-side partial aggregation (d-row result), broadcast back as
+  arrays; the quantize step is an in-row ``F.transform`` — whole-stage
+  codegen, no Python, no shuffle.
+
+No reference parity: the 956-line reference has no embedding surface;
+these serve the project brief's LLM-pipeline layer (SURVEY.md §7
+Phase 5) next to operators/similarity.py and clustering.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "embedding_covariance",
+    "embedding_pca",
+    "dimension_bounds",
+    "quantize_embeddings",
+]
+
+
+def _as_matrix(pdf_iter, vec_col: str):
+    for pdf in pdf_iter:
+        if len(pdf):
+            yield np.stack(pdf[vec_col].to_numpy()).astype(np.float64), pdf
+
+
+def embedding_covariance(
+    df: DataFrame, vec_col: str = "embedding", sample: bool = False
+) -> DataFrame:
+    """Population (or ``sample``) covariance of the embedding matrix as
+    (i, j, cov) rows — one pass, d²-sized shuffle.
+
+    Each partition emits its partial (n, Σx_i, Σx_i·x_j) exploded to
+    (i, j, n, sx_i, sx_j, sxy) rows; a single groupBy(i, j) sums the
+    partials and finishes cov = Σxy/n − μ_i·μ_j. Numerically this is
+    the textbook one-pass form — fine for unit-scale embeddings;
+    mean-shift first if your vectors have huge offsets.
+    """
+
+    def partials(it):
+        import pandas as pd  # noqa: PLC0415
+
+        for m, _ in _as_matrix(it, vec_col):
+            d = m.shape[1]
+            xtx = m.T @ m  # d×d syrk, one BLAS call per batch
+            sx = m.sum(axis=0)
+            ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel().astype(np.int32),
+                    "j": jj.ravel().astype(np.int32),
+                    "n": np.full(d * d, len(m), dtype=np.int64),
+                    "sx_i": sx[ii.ravel()],
+                    "sx_j": sx[jj.ravel()],
+                    "sxy": xtx.ravel(),
+                }
+            )
+
+    p = df.select(vec_col).mapInPandas(
+        partials, "i int, j int, n long, sx_i double, sx_j double, sxy double"
+    )
+    agg = p.groupBy("i", "j").agg(
+        F.sum("n").alias("n"),
+        F.sum("sx_i").alias("sx_i"),
+        F.sum("sx_j").alias("sx_j"),
+        F.sum("sxy").alias("sxy"),
+    )
+    denom = F.col("n") - F.lit(1) if sample else F.col("n")
+    mean_term = (F.col("sx_i") / F.col("n")) * (F.col("sx_j") / F.col("n"))
+    cov = (F.col("sxy") - F.col("n") * mean_term) / denom
+    return agg.select("i", "j", cov.alias("cov"))
+
+
+def embedding_pca(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    payload: list[str] | None = None,
+) -> DataFrame:
+    """Project embeddings onto their top-``k`` principal components.
+
+    Covariance via :func:`embedding_covariance` (one distributed
+    pass), eigendecomposition driver-side on the d×d matrix (numpy
+    ``eigh``; components sign-fixed so the largest-|loading| entry is
+    positive — deterministic across BLAS builds), projection as a
+    broadcast matmul in one Arrow batch pass. Output: id, payload
+    columns, ``pc`` (array<double> length k, centered projection).
+    """
+    cov_rows = embedding_covariance(df, vec_col).collect()
+    d = max(r["i"] for r in cov_rows) + 1
+    cov = np.zeros((d, d))
+    for r in cov_rows:
+        cov[r["i"], r["j"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    comps = vecs[:, ::-1][:, :k]  # d×k, top-k by eigenvalue
+    for c in range(comps.shape[1]):
+        if comps[np.abs(comps[:, c]).argmax(), c] < 0:
+            comps[:, c] = -comps[:, c]
+
+    # mean for centering: cheap d-sized aggregate
+    mean = np.array(
+        df.agg(
+            *[
+                F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"m{i}")
+                for i in range(d)
+            ]
+        ).first()
+    )
+
+    keep = [id_col, *(payload or [])]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*keep).schema.fields
+    )
+
+    def project(it):
+        for m, pdf in _as_matrix(it, vec_col):
+            out = pdf[keep].copy()
+            out["pc"] = list((m - mean) @ comps)
+            yield out
+
+    return df.select(*keep, vec_col).mapInPandas(
+        project, f"{schema}, pc array<double>"
+    )
+
+
+def dimension_bounds(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension (dim, mn, mx) over the corpus — posexplode +
+    one map-side-combined groupBy; output is d rows."""
+    ex = df.select(F.posexplode(vec_col).alias("dim", "x"))
+    return ex.groupBy("dim").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 256,
+) -> DataFrame:
+    """Per-dimension affine int8-style quantization:
+    q = floor((x − mn_d) / ((mx_d − mn_d) / (levels−1))), clamped to
+    [0, levels−1]; constant dimensions quantize to 0.
+
+    The d-row bounds fold into two broadcast arrays (sort_array over
+    collect_list keeps dimension order deterministic) and the quantize
+    itself is an in-row ``F.transform`` with index — whole-stage
+    codegen, zero shuffle on the corpus side. Output: (id, qvec).
+    """
+    b = dimension_bounds(df, vec_col)
+    bounds = b.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "mn"))), lambda s: s.mn
+        ).alias("__mns"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "mx"))), lambda s: s.mx
+        ).alias("__mxs"),
+    )
+    span = F.lit(levels - 1)
+
+    def quant(x, i):
+        mn = F.element_at(F.col("__mns"), i + 1).cast("double")
+        mx = F.element_at(F.col("__mxs"), i + 1).cast("double")
+        q = F.floor((x.cast("double") - mn) / ((mx - mn) / span))
+        return (
+            F.when(mx == mn, F.lit(0))
+            .otherwise(F.least(span, F.greatest(F.lit(0), q)))
+            .cast("int")
+        )
+
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), quant).alias("qvec"),
+        )
+    )

@@ -1393,3 +1393,74 @@ SELECT doc_id, source,
                   ELSE 0.0 END, 6) AS z
 FROM documents
 """
+
+
+# -------------------------------------------------- embedding matrix ops
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-style per-dimension affine quantization of the embedding
+    corpus (operators/embedding_ops.quantize_embeddings): d-row bounds
+    broadcast back as arrays, quantize as an in-row F.transform —
+    whole-stage codegen, zero corpus-side shuffle. The oracle mirrors
+    the exact floor/clamp arithmetic per (vec, dim) and re-assembles
+    arrays with list(... ORDER BY dim)."""
+    from ..operators.embedding_ops import quantize_embeddings
+
+    return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+ORACLE_EMBEDDING_QUANTIZE = """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+b AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY dim),
+q AS (SELECT vec_id, e.dim,
+        CASE WHEN mx = mn THEN 0
+             ELSE LEAST(255, GREATEST(0,
+                  CAST(FLOOR((x - mn) / ((mx - mn) / 255)) AS INT))) END AS qv
+      FROM ex e JOIN b ON e.dim = b.dim)
+SELECT vec_id, list(qv ORDER BY dim) AS qvec FROM q GROUP BY vec_id
+"""
+
+
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance of the embedding matrix as (i, j, cov)
+    rows (operators/embedding_ops.embedding_covariance): one Arrow
+    pass folds each partition into d² partials (BLAS syrk), only d²
+    rows shuffle — corpus size never does. The oracle is the
+    independent O(n·d²) self-join formulation."""
+    from ..operators.embedding_ops import embedding_covariance
+
+    cov = embedding_covariance(_t(spark, sf_dir, "embeddings"))
+    # + 0.0 canonicalizes IEEE negative zero after rounding (both sides)
+    return cov.select("i", "j", (F.round("cov", 6) + F.lit(0.0)).alias("cov"))
+
+
+ORACLE_EMBEDDING_COVARIANCE = """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings)
+SELECT a.dim AS i, b.dim AS j,
+       ROUND((SUM(a.x * b.x) - COUNT(*) * AVG(a.x) * AVG(b.x))
+             / COUNT(*), 6) + 0.0 AS cov
+FROM ex a JOIN ex b ON a.vec_id = b.vec_id
+GROUP BY 1, 2
+"""
+
+
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 principal-component projection of the embeddings
+    (operators/embedding_ops.embedding_pca): distributed covariance →
+    driver-side d×d eigh (sign-fixed) → broadcast-matmul projection.
+    Rows-only (eigenvectors aren't SQL); numpy full-PCA parity is
+    asserted in tests/test_embedding_ops.py."""
+    from ..operators.embedding_ops import embedding_pca
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_pca(emb, k=8, payload=["label"])
+    return out.select(
+        "vec_id",
+        "label",
+        F.transform("pc", lambda x: F.round(x, 6)).alias("pc"),
+    )
