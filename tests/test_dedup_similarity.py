@@ -200,31 +200,83 @@ def test_levenshtein_band_blocking_exact(spark):
     assert (1, 3) in got  # cross-band pair found despite boundary
 
 
-def test_lsh_cluster_pair_recall_vs_exact(spark):
-    """dedup_clusters_lsh (VERDICT r1 #3): same-cluster pair recall of
-    the LSH-fed components vs the exact all-pairs clustering."""
+def _cluster_pairs(df, id_col="vec_id"):
     from itertools import combinations
 
-    from dwds_livestream_spark.plans.llm import (
-        q_dedup_clusters,
-        q_dedup_clusters_lsh,
+    by_cluster: dict[int, list[int]] = {}
+    for r in df.collect():
+        by_cluster.setdefault(r["cluster_id"], []).append(r[id_col])
+    return {
+        p
+        for members in by_cluster.values()
+        for p in combinations(sorted(members), 2)
+    }
+
+
+def test_ann_clusters_match_exact_on_raw_corpus(spark):
+    """dedup_clusters_ann (VERDICT r1 #3): on the raw corpus (no
+    cos>=0.8 pairs by construction) the LSH-fed clustering must
+    reproduce the exact clustering identically — all singletons."""
+    from dwds_livestream_spark.operators.components import (
+        connected_components,
+    )
+    from dwds_livestream_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+    from dwds_livestream_spark.plans.llm import q_dedup_clusters_ann
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact_pairs = embedding_near_dup_pairs(emb, threshold=0.8, exact=True)
+    exact = _cluster_pairs(
+        connected_components(
+            exact_pairs.select("id_a", "id_b"), src="id_a", dst="id_b",
+            nodes=emb, node_col="vec_id",
+        ).select(F.col("node").alias("vec_id"), "cluster_id")
+    )
+    approx = _cluster_pairs(q_dedup_clusters_ann(spark, SF_DIR))
+    assert approx == exact  # both all-singleton on this corpus
+
+
+def test_ann_cluster_pair_recall_on_planted_duplicates(spark):
+    """The quality gate at the ANN twin's operating point: plant
+    seeded near-duplicates (cos >= ~0.9) into the corpus, then require
+    >=0.95 same-cluster pair recall of the LSH-fed components vs the
+    exact all-pairs clustering, and exact precision (every LSH edge is
+    cosine-verified, so no false merges beyond real edges)."""
+    import numpy as np
+
+    from dwds_livestream_spark.operators.components import (
+        connected_components,
+    )
+    from dwds_livestream_spark.operators.similarity import (
+        embedding_near_dup_pairs,
     )
 
-    def cluster_pairs(df):
-        by_cluster: dict[int, list[int]] = {}
-        for r in df.collect():
-            by_cluster.setdefault(r["cluster_id"], []).append(r["vec_id"])
-        return {
-            p
-            for members in by_cluster.values()
-            for p in combinations(sorted(members), 2)
-        }
+    rows = load_table(spark, SF_DIR, "embeddings").collect()
+    rng = np.random.default_rng(7)
+    planted = []
+    for r in rows:
+        v = np.array(r.embedding, dtype=np.float64)
+        planted.append((int(r.vec_id), [float(x) for x in v]))
+        if r.vec_id % 3 == 0:  # one perturbed twin per third vector
+            noise = rng.normal(0, 0.08 * np.linalg.norm(v) / np.sqrt(len(v)), len(v))
+            w = v + noise
+            planted.append((int(r.vec_id) + 100_000, [float(x) for x in w]))
+    emb = spark.createDataFrame(planted, "vec_id long, embedding array<double>")
 
-    exact = cluster_pairs(q_dedup_clusters(spark, SF_DIR))
-    approx = cluster_pairs(q_dedup_clusters_lsh(spark, SF_DIR))
-    assert exact, "exact clustering produced no multi-member clusters"
+    def clusters(pairs):
+        return connected_components(
+            pairs.select("id_a", "id_b"), src="id_a", dst="id_b",
+            nodes=emb, node_col="vec_id",
+        ).select(F.col("node").alias("vec_id"), "cluster_id")
+
+    exact = _cluster_pairs(
+        clusters(embedding_near_dup_pairs(emb, threshold=0.8, exact=True))
+    )
+    approx = _cluster_pairs(
+        clusters(embedding_near_dup_pairs(emb, threshold=0.8, exact=False))
+    )
+    assert len(exact) >= 100  # the planted twins are really there
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.95, f"cluster-pair recall {recall} on {len(exact)}"
-    # precision is exact by construction (every LSH edge is
-    # cosine-verified), so approx pairs only merge via real edges
-    assert approx <= exact or len(approx - exact) / len(approx) < 0.05
+    assert approx <= exact  # verified edges => no spurious merges

@@ -16,7 +16,7 @@ ROWS_ONLY = {
     "multimodal_features",
     "misra_gries_topk",
     "kmeans_clusters",
-    "dedup_clusters_lsh",  # recall gate: tests/test_dedup_similarity.py
+    "dedup_clusters_ann",  # recall gate: tests/test_dedup_similarity.py
     "embedding_pca",  # numpy parity: tests/test_embedding_ops.py
 }
 
