@@ -2404,9 +2404,12 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked against the same recurrence unrolled in SQL.
 
     Scale: each iteration is one join + one keyed aggregate (the
-    standard map-reduce PageRank); degrees and edges are reused
-    across iterations, so at 100 TB you cache/bucket `edges` once and
-    every iteration shuffles only (node, contribution) pairs.
+    standard map-reduce PageRank). The adjacency is joined with its
+    degrees ONCE, hash-partitioned on the join key, and cached — the
+    cached InMemoryTableScan keeps that partitioning, so per iteration
+    only the node-sized rank table shuffles to meet it, plus the
+    (node, contribution) aggregate; the edge set itself never moves
+    again. At 100 TB the cache becomes a bucketed table on `a`.
     Bidirectional edges mean no dangling mass to redistribute.
     """
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -2421,16 +2424,16 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = e0.unionAll(
         e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).cache()  # reused by all 3 iterations — without this every pass
-    # re-runs the orders x lineitem join
-    deg = edges.groupBy("a").agg(F.count("*").alias("deg")).cache()
-    n = deg.count()
-    rank = deg.select("a", F.lit(1.0 / n).alias("r"))
+    ).repartition("a")
+    deg = edges.groupBy("a").agg(F.count("*").alias("deg"))
+    ed = edges.join(deg, "a").select("a", "b", "deg").cache()
+    n = ed.select("a").distinct().count()  # one job, fills the cache
+    rank = ed.select("a").distinct().select(
+        "a", F.lit(1.0 / n).alias("r")
+    )
     for _ in range(3):
-        contrib = (
-            edges.join(rank, "a")
-            .join(deg, "a")
-            .select(F.col("b").alias("a"), (F.col("r") / F.col("deg")).alias("c"))
+        contrib = ed.join(rank, "a").select(
+            F.col("b").alias("a"), (F.col("r") / F.col("deg")).alias("c")
         )
         rank = contrib.groupBy("a").agg(
             (F.lit(0.15 / n) + F.lit(0.85) * F.sum("c")).alias("r")
