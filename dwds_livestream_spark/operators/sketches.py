@@ -29,7 +29,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -39,13 +39,16 @@ def heavy_hitters(
 ) -> DataFrame:
     """Exact frequent items: values of ``col`` whose frequency is
     ≥ ``min_share`` of all rows. One keyed shuffle; the global total is
-    a window over the aggregated (small) result, not a second scan."""
+    a 1-row aggregate of the counts broadcast back — NOT an
+    unpartitioned window, which would funnel every distinct item
+    through one task at high cardinality."""
     counts = df.groupBy(F.col(col).alias("item")).agg(
         F.count("*").alias("cnt")
     )
-    total = F.sum("cnt").over(Window.partitionBy())
+    total = counts.agg(F.sum("cnt").alias("__total"))
     return (
-        counts.withColumn("share", F.round(F.col("cnt") / total, 6))
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("cnt") / F.col("__total"), 6))
         .where(F.col("share") >= min_share)
         .select("item", "cnt", "share")
     )
