@@ -112,6 +112,25 @@ def main() -> None:
     plan = s._jdf.queryExecution().executedPlan().toString()
     report("salted_hot_key_join", rows, t0, plan, "Join")
 
+    # distributed_rank at scale: exact global row_number with NO
+    # single-partition sort — every window hash-partitioned by bucket
+    from dwds_livestream_spark.operators.ranking import distributed_rank
+
+    per_user = events.groupBy("user_id").agg(F.sum("value").alias("spend"))
+    t0 = time.perf_counter()
+    rk = distributed_rank(
+        per_user, "spend", descending=True,
+        tiebreakers=[F.col("user_id").asc()], rank_col="rn",
+    )
+    rows = rk.count()
+    plan = rk._jdf.queryExecution().executedPlan().toString()
+    if any(
+        "windowspecdefinition" in ln and "__bucket#" not in ln
+        for ln in plan.splitlines()
+    ):
+        raise SystemExit("distributed_rank: unpartitioned window in plan")
+    report("distributed_rank", rows, t0, plan, "row_number")
+
     # streaming-shape windowed counts (batch form): map-side partials
     t0 = time.perf_counter()
     w = (
