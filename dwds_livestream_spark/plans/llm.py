@@ -757,6 +757,33 @@ def q_misra_gries_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return misra_gries_topk(_words(spark, sf_dir), "word", k=32)
 
 
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct counting per group — the sketch
+    complement to Misra-Gries top-k: per (source), approximate distinct
+    vocabulary size at 2% target rsd next to the exact count.
+
+    Scale: approx_count_distinct is a mergeable fixed-size sketch —
+    map-side partials, one tiny shuffle, O(1) memory per group — where
+    exact COUNT(DISTINCT) must shuffle every (group, word) pair. The
+    exact column here exists for the error measurement; at 100 TB
+    you'd drop it. Rows-only (sketch values are implementation-
+    specific); the ≤5% relative-error gate vs the exact count is
+    tests/test_packing_sketches.py::test_approx_distinct_error_bounded.
+    """
+    per_source = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), r"\s+"), lambda t: F.length(t) > 0
+            )
+        ).alias("word"),
+    )
+    return per_source.groupBy("source").agg(
+        F.approx_count_distinct("word", rsd=0.02).alias("approx_vocab"),
+        F.count_distinct("word").alias("exact_vocab"),
+    )
+
+
 # ---------------------------------------------------- semantic dedup
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup keep/drop decision per vector (exact pair path — the

@@ -99,3 +99,15 @@ def test_semantic_dedup_clustered_matches_exact(spark):
     reps = [r for r in semantic_dedup(emb, threshold=0.5, exact=True)
             .where("keep").collect()]
     assert all(r.vec_id == r.cluster_id for r in reps)
+
+
+def test_approx_distinct_error_bounded(spark):
+    """HLL++ per-source distinct vocab within 5% of exact (2% target
+    rsd leaves headroom for small-group variance)."""
+    from dwds_livestream_spark.plans.llm import q_approx_distinct
+
+    rows = q_approx_distinct(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "no groups"
+    for r in rows:
+        err = abs(r.approx_vocab - r.exact_vocab) / r.exact_vocab
+        assert err <= 0.05, f"{r.source}: {r.approx_vocab} vs {r.exact_vocab}"

@@ -15,6 +15,7 @@ ROWS_ONLY = {
     "winnow_fingerprints",
     "multimodal_features",
     "misra_gries_topk",
+    "approx_distinct",  # error gate: tests/test_packing_sketches.py
     "kmeans_clusters",
     "dedup_clusters_ann",  # recall gate: tests/test_dedup_similarity.py
     "embedding_pca",  # numpy parity: tests/test_embedding_ops.py
