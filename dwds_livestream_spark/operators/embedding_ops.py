@@ -45,36 +45,52 @@ def _as_matrix(pdf_iter, vec_col: str):
 
 
 def embedding_covariance(
-    df: DataFrame, vec_col: str = "embedding", sample: bool = False
+    df: DataFrame,
+    vec_col: str = "embedding",
+    sample: bool = False,
+    include_moments: bool = False,
 ) -> DataFrame:
     """Population (or ``sample``) covariance of the embedding matrix as
     (i, j, cov) rows — one pass, d²-sized shuffle.
 
-    Each partition emits its partial (n, Σx_i, Σx_i·x_j) exploded to
-    (i, j, n, sx_i, sx_j, sxy) rows; a single groupBy(i, j) sums the
+    Each partition folds its ENTIRE Arrow batch iterator into one
+    (n, Σx, XᵀX) accumulator (BLAS syrk per batch) and emits exactly
+    d² partial rows — shuffle volume is d²·#partitions, independent of
+    row count or Arrow batch size. A single groupBy(i, j) sums the
     partials and finishes cov = Σxy/n − μ_i·μ_j. Numerically this is
     the textbook one-pass form — fine for unit-scale embeddings;
     mean-shift first if your vectors have huge offsets.
+
+    ``include_moments=True`` keeps the raw (n, sx_i) columns so
+    downstream consumers (PCA's centering mean) don't need another
+    corpus pass.
     """
 
     def partials(it):
         import pandas as pd  # noqa: PLC0415
 
+        n_rows, sx, xtx = 0, None, None
         for m, _ in _as_matrix(it, vec_col):
-            d = m.shape[1]
-            xtx = m.T @ m  # d×d syrk, one BLAS call per batch
-            sx = m.sum(axis=0)
-            ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
-            yield pd.DataFrame(
-                {
-                    "i": ii.ravel().astype(np.int32),
-                    "j": jj.ravel().astype(np.int32),
-                    "n": np.full(d * d, len(m), dtype=np.int64),
-                    "sx_i": sx[ii.ravel()],
-                    "sx_j": sx[jj.ravel()],
-                    "sxy": xtx.ravel(),
-                }
-            )
+            n_rows += len(m)
+            if sx is None:
+                sx, xtx = m.sum(axis=0), m.T @ m
+            else:
+                sx += m.sum(axis=0)
+                xtx += m.T @ m
+        if sx is None:
+            return  # empty partition: no partials
+        d = len(sx)
+        ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        yield pd.DataFrame(
+            {
+                "i": ii.ravel().astype(np.int32),
+                "j": jj.ravel().astype(np.int32),
+                "n": np.full(d * d, n_rows, dtype=np.int64),
+                "sx_i": sx[ii.ravel()],
+                "sx_j": sx[jj.ravel()],
+                "sxy": xtx.ravel(),
+            }
+        )
 
     p = df.select(vec_col).mapInPandas(
         partials, "i int, j int, n long, sx_i double, sx_j double, sxy double"
@@ -88,7 +104,10 @@ def embedding_covariance(
     denom = F.col("n") - F.lit(1) if sample else F.col("n")
     mean_term = (F.col("sx_i") / F.col("n")) * (F.col("sx_j") / F.col("n"))
     cov = (F.col("sxy") - F.col("n") * mean_term) / denom
-    return agg.select("i", "j", cov.alias("cov"))
+    cols = ["i", "j", cov.alias("cov")]
+    if include_moments:
+        cols += [F.col("n"), F.col("sx_i")]
+    return agg.select(*cols)
 
 
 def embedding_pca(
@@ -101,32 +120,34 @@ def embedding_pca(
     """Project embeddings onto their top-``k`` principal components.
 
     Covariance via :func:`embedding_covariance` (one distributed
-    pass), eigendecomposition driver-side on the d×d matrix (numpy
-    ``eigh``; components sign-fixed so the largest-|loading| entry is
-    positive — deterministic across BLAS builds), projection as a
-    broadcast matmul in one Arrow batch pass. Output: id, payload
-    columns, ``pc`` (array<double> length k, centered projection).
+    pass, moments included — the centering mean falls out of the same
+    pass instead of costing a second corpus scan), eigendecomposition
+    driver-side on the d×d matrix (numpy ``eigh``; components
+    sign-fixed so the largest-|loading| entry is positive —
+    deterministic across BLAS builds), projection as a broadcast
+    matmul in one Arrow batch pass. Output: id, payload columns,
+    ``pc`` (array<double> length k, centered projection).
     """
-    cov_rows = embedding_covariance(df, vec_col).collect()
+    cov_rows = embedding_covariance(
+        df, vec_col, include_moments=True
+    ).collect()
+    if not cov_rows:
+        raise ValueError(
+            "embedding_pca: input has no vectors (empty frame or all-null "
+            f"'{vec_col}')"
+        )
     d = max(r["i"] for r in cov_rows) + 1
     cov = np.zeros((d, d))
+    mean = np.zeros(d)
     for r in cov_rows:
         cov[r["i"], r["j"]] = r["cov"]
+        if r["j"] == 0:
+            mean[r["i"]] = r["sx_i"] / r["n"]
     vals, vecs = np.linalg.eigh(cov)  # ascending
     comps = vecs[:, ::-1][:, :k]  # d×k, top-k by eigenvalue
     for c in range(comps.shape[1]):
         if comps[np.abs(comps[:, c]).argmax(), c] < 0:
             comps[:, c] = -comps[:, c]
-
-    # mean for centering: cheap d-sized aggregate
-    mean = np.array(
-        df.agg(
-            *[
-                F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"m{i}")
-                for i in range(d)
-            ]
-        ).first()
-    )
 
     keep = [id_col, *(payload or [])]
     schema = ", ".join(

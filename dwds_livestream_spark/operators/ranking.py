@@ -122,7 +122,9 @@ def _rank_over_buckets(
         .drop("__bucket", "__bs", "__offset")
     )
     if total_col is not None:
-        total = df.agg(F.count("*").alias(total_col))
+        # derived from the per-bucket counts already computed — not
+        # another full re-scan branch of df
+        total = counts.agg(F.sum("__cnt").alias(total_col))
         out = out.crossJoin(F.broadcast(total))
     return out
 

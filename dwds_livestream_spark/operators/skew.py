@@ -80,7 +80,9 @@ def detect_hot_keys(
     sum of those counts — not a second scan — and the only full-table
     job is the row count used to honor ``min_sample_rows``, which
     callers skip entirely by passing ``approx_rows`` (a catalog
-    estimate or any upper bound is fine; it only sizes the fraction).
+    estimate; err LOW — an under-estimate merely over-samples, while
+    an over-estimate shrinks the realized sample below
+    ``min_sample_rows`` and weakens detection on small tables).
     At 100 TB sample_fraction=0.01 still sees ~1B rows — more than
     enough to find >=5%-share keys; keys the sample misses are exactly
     the keys that did not need salting.

@@ -718,14 +718,21 @@ FROM p GROUP BY source, shard, pack_no
 
 
 # -------------------------------------------- frequency heavy hitters
-def _words(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _words(
+    spark: SparkSession, sf_dir: str, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """One (word) row per whitespace token, lowercased, empties
+    dropped — THE tokenization every vocabulary query shares (fix it
+    here, not per-query). ``keep_cols`` carries document columns
+    (e.g. source) alongside the exploded words."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
+        *keep_cols,
         F.explode(
             F.filter(
                 F.split(F.lower("text"), r"\s+"), lambda t: F.length(t) > 0
             )
-        ).alias("word")
+        ).alias("word"),
     )
 
 
@@ -770,14 +777,7 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     specific); the ≤5% relative-error gate vs the exact count is
     tests/test_packing_sketches.py::test_approx_distinct_error_bounded.
     """
-    per_source = _t(spark, sf_dir, "documents").select(
-        "source",
-        F.explode(
-            F.filter(
-                F.split(F.lower("text"), r"\s+"), lambda t: F.length(t) > 0
-            )
-        ).alias("word"),
-    )
+    per_source = _words(spark, sf_dir, keep_cols=("source",))
     return per_source.groupBy("source").agg(
         F.approx_count_distinct("word", rsd=0.02).alias("approx_vocab"),
         F.count_distinct("word").alias("exact_vocab"),

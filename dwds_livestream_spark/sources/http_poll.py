@@ -90,12 +90,13 @@ class HttpLinePoller:
     def run_forever(self) -> None:
         backoff = self.base_backoff_s
         while not self._stop.is_set():
-            try:
-                got_any = self._drain_one_connection()
-                if got_any:
-                    backoff = self.base_backoff_s  # reset on success
-            except OSError:
-                pass  # fall through to backoff — connect/read failure
+            got_any = self._drain_one_connection()
+            if got_any:
+                # reset once lines were read — even if the connection
+                # then died mid-stream (collector.clj reset-on-read
+                # parity); an error-terminated-but-productive
+                # connection must not escalate to the cap
+                backoff = self.base_backoff_s
             if self._stop.is_set():
                 return
             self._sleep(backoff)
@@ -104,7 +105,14 @@ class HttpLinePoller:
 
     def _drain_one_connection(self) -> bool:
         """Read one connection until EOF/error; spool lines in batches.
-        Returns True if at least one line was read."""
+        Returns True if at least one line was read. Never raises: any
+        connect/read failure (socket OR HTTP-framing — IncompleteRead
+        on a dropped chunked stream is an HTTPException, not an
+        OSError) ends this connection attempt; the caller's backoff
+        loop owns retry. An unexpected error must not kill the daemon
+        thread silently — spooling would stop forever."""
+        import http.client  # noqa: PLC0415
+
         buf: list[str] = []
         last_flush = time.monotonic()
         got_any = False
@@ -126,6 +134,8 @@ class HttpLinePoller:
                         buf, last_flush = [], now
                     if self._stop.is_set():
                         break
+        except (OSError, http.client.HTTPException, ValueError):
+            pass  # dead/garbled connection: keep what we read, reconnect
         finally:
             self._flush(buf)  # connection died or stop: keep what we have
         return got_any

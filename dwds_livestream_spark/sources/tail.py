@@ -99,10 +99,13 @@ class FileTailShim:
         if last_nl < 0:
             return 0
         complete, self._offset = chunk[: last_nl + 1], self._offset + last_nl + 1
+        # frame strictly on \n (str.splitlines would also split on
+        # \v \f \x1c-\x1e  … — an embedded control char in a UA or
+        # URL must not fragment a log line); \r\n handled by rstrip
         lines = [
-            ln
-            for ln in complete.decode(self.encoding, "replace").splitlines()
-            if ln
+            ln.decode(self.encoding, "replace").rstrip("\r")
+            for ln in complete.split(b"\n")
+            if ln.rstrip(b"\r")
         ]
         if lines:
             self._spool(lines)

@@ -158,3 +158,41 @@ def test_shim_feeds_collector_stream_e2e(spark, tmp_path, replay_server):
     q.awaitTermination(60)
     lemmas = sorted(r.lemma for r in spark.read.parquet(out).collect())
     assert lemmas == sorted([f"wort{i}" for i in range(20)] + ["Band#1"])
+
+
+def test_backoff_resets_after_productive_but_dying_connection(tmp_path):
+    """A connection that delivered lines and THEN died must reset the
+    backoff (collector.clj reset-on-read parity) — not escalate."""
+    sleeps: list[float] = []
+    poller = HttpLinePoller(
+        "http://unused", str(tmp_path / "s"),
+        base_backoff_s=3.0, max_backoff_s=60.0, sleep=sleeps.append,
+    )
+    outcomes = iter([False, False, True, False, False, False])
+
+    def fake_drain():
+        try:
+            return next(outcomes)
+        except StopIteration:
+            poller._stop.set()
+            return False
+
+    poller._drain_one_connection = fake_drain
+    poller.run_forever()
+    # 3, 6 (two failures), reset to 3 after the productive dying
+    # connection, then the fresh failures escalate 6, 12 again
+    assert sleeps == [3.0, 6.0, 3.0, 6.0, 12.0, 24.0]
+
+
+def test_drain_swallows_http_framing_errors(tmp_path, monkeypatch):
+    """IncompleteRead (HTTPException, not OSError) must not kill the
+    poller thread — it ends the attempt and returns normally."""
+    import http.client
+    import urllib.request
+
+    def boom(url, timeout):
+        raise http.client.IncompleteRead(b"partial")
+
+    monkeypatch.setattr(urllib.request, "urlopen", boom)
+    poller = HttpLinePoller("http://unused", str(tmp_path / "s"))
+    assert poller._drain_one_connection() is False  # no raise

@@ -104,3 +104,23 @@ def test_tail_feeds_access_log_pipeline_e2e(spark, tmp_path):
         r.lemma for r in spark.sql("select lemma from tail_e2e").collect()
     )
     assert got == [f"wort{i}" for i in range(5)]
+
+
+def test_tail_does_not_split_on_embedded_control_chars(tmp_path):
+    """Framing is strictly \\n: a vertical-tab/formfeed inside a UA
+    must not fragment the log line (str.splitlines would)."""
+    log = tmp_path / "access.log"
+    spool = tmp_path / "spool"
+    weird = ('a - - [x] "GET /wb/w \x0b\x0c\u2028 HTTP/1.1" 200 1 "-" "UA\x1d"')
+    log.write_text(weird + "\n", newline="")
+    shim = FileTailShim(str(log), str(spool), from_end=False)
+    assert shim.poll_once(attach=True) == 1
+    # read raw: _spooled's splitlines would itself split on
+    # the control chars this test plants
+    raw = [
+        x
+        for f in sorted(spool.glob('*.log'))
+        for x in f.read_text().split('\n')
+        if x
+    ]
+    assert raw == [weird]
