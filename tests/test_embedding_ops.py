@@ -82,3 +82,13 @@ def test_quantize_plan_is_map_only_no_python(spark, embeddings):
     # corpus side: no hashpartitioning exchange (bounds agg is the only
     # exchange, SinglePartition over d-row partials)
     assert "Exchange hashpartitioning" not in plan.split("BroadcastExchange")[0]
+
+
+def test_covariance_single_pass_d2_shuffle(spark, embeddings):
+    """One MapInPandas over the corpus, one hash shuffle of d^2-sized
+    partials — the corpus itself must never shuffle."""
+    df = embedding_covariance(embeddings)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("Exchange hashpartitioning") == 1  # groupBy(i,j)
+    assert "FlatMapGroupsInPandas" not in plan
