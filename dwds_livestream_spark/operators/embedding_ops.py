@@ -35,6 +35,7 @@ __all__ = [
     "embedding_pca",
     "dimension_bounds",
     "quantize_embeddings",
+    "dequantize_embeddings",
 ]
 
 
@@ -217,4 +218,42 @@ def quantize_embeddings(
             F.col(id_col),
             F.transform(F.col(vec_col), quant).alias("qvec"),
         )
+    )
+
+
+def dequantize_embeddings(
+    qdf: DataFrame,
+    bounds: DataFrame,
+    id_col: str = "vec_id",
+    q_col: str = "qvec",
+    levels: int = 256,
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`: x̂ = mn_d + q·scale_d +
+    scale_d/2 (bucket midpoint, so the worst-case reconstruction error
+    is scale_d/2 = (mx_d − mn_d)/(2·(levels−1)) per dimension).
+    ``bounds`` is the :func:`dimension_bounds` frame (store it next to
+    the quantized vectors — it IS the codebook). Same shape as the
+    quantize side: bounds fold to broadcast arrays, reconstruction is
+    an in-row transform, zero corpus shuffle.
+    """
+    folded = bounds.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "mn"))), lambda s: s.mn
+        ).alias("__mns"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "mx"))), lambda s: s.mx
+        ).alias("__mxs"),
+    )
+    span = F.lit(levels - 1)
+
+    def dq(q, i):
+        mn = F.element_at(F.col("__mns"), i + 1).cast("double")
+        mx = F.element_at(F.col("__mxs"), i + 1).cast("double")
+        scale = (mx - mn) / span
+        return F.when(mx == mn, mn).otherwise(
+            mn + q.cast("double") * scale + scale / 2
+        )
+
+    return qdf.crossJoin(F.broadcast(folded)).select(
+        F.col(id_col), F.transform(F.col(q_col), dq).alias("vec")
     )

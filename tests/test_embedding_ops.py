@@ -92,3 +92,27 @@ def test_covariance_single_pass_d2_shuffle(spark, embeddings):
     assert plan.count("MapInPandas") == 1
     assert plan.count("Exchange hashpartitioning") == 1  # groupBy(i,j)
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_quantize_dequantize_error_bound(spark, embeddings, matrix):
+    """Round-trip reconstruction error is bounded by half a bucket per
+    dimension: |x − x̂| ≤ (mx_d − mn_d) / (2·255)."""
+    from dwds_livestream_spark.operators.embedding_ops import (
+        dequantize_embeddings,
+        dimension_bounds,
+    )
+
+    ids, m = matrix
+    bounds = dimension_bounds(embeddings)
+    brows = sorted(bounds.collect(), key=lambda r: r.dim)
+    half_bucket = np.array([(r.mx - r.mn) / (2 * 255) for r in brows])
+
+    q = quantize_embeddings(embeddings)
+    back = dequantize_embeddings(q, bounds)
+    got = {r.vec_id: np.array(r.vec) for r in back.collect()}
+    expected = {i: v for i, v in zip(ids, m)}
+    for vid, x in expected.items():
+        err = np.abs(got[vid] - x)
+        assert (err <= half_bucket + 1e-9).all(), (
+            f"vec {vid}: max err {err.max()}"
+        )
