@@ -146,3 +146,59 @@ def test_load_dimension_jdbc_pushed_join_and_dedup(spark, derby_url):
         "lemma", "hidx", "lemma_type", "form_type",
         "article_type", "status", "source", "date",
     ]
+
+
+def test_jdbc_writer_retries_transient_failures(monkeypatch):
+    """The in-batch retry wrapper (collector.clj:100-105 parity): a
+    transiently failing write is retried with doubling backoff (1 s
+    base, 20 s cap — config defaults) and succeeds without raising."""
+    from dwds_livestream_spark.sinks import fact_sink as fs
+
+    sleeps: list[float] = []
+    monkeypatch.setattr(fs.time, "sleep", sleeps.append)
+
+    attempts = {"n": 0}
+
+    class FakeMode:
+        def jdbc(self, url, table, properties):
+            attempts["n"] += 1
+            if attempts["n"] <= 2:
+                raise RuntimeError("transient")
+
+    class FakeWrite:
+        def mode(self, _):
+            return FakeMode()
+
+    class FakeBatch:
+        write = FakeWrite()
+
+    fs.jdbc_writer("jdbc:derby:unused", "t")(FakeBatch(), 0)
+    assert attempts["n"] == 3  # failed twice, succeeded third
+    assert sleeps == [1.0, 2.0]
+
+
+def test_jdbc_writer_raises_after_backoff_cap(monkeypatch):
+    """A permanently failing sink escalates to the 20 s cap and then
+    raises instead of retrying forever."""
+    import pytest as _pytest
+
+    from dwds_livestream_spark.sinks import fact_sink as fs
+
+    sleeps: list[float] = []
+    monkeypatch.setattr(fs.time, "sleep", sleeps.append)
+
+    class FakeMode:
+        def jdbc(self, url, table, properties):
+            raise RuntimeError("permanent")
+
+    class FakeWrite:
+        def mode(self, _):
+            return FakeMode()
+
+    class FakeBatch:
+        write = FakeWrite()
+
+    with _pytest.raises(RuntimeError, match="permanent"):
+        fs.jdbc_writer("jdbc:derby:unused", "t")(FakeBatch(), 0)
+    assert sleeps[-1] == 20.0  # reached the cap, then raised
+    assert sleeps == [1.0, 2.0, 4.0, 8.0, 16.0, 20.0]
