@@ -385,13 +385,28 @@ def embedding_near_dup_pairs(
             gemm_pairs, "id_a long, id_b long, cosine double"
         )
     else:
-        a = _with_buckets(df, "id_a", id_col, vec_col, dim, n_planes, n_tables)
-        b = _with_buckets(df, "id_b", id_col, vec_col, dim, n_planes, n_tables)
+        # hash ONCE, materialize only (id, table, bucket) — 3 longs per
+        # row; the bucket self-join never shuffles vectors. Vectors are
+        # re-attached to the deduped candidate pairs afterwards (the
+        # same keys-then-reattach shape as minhash_lsh_pairs).
+        keys = _with_buckets(
+            df, "id", id_col, vec_col, dim, n_planes, n_tables,
+            keep_vec=False,
+        ).localCheckpoint()
+        a = keys.select(F.col("id").alias("id_a"), "table", "bucket")
+        b = keys.select(F.col("id").alias("id_b"), "table", "bucket")
         cand = (
             a.join(b, ["table", "bucket"])
             .where(F.col("id_a") < F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )
+        va = df.select(
+            F.col(id_col).alias("id_a"), _as_double(vec_col).alias("id_a_vec")
+        )
+        vb = df.select(
+            F.col(id_col).alias("id_b"), _as_double(vec_col).alias("id_b_vec")
+        )
+        cand = cand.join(va, "id_a").join(vb, "id_b")
     return cand.select(
         "id_a", "id_b", _pair_cosine("id_a_vec", "id_b_vec").alias("cosine")
     ).where(F.col("cosine") >= threshold)
