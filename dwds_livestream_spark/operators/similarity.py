@@ -222,17 +222,38 @@ def lsh_topk(
     """Approximate top-k: only corpus vectors sharing an LSH bucket with
     the query (any table) are scored. Same output shape as cosine_topk;
     recall < 1 by construction — tests measure it against the exact op."""
-    qk = _with_buckets(queries, "query_id", id_col, vec_col, dim, n_planes, n_tables)
-    ck = _with_buckets(corpus, "neighbor_id", id_col, vec_col, dim, n_planes, n_tables)
+    # bucket KEYS only through the join and the candidate dedup
+    # shuffle (3 longs/row); vectors re-attach afterwards — queries by
+    # broadcast, corpus by one keyed join
+    qk = _with_buckets(
+        queries, "query_id", id_col, vec_col, dim, n_planes, n_tables,
+        keep_vec=False,
+    )
+    ck = _with_buckets(
+        corpus, "neighbor_id", id_col, vec_col, dim, n_planes, n_tables,
+        keep_vec=False,
+    )
     cand = (
         ck.join(F.broadcast(qk), ["table", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        _pair_cosine("query_id_vec", "neighbor_id_vec").alias("cosine"),
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("query_id_vec"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("neighbor_id_vec"),
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _pair_cosine("query_id_vec", "neighbor_id_vec").alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
