@@ -202,3 +202,75 @@ def test_jdbc_writer_raises_after_backoff_cap(monkeypatch):
         fs.jdbc_writer("jdbc:derby:unused", "t")(FakeBatch(), 0)
     assert sleeps[-1] == 20.0  # reached the cap, then raised
     assert sleeps == [1.0, 2.0, 4.0, 8.0, 16.0, 20.0]
+
+
+def test_reference_collector_integration_shape(spark, derby_url, tmp_path):
+    """The reference's ONE integration test (collector_test.clj:19-45:
+    live JSONL endpoint -> collector :limit 25 -> Postgres ->
+    COUNT(*) >= 25), re-expressed with this engine's parts: replay
+    HTTP server -> HttpLinePoller shim -> collector_stream ->
+    jdbc_writer into embedded Derby -> count assertion. Same contract,
+    stronger check (exact count, not just >=)."""
+    import threading
+    import time as _time
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from dwds_livestream_spark.sinks.fact_sink import (
+        jdbc_writer,
+        start_fact_sink,
+    )
+    from dwds_livestream_spark.sources.http_poll import HttpLinePoller
+    from dwds_livestream_spark.streaming.pipeline import collector_stream
+
+    limit = 25
+    lines = [
+        json.dumps(
+            {"timestamp": "2024-12-08T23:00:18Z", "lemma": f"wort{i}",
+             "lemma_type": "AR_G", "form_type": "Hauptform",
+             "article_type": "Vollartikel", "source": "WDG",
+             "date": "1974-01-01"}
+        )
+        for i in range(limit)
+    ]
+    stopping = threading.Event()
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):  # noqa: N802
+            self.send_response(200)
+            self.send_header("Connection", "close")
+            self.end_headers()
+            for ln in lines:
+                self.wfile.write(ln.encode() + b"\n")
+            self.wfile.flush()
+            while not stopping.wait(0.05):  # then long-poll idle
+                pass
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    httpd.daemon_threads = True
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}/api/jsonl"
+        spool = tmp_path / "spool"
+        poller = HttpLinePoller(
+            url, str(spool), flush_interval_s=0.05, base_backoff_s=0.05,
+        ).start()
+        deadline = _time.monotonic() + 20
+        while poller.lines_spooled < limit and _time.monotonic() < deadline:
+            _time.sleep(0.05)
+        poller.stop()
+
+        q = start_fact_sink(
+            collector_stream(spark, str(spool)),
+            jdbc_writer(derby_url, "collector_it"),
+            checkpoint=str(tmp_path / "ckpt"),
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+        got = _query_one(spark, derby_url, "SELECT COUNT(*) FROM collector_it")
+        assert got == limit  # reference asserts >=; exact is stronger
+    finally:
+        stopping.set()
+        httpd.shutdown()
