@@ -285,3 +285,114 @@ def word_topk(
         .orderBy(F.desc("cnt"), F.asc("word"))
         .limit(k)
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, "Scaling Language
+    Models", App. A.1.1) as one map-only projection.
+
+    Eight signals, each computed inside the row with higher-order array
+    functions — no explode, no shuffle, the 100 TB scan stays a single
+    codegen'd map stage:
+
+    - n_words in [min_words, max_words]
+    - mean word length in [min_mean_word_len, max_mean_word_len]
+    - symbol-to-word ratio ('#' and '...'/'…') <= max_symbol_word_ratio
+    - fraction of bullet-started lines <= max_bullet_line_frac
+    - fraction of ellipsis-ended lines <= max_ellipsis_line_frac
+    - fraction of words with an alphabetic char >= min_alpha_word_frac
+    - at least min_stop_hits distinct required stopwords present
+
+    ``keep`` is the conjunction. Ratios are rounded to 1e-6 so the
+    DuckDB oracle hash-matches across float formatting.
+    """
+    text = F.col(text_col)
+    toks = tokens(text)
+    low = tokens(F.lower(text))
+    n_words = F.size(toks)
+    n_words_safe = F.greatest(n_words, F.lit(1))
+    mean_wlen = F.round(
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+        )
+        / n_words_safe,
+        6,
+    )
+    n_symbols = (
+        F.coalesce(F.regexp_count(text, F.lit(r"#")), F.lit(0))
+        + F.coalesce(F.regexp_count(text, F.lit(r"\.\.\.")), F.lit(0))
+        + F.coalesce(F.regexp_count(text, F.lit("…")), F.lit(0))
+    )
+    symbol_ratio = F.round(n_symbols / n_words_safe, 6)
+    lines = F.filter(
+        F.split(text, "\n"), lambda ln: F.length(F.trim(ln)) > 0
+    )
+    n_lines_safe = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = F.round(
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.substring(F.ltrim(ln), 1, 1).isin(
+                    "-", "*", "•", "·"
+                ),
+            )
+        )
+        / n_lines_safe,
+        6,
+    )
+    ellipsis_frac = F.round(
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.rtrim(ln).endswith("...")
+                | F.rtrim(ln).endswith("…"),
+            )
+        )
+        / n_lines_safe,
+        6,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda w: w.rlike("[A-Za-zÀ-ÿ]")))
+        / n_words_safe,
+        6,
+    )
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(
+        F.filter(stop_arr, lambda s: F.array_contains(low, s))
+    )
+    out = df.select(
+        id_col,
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stop_hits") >= min_stop_hits)
+    )
+    return out.withColumn("keep", keep)

@@ -429,3 +429,66 @@ def levenshtein_near_pairs(
         # the threshold — exclude those, not just > max_dist
         .where((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Paragraph-level exact dedup with reassembly (RefinedWeb / Penedo
+    et al. 2023 §3.2): each distinct paragraph is kept only in its FIRST
+    containing document (min doc_id, then min position); every later
+    occurrence is cut, and documents are re-joined from their surviving
+    paragraphs (original order). Documents left with zero paragraphs
+    drop out.
+
+    Scale design (100 TB): two shuffles, both skew-resistant —
+    1. winner election groups by the paragraph's md5 and reduces to
+       ``min(struct(doc_id, idx))``: partial (map-side) aggregation
+       collapses a boilerplate paragraph repeated 10M times to one row
+       per input partition before the shuffle, so hot paragraphs cannot
+       hot-spot a reducer; only (hash, doc_id, idx) ever shuffles, never
+       paragraph text.
+    2. the winner set joins back on the FULL (hash, doc_id, idx) key —
+       one match per winner, uniformly distributed even when one hash is
+       hot — and reassembly groups by doc_id (uniform by construction).
+
+    ``sep`` is a literal separator (newline by default; use "\\n\\n" for
+    blank-line paragraphs). Output: doc_id, text, n_kept.
+    """
+    import re as _re
+
+    text = F.col(text_col)
+    p = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(text, _re.escape(sep), -1)).alias(
+                "idx", "para"
+            ),
+        )
+        .withColumn("para", F.trim("para"))
+        .where(F.length("para") > 0)
+        .withColumn("__h", F.md5("para"))
+    )
+    winners = (
+        p.groupBy("__h")
+        .agg(F.min(F.struct("doc_id", "idx")).alias("__k"))
+        .select("__h", F.col("__k.doc_id").alias("doc_id"),
+                F.col("__k.idx").alias("idx"))
+    )
+    kept = p.join(winners, ["__h", "doc_id", "idx"])
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                    lambda x: x["para"],
+                ),
+                sep,
+            ).alias("text"),
+            F.count("*").cast("int").alias("n_kept"),
+        )
+    )

@@ -1500,3 +1500,90 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.transform("pc", lambda x: F.round(x, 6)).alias("pc"),
     )
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition/quality rule battery (Rae et al. 2021 A.1.1)
+    over the documents table — one map-only projection, no shuffle
+    (operators/curation.gopher_quality). min_stop_hits=1 because the
+    synthetic corpus draws from a closed vocabulary."""
+    from ..operators.curation import gopher_quality
+
+    return gopher_quality(
+        _t(spark, sf_dir, "documents"), min_stop_hits=1
+    ).orderBy("doc_id")
+
+
+ORACLE_GOPHER_QUALITY = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS low,
+         list_filter(string_split(text, chr(10)), ln -> len(trim(ln)) > 0) AS lines,
+         len(regexp_extract_all(text, '#'))
+           + len(regexp_extract_all(text, '\.\.\.'))
+           + len(regexp_extract_all(text, '…')) AS n_symbols
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_words,
+         ROUND(list_sum(list_transform(toks, x -> len(x))) * 1.0
+               / greatest(len(toks), 1), 6) AS mean_word_len,
+         ROUND(n_symbols * 1.0 / greatest(len(toks), 1), 6) AS symbol_word_ratio,
+         ROUND(len(list_filter(lines,
+                 ln -> substring(ltrim(ln), 1, 1) IN ('-', '*', '•', '·')))
+               * 1.0 / greatest(len(lines), 1), 6) AS bullet_line_frac,
+         ROUND(len(list_filter(lines,
+                 ln -> ends_with(rtrim(ln), '...') OR ends_with(rtrim(ln), '…')))
+               * 1.0 / greatest(len(lines), 1), 6) AS ellipsis_line_frac,
+         ROUND(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-zÀ-ÿ]')))
+               * 1.0 / greatest(len(toks), 1), 6) AS alpha_word_frac,
+         CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                 s -> list_contains(low, s))) AS INT) AS stop_hits
+  FROM t
+)
+SELECT *,
+       n_words BETWEEN 50 AND 100000
+       AND mean_word_len BETWEEN 3.0 AND 10.0
+       AND symbol_word_ratio <= 0.1
+       AND bullet_line_frac <= 0.9
+       AND ellipsis_line_frac <= 0.3
+       AND alpha_word_frac >= 0.8
+       AND stop_hits >= 1 AS keep
+FROM m
+ORDER BY doc_id
+"""
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-exact dedup with reassembly (operators/dedup.py
+    paragraph_dedup; RefinedWeb §3.2). The synthetic docs are
+    single-line, so here each doc is one 'paragraph' — the pytest
+    fixture exercises the multi-paragraph cut-and-reassemble path."""
+    from ..operators.dedup import paragraph_dedup
+
+    return paragraph_dedup(
+        _t(spark, sf_dir, "documents"), sep="\n"
+    ).orderBy("doc_id")
+
+
+ORACLE_PARAGRAPH_DEDUP = r"""
+WITH d AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ps FROM documents
+), g AS (
+  SELECT doc_id, unnest(generate_series(1, len(ps))) AS i, ps FROM d
+), p AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS idx, trim(ps[i]) AS para
+  FROM g WHERE len(trim(ps[i])) > 0
+), w AS (
+  SELECT doc_id, idx, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+  FROM p
+)
+SELECT doc_id,
+       string_agg(para, chr(10) ORDER BY idx) AS text,
+       CAST(count(*) AS INT) AS n_kept
+FROM w WHERE rn = 1
+GROUP BY doc_id
+ORDER BY doc_id
+"""

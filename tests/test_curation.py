@@ -122,3 +122,68 @@ def test_mixture_sample_rates_and_nesting(spark):
     # determinism across replans
     again = {r.doc_id for r in mixture_sample(docs, {"a": 1.0, "b": 0.5}).collect()}
     assert again == prev
+
+
+def test_gopher_quality_signals(spark):
+    from dwds_livestream_spark.operators.curation import gopher_quality
+
+    good = " ".join(
+        ["the quick brown fox jumps over lazy dogs and that"] * 6
+    )  # 60 words, mean len ~4, stopwords: the/and/that/over
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    symbols = "### " * 30 + "w " * 30
+    rows = [
+        Row(doc_id=1, text=good),
+        Row(doc_id=2, text="too short"),
+        Row(doc_id=3, text=bullets),
+        Row(doc_id=4, text=symbols),
+        Row(doc_id=5, text="\n".join(["trailing off..."] * 60)),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality(
+            spark.createDataFrame(rows), min_words=20, min_stop_hits=2
+        ).collect()
+    }
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["n_words"] == 2
+    assert out[3]["bullet_line_frac"] == 1.0 and out[3]["keep"] is False
+    assert out[4]["symbol_word_ratio"] > 0.1 and out[4]["keep"] is False
+    assert out[5]["ellipsis_line_frac"] == 1.0 and out[5]["keep"] is False
+
+
+def test_gopher_quality_is_map_only(docs):
+    from dwds_livestream_spark.operators.curation import gopher_quality
+
+    plan = gopher_quality(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_paragraph_dedup_cuts_later_occurrences(spark):
+    from dwds_livestream_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        Row(doc_id=1, text="alpha beta\nshared boilerplate\ngamma"),
+        Row(doc_id=2, text="shared boilerplate\ndelta epsilon"),
+        Row(doc_id=3, text="shared boilerplate"),
+        Row(doc_id=4, text="  \n\n"),  # all-blank: drops out entirely
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(spark.createDataFrame(rows)).collect()
+    }
+    # doc 1 is the first holder: keeps all three paragraphs in order
+    assert out[1]["text"] == "alpha beta\nshared boilerplate\ngamma"
+    assert out[1]["n_kept"] == 3
+    # doc 2 loses the shared paragraph but keeps its own, order intact
+    assert out[2]["text"] == "delta epsilon" and out[2]["n_kept"] == 1
+    # doc 3 was only the duplicate: gone; doc 4 all-blank: gone
+    assert 3 not in out and 4 not in out
+
+
+def test_paragraph_dedup_first_occurrence_within_doc(spark):
+    from dwds_livestream_spark.operators.dedup import paragraph_dedup
+
+    rows = [Row(doc_id=7, text="x y\nx y\nz")]
+    out = paragraph_dedup(spark.createDataFrame(rows)).collect()[0]
+    assert out["text"] == "x y\nz" and out["n_kept"] == 2
