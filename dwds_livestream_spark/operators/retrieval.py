@@ -26,7 +26,7 @@ distributed inverted index unless query volume is extreme.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
@@ -125,4 +125,48 @@ def inverted_index(
             ).alias("postings"),
         )
         .where(F.col("df") >= min_df)
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    fuse N ranked lists into one by rrf_score = Σ 1/(c + rank_i).
+
+    The standard way to combine lexical (BM25) and semantic (dense
+    cosine) retrieval without score calibration — only RANKS matter, so
+    incomparable score scales fuse cleanly.
+
+    Scale design: inputs are top-k lists (k·N rows total, driver-small
+    by construction — they came out of TakeOrdered/windowed top-k), so
+    the union + groupBy here is a few thousand rows regardless of corpus
+    size; the final global row_number is bounded by k·N, not the data.
+
+    Output: id_col, rrf_score (round 1e-6), n_lists, rank.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    scored = None
+    for r in rankings:
+        s = r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(c) + F.col(rank_col).cast("double"))).alias(
+                "__s"
+            ),
+        )
+        scored = s if scored is None else scored.unionByName(s)
+    fused = scored.groupBy(id_col).agg(
+        F.round(F.sum("__s"), 6).alias("rrf_score"),
+        F.count("*").cast("int").alias("n_lists"),
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return fused.select(
+        id_col,
+        "rrf_score",
+        "n_lists",
+        F.row_number().over(w).cast("int").alias("rank"),
     )

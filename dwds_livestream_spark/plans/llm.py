@@ -1587,3 +1587,68 @@ FROM w WHERE rn = 1
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-k fused with dense-cosine
+    top-k (query = embedding 0) by Reciprocal Rank Fusion
+    (operators/retrieval.rrf_fuse; Cormack et al. 2009). Both inputs
+    are driver-small top-k lists, so the fusion is bounded by k·2 rows
+    at any corpus size."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from ..operators.retrieval import bm25_topk, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(
+        docs, BM25_TERMS, k1=BM25_K1, b=BM25_B, topk=BM25_TOPK
+    ).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .cast("int")
+        .alias("rank"),
+    )
+    sem = cosine_topk(
+        emb, emb.where(F.col("vec_id") == 0), k=BM25_TOPK
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex, sem], c=60)
+
+
+def _oracle_hybrid_rrf() -> str:
+    bm25 = ORACLE_BM25_TOPK.strip().rstrip()
+    return rf"""
+WITH lex_raw AS ({bm25}),
+lex AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM lex_raw),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+un AS (SELECT c.vec_id AS nid, unnest(q.qe) AS x, unnest(c.embedding) AS y
+       FROM q, embeddings c WHERE c.vec_id != 0),
+dots AS (SELECT nid, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS qq,
+                SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS cc
+         FROM un GROUP BY nid),
+sem_r AS (SELECT nid AS doc_id,
+                 CAST(row_number() OVER (
+                   ORDER BY ROUND(dot / (sqrt(qq) * sqrt(cc)), 6) DESC, nid
+                 ) AS INT) AS rank
+          FROM dots),
+sem AS (SELECT doc_id, rank FROM sem_r WHERE rank <= {BM25_TOPK}),
+u AS (
+  SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) AS s FROM lex
+  UNION ALL
+  SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) AS s FROM sem),
+f AS (
+  SELECT doc_id, ROUND(SUM(s), 6) AS rrf_score,
+         CAST(count(*) AS INT) AS n_lists
+  FROM u GROUP BY doc_id)
+SELECT doc_id, rrf_score, n_lists,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+FROM f
+"""
+
+
+ORACLE_HYBRID_RRF = _oracle_hybrid_rrf()

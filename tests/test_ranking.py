@@ -74,3 +74,31 @@ def test_rank_plan_has_no_unpartitioned_window(frame):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "__bucket#" in line
+
+
+def test_rrf_fuse_orders_by_reciprocal_rank_sum(spark):
+    from pyspark.sql import Row
+
+    from dwds_livestream_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [Row(doc_id=1, rank=1), Row(doc_id=2, rank=2), Row(doc_id=3, rank=3)]
+    )
+    sem = spark.createDataFrame(
+        [Row(doc_id=3, rank=1), Row(doc_id=1, rank=2), Row(doc_id=9, rank=3)]
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse([lex, sem], c=60).collect()}
+    # doc 1: 1/61 + 1/62 ; doc 3: 1/63 + 1/61 ; doc 2: 1/62 ; doc 9: 1/63
+    assert out[1]["rank"] == 1 and out[3]["rank"] == 2
+    assert out[2]["rank"] == 3 and out[9]["rank"] == 4
+    assert out[1]["n_lists"] == 2 and out[2]["n_lists"] == 1
+    assert abs(out[1]["rrf_score"] - round(1 / 61 + 1 / 62, 6)) < 1e-9
+
+
+def test_rrf_fuse_empty_raises(spark):
+    import pytest as _pytest
+
+    from dwds_livestream_spark.operators.retrieval import rrf_fuse
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([])
