@@ -101,3 +101,77 @@ def misra_gries_topk(df: DataFrame, col: str, k: int = 64) -> DataFrame:
     )
     merged = partials.groupBy("item").agg(F.sum("weight").alias("weight_lb"))
     return merged.orderBy(F.desc("weight_lb"), "item").limit(k)
+
+
+def _cm_pos(item, d: int, width: int):
+    """Row-d Bloom/CM position: top-32-bits of md5(item + '#d') mod
+    width. md5+conv (not xxhash64) so an external engine (the DuckDB
+    oracle) can reproduce the exact cell layout."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(item, F.lit(f"#{d}"))), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(width),
+    )
+
+
+def countmin_sketch(
+    df: DataFrame, col: str, width: int = 512, depth: int = 4
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) as a depth×width
+    cell-count DataFrame — the distributed-native representation: cells
+    are additive, so the ONE shuffle (groupBy d,pos with automatic
+    map-side partial combine) merges every partition's sub-sketch;
+    sketch size is depth·width rows regardless of input cardinality.
+
+    All hashing is JVM-side codegen (md5+conv) — no Python in the path.
+    Output: d, pos, cnt.
+    """
+    item = F.col(col).cast("string")
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), _cm_pos(item, d, width).alias("pos")
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("s")
+    ).select("s.d", "s.pos")
+    return cells.groupBy("d", "pos").agg(F.count("*").alias("cnt"))
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    col: str,
+    width: int = 512,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-query the sketch for each row of ``items``: est = min over
+    the depth rows of that item's cell counts. Never undercounts;
+    overcounts by ≤ e·N/width with prob ≥ 1 - e^-depth.
+
+    The sketch is depth·width rows → broadcast; the probe never
+    shuffles its payload, only the final per-item min groups (by the
+    item itself, uniform)."""
+    item = F.col(col).cast("string")
+    probe = items.select(
+        item.alias("item"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), _cm_pos(item, d, width).alias("pos")
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("s"),
+    ).select("item", "s.d", "s.pos")
+    joined = probe.join(F.broadcast(sketch), ["d", "pos"], "left")
+    return joined.groupBy("item").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("est")
+    )

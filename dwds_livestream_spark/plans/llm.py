@@ -1652,3 +1652,79 @@ FROM f
 
 
 ORACLE_HYBRID_RRF = _oracle_hybrid_rrf()
+
+
+CM_WIDTH, CM_DEPTH = 64, 4  # narrow width → real collisions at sf0.01
+
+
+def q_countmin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min word-frequency estimates (operators/sketches.py):
+    64×4 cells, md5-cell layout reproduced verbatim by the DuckDB
+    oracle — estimates (including collision overcounts) hash-match
+    exactly. Width is deliberately narrow so the min-over-rows logic is
+    exercised, not vacuous."""
+    from ..operators.sketches import countmin_estimate, countmin_sketch
+
+    words = _t(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("word")
+    )
+    sk = countmin_sketch(words, "word", CM_WIDTH, CM_DEPTH)
+    est = countmin_estimate(sk, words.distinct(), "word", CM_WIDTH, CM_DEPTH)
+    return est.orderBy(F.desc("est"), "item")
+
+
+ORACLE_COUNTMIN_WORDS = rf"""
+WITH w AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                x -> len(x) > 0)) AS word
+  FROM documents
+), occ AS (
+  SELECT word, unnest(generate_series(0, {CM_DEPTH - 1})) AS d FROM w
+), cells AS (
+  SELECT d,
+         CAST(concat('0x', substring(md5(word || '#' || CAST(d AS VARCHAR)), 1, 8))
+              AS BIGINT) % {CM_WIDTH} AS pos,
+         count(*) AS cnt
+  FROM occ GROUP BY 1, 2
+), dw AS (SELECT DISTINCT word FROM w),
+probe AS (
+  SELECT word, unnest(generate_series(0, {CM_DEPTH - 1})) AS d FROM dw
+), hit AS (
+  SELECT p.word AS item,
+         coalesce(c.cnt, 0) AS cnt
+  FROM probe p LEFT JOIN cells c
+    ON c.d = p.d
+   AND c.pos = CAST(concat('0x', substring(md5(p.word || '#' || CAST(p.d AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {CM_WIDTH}
+)
+SELECT item, min(cnt) AS est FROM hit GROUP BY item
+ORDER BY est DESC, item
+"""
+
+
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi-join (operators/bloom.py): orders placed
+    by customers with acctbal > 5000. The Bloom stage prunes the probe
+    with k broadcast position-joins (no probe shuffle); the exact
+    semi-join then sees only survivors — result identical to plain
+    `WHERE o_custkey IN (...)`, which is the oracle."""
+    from ..operators.bloom import bloom_prefilter_semi_join
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 5000)
+    return bloom_prefilter_semi_join(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        cust,
+        key="o_custkey",
+        build_key="c_custkey",
+        m_bits=1 << 14,
+        k_hashes=3,
+    ).orderBy("o_orderkey")
+
+
+ORACLE_BLOOM_SEMI_JOIN = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+ORDER BY o_orderkey
+"""

@@ -111,3 +111,85 @@ def test_approx_distinct_error_bounded(spark):
     for r in rows:
         err = abs(r.approx_vocab - r.exact_vocab) / r.exact_vocab
         assert err <= 0.05, f"{r.source}: {r.approx_vocab} vs {r.exact_vocab}"
+
+
+def test_countmin_never_undercounts(spark):
+    from pyspark.sql import Row
+
+    from dwds_livestream_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    rows = [Row(w=w) for w in ["a"] * 50 + ["b"] * 20 + ["c"] * 5 +
+            [f"rare{i}" for i in range(40)]]
+    df = spark.createDataFrame(rows)
+    # width 8 forces collisions: estimates may overcount, never under
+    sk = countmin_sketch(df, "w", width=8, depth=4)
+    est = {
+        r["item"]: r["est"]
+        for r in countmin_estimate(
+            sk, df.distinct(), "w", width=8, depth=4
+        ).collect()
+    }
+    true = {"a": 50, "b": 20, "c": 5, **{f"rare{i}": 1 for i in range(40)}}
+    assert set(est) == set(true)
+    for k, t in true.items():
+        assert est[k] >= t, (k, est[k], t)
+    # total mass bound: any estimate <= total stream length
+    assert max(est.values()) <= len(rows)
+    # with 115 items in 8 cells somebody MUST have collided
+    assert any(est[k] > true[k] for k in true)
+
+
+def test_countmin_sketch_is_bounded(spark):
+    from pyspark.sql import Row
+
+    from dwds_livestream_spark.operators.sketches import countmin_sketch
+
+    df = spark.createDataFrame([Row(w=f"w{i}") for i in range(500)])
+    sk = countmin_sketch(df, "w", width=16, depth=3).collect()
+    assert len(sk) <= 16 * 3
+    assert sum(r["cnt"] for r in sk) == 500 * 3
+
+
+def test_bloom_semi_join_equals_exact(spark):
+    from pyspark.sql import Row
+
+    from dwds_livestream_spark.operators.bloom import (
+        bloom_prefilter_semi_join,
+    )
+
+    probe = spark.createDataFrame([Row(k=i, v=i * 10) for i in range(1000)])
+    build = spark.createDataFrame([Row(bk=i) for i in range(0, 1000, 7)])
+    got = bloom_prefilter_semi_join(
+        probe, build, key="k", build_key="bk", m_bits=1 << 10, k_hashes=3
+    )
+    exact = probe.join(
+        build.select(F.col("bk").alias("k")), "k", "left_semi"
+    )
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        r["k"] for r in exact.collect()
+    )
+    # the Bloom stage is broadcast joins only — the probe side must not
+    # shuffle before the exact join
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_bloom_positions_prune_misses(spark):
+    from pyspark.sql import Row
+
+    from dwds_livestream_spark.operators.bloom import (
+        bloom_positions,
+        bloom_prefilter_semi_join,
+    )
+
+    # disjoint probe/build: bloom admits ~FP-rate of probe; with
+    # m=2^16 and 10 build keys the FP rate is ~(k*n/m)^k ≈ 1e-9
+    probe = spark.createDataFrame([Row(k=i) for i in range(10_000, 11_000)])
+    build = spark.createDataFrame([Row(k=i) for i in range(10)])
+    assert bloom_prefilter_semi_join(
+        probe, build, key="k", m_bits=1 << 16, k_hashes=3
+    ).count() == 0
+    assert bloom_positions(build, "k", 1 << 16, 3).count() <= 30
