@@ -396,3 +396,55 @@ def gopher_quality(
         & (F.col("stop_hits") >= min_stop_hits)
     )
     return out.withColumn("keep", keep)
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2) as one map-only
+    projection — the line filter, reassembly, and document verdict all
+    happen inside the row with higher-order array functions; a 100 TB
+    scan never shuffles.
+
+    Line rules (a line survives if ALL hold):
+    - ends in terminal punctuation (. ! ? ") after rtrim
+    - has at least ``min_line_words`` words
+    Document rules:
+    - keep = at least ``min_lines`` surviving lines, no '{' anywhere
+      (code/markup tell), no 'lorem ipsum'
+    Output: doc_id, text (surviving lines re-joined), n_lines_kept,
+    keep.
+    """
+    text = F.col(text_col)
+    lines = F.filter(
+        F.split(text, "\n"), lambda ln: F.length(F.trim(ln)) > 0
+    )
+
+    def _line_ok(ln):
+        t = F.rtrim(ln)
+        punct = (
+            t.endswith(".") | t.endswith("!") | t.endswith("?")
+            | t.endswith('"')
+        )
+        words = F.size(
+            F.filter(F.split(ln, r"\s+"), lambda w: F.length(w) > 0)
+        )
+        return punct & (words >= min_line_words)
+
+    kept = F.filter(lines, _line_ok)
+    n_kept = F.size(kept)
+    keep = (
+        (n_kept >= min_lines)
+        & ~text.contains("{")
+        & ~F.lower(text).contains("lorem ipsum")
+    )
+    return df.select(
+        id_col,
+        F.array_join(kept, "\n").alias("text"),
+        n_kept.cast("int").alias("n_lines_kept"),
+        keep.alias("keep"),
+    )

@@ -1728,3 +1728,36 @@ FROM orders
 WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
 ORDER BY o_orderkey
 """
+
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (operators/curation.c4_clean; Raffel et
+    al. 2020 §2.2): map-only line filter + reassembly + doc verdict.
+    The synthetic docs carry no terminal punctuation, so every line is
+    cut here (keep=false throughout) — the pytest fixture exercises the
+    mixed keep/cut paths; this entry oracle-checks the composition."""
+    from ..operators.curation import c4_clean
+
+    return c4_clean(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+ORACLE_C4_CLEAN = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(
+           list_filter(string_split(text, chr(10)), ln -> len(trim(ln)) > 0),
+           ln -> (ends_with(rtrim(ln), '.') OR ends_with(rtrim(ln), '!')
+                  OR ends_with(rtrim(ln), '?') OR ends_with(rtrim(ln), '"'))
+             AND len(list_filter(string_split_regex(ln, '\s+'),
+                                 w -> len(w) > 0)) >= 5
+         ) AS kept
+  FROM documents
+)
+SELECT doc_id,
+       coalesce(array_to_string(kept, chr(10)), '') AS text,
+       CAST(len(kept) AS INT) AS n_lines_kept,
+       len(kept) >= 3 AND NOT contains(text, '{')
+         AND NOT contains(lower(text), 'lorem ipsum') AS keep
+FROM t
+ORDER BY doc_id
+"""

@@ -187,3 +187,39 @@ def test_paragraph_dedup_first_occurrence_within_doc(spark):
     rows = [Row(doc_id=7, text="x y\nx y\nz")]
     out = paragraph_dedup(spark.createDataFrame(rows)).collect()[0]
     assert out["text"] == "x y\nz" and out["n_kept"] == 2
+
+
+def test_c4_clean_line_rules_and_doc_verdict(spark):
+    from dwds_livestream_spark.operators.curation import c4_clean
+
+    good = "\n".join(
+        [
+            "This is a perfectly fine sentence with enough words.",
+            "Another proper sentence that also ends with punctuation!",
+            'Does this one have five words or more?',
+        ]
+    )
+    rows = [
+        Row(doc_id=1, text=good),
+        Row(doc_id=2, text="short line.\nno punct here at all\nAnother good long sentence right here."),
+        Row(doc_id=3, text=good + "\nvar x = {a: 1};"),
+        Row(doc_id=4, text="Lorem ipsum dolor sit amet consectetur adipiscing."),
+    ]
+    out = {r["doc_id"]: r for r in c4_clean(spark.createDataFrame(rows)).collect()}
+    assert out[1]["keep"] is True and out[1]["n_lines_kept"] == 3
+    assert out[1]["text"] == good
+    # doc 2: 'short line.' has <5 words, middle line lacks punct -> 1 kept
+    assert out[2]["n_lines_kept"] == 1 and out[2]["keep"] is False
+    assert out[2]["text"] == "Another good long sentence right here."
+    # doc 3: curly brace anywhere kills the doc even with enough lines
+    assert out[3]["keep"] is False
+    # doc 4: lorem ipsum kills it
+    assert out[4]["keep"] is False
+
+
+def test_c4_clean_is_map_only(spark):
+    from dwds_livestream_spark.operators.curation import c4_clean
+
+    df = spark.createDataFrame([Row(doc_id=1, text="Hello world today is fine.")])
+    plan = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
