@@ -180,6 +180,85 @@ def main() -> None:
     plan = tr._jdf.queryExecution().executedPlan().toString()
     report("trending_preagg", n * 4, t0, plan, "partial_count")
 
+    # Gopher + C4 quality batteries at scale: must stay map-only
+    from dwds_livestream_spark.operators.curation import (  # noqa: PLC0415
+        c4_clean,
+        gopher_quality,
+    )
+
+    t0 = time.perf_counter()
+    g = gopher_quality(docs)
+    rows = g.count()
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    report("gopher_quality", rows, t0, plan, "Project", "Exchange")
+
+    t0 = time.perf_counter()
+    c4 = c4_clean(docs)
+    rows = c4.count()
+    plan = c4._jdf.queryExecution().executedPlan().toString()
+    report("c4_clean", rows, t0, plan, "Project", "Exchange")
+
+    # paragraph dedup at scale: winner election must be a partial-
+    # combined min aggregate (never a Window over the hot hash), and
+    # paragraph text must not appear in the election shuffle
+    from dwds_livestream_spark.operators.dedup import (  # noqa: PLC0415
+        paragraph_dedup,
+    )
+
+    para_docs = spark.range(n // 10).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            "\n",
+            # paragraph drawn from a 10k pool -> heavy duplication, one
+            # hot boilerplate paragraph in every doc
+            F.lit("boilerplate header shared by every single document"),
+            *[
+                F.concat(F.lit("para "), ((F.col("id") * (i + 13)) % 10_000).cast("string"))
+                for i in range(3)
+            ],
+        ).alias("text"),
+    )
+    t0 = time.perf_counter()
+    pd_ = paragraph_dedup(para_docs)
+    rows = pd_.count()
+    plan = pd_._jdf.queryExecution().executedPlan().toString()
+    report("paragraph_dedup", (n // 10) * 4, t0, plan, "partial_min", "Window")
+
+    # bloom prefilter at scale: probe side reaches the exact join only
+    # through k broadcast semi-joins; no probe shuffle before them
+    from dwds_livestream_spark.operators.bloom import (  # noqa: PLC0415
+        bloom_prefilter_semi_join,
+    )
+
+    build = spark.range(100_000).select((F.col("id") * 13).alias("bk"))
+    t0 = time.perf_counter()
+    bl = bloom_prefilter_semi_join(
+        events.select(F.col("event_id").alias("k")), build,
+        key="k", build_key="bk", m_bits=1 << 20, k_hashes=3,
+    )
+    rows = bl.count()
+    plan = bl._jdf.queryExecution().executedPlan().toString()
+    if plan.count("BroadcastHashJoin") < 3:
+        raise SystemExit("bloom_prefilter: expected 3 broadcast position joins")
+    report("bloom_prefilter_semi_join", n, t0, plan, "BroadcastHashJoin")
+
+    # count-min at scale: cell grid bounded, partial combine before the
+    # one shuffle
+    from dwds_livestream_spark.operators.sketches import (  # noqa: PLC0415
+        countmin_sketch,
+    )
+
+    t0 = time.perf_counter()
+    cm = countmin_sketch(
+        events.select((F.col("user_id") % 50_000).alias("w")), "w",
+        width=1024, depth=4,
+    )
+    cells = cm.count()
+    plan = cm._jdf.queryExecution().executedPlan().toString()
+    if cells > 1024 * 4:
+        raise SystemExit("countmin: cell grid exceeded depth*width")
+    report("countmin_sketch", n * 4, t0, plan, "partial_count")
+
     # time-series battery at scale, on the same synthetic events:
     # reuse the registry plans by pointing their table loader at the
     # synthetic frame (same trick the unit tests use).
