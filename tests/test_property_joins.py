@@ -110,3 +110,53 @@ def test_range_join_matches_bruteforce(spark, case):
         if pk == ik and s <= ps < s + d
     }
     assert got == expect
+
+
+# ---- paragraph dedup: global invariants under arbitrary corpora ----
+
+para_word = st.sampled_from(["alpha", "beta", "gamma", "delta", "x"])
+paragraph = st.lists(para_word, min_size=1, max_size=4).map(" ".join)
+doc = st.lists(paragraph, min_size=0, max_size=5).map("\n".join)
+corpus = st.lists(doc, min_size=1, max_size=8)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus)
+def test_paragraph_dedup_invariants(spark, texts):
+    from dwds_livestream_spark.operators.dedup import paragraph_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = paragraph_dedup(df).collect()
+
+    # 1. no paragraph appears twice anywhere in the output corpus
+    all_paras = [p for r in out for p in r["text"].split("\n")]
+    assert len(all_paras) == len(set(all_paras))
+
+    # 2. the set of surviving paragraphs == set of distinct non-blank
+    #    input paragraphs (dedup never loses content, only copies)
+    want = {
+        p.strip()
+        for t in texts
+        for p in t.split("\n")
+        if p.strip()
+    }
+    assert set(all_paras) == want
+
+    # 3. each paragraph survives in its FIRST containing document, and
+    #    per-doc order is preserved
+    first_holder = {}
+    for i, t in enumerate(texts):
+        for j, p in enumerate(p.strip() for p in t.split("\n")):
+            if p and p not in first_holder:
+                first_holder[p] = (i, j)
+    for r in out:
+        paras = r["text"].split("\n")
+        assert all(first_holder[p][0] == r["doc_id"] for p in paras)
+        idxs = [first_holder[p][1] for p in paras]
+        assert idxs == sorted(idxs)
+        assert r["n_kept"] == len(paras)

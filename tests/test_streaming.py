@@ -200,3 +200,56 @@ def test_malformed_lines_observed_and_dropped(spark, tmp_path):
         spark.streams.removeListener(listener)
     assert [r.lemma for r in rows] == ["obskur"]
     assert listener.totals.get("malformed") == 2
+
+
+def test_curation_operators_are_stream_generic(spark, tmp_path):
+    """Design-stance proof (SURVEY.md §7): the quality batteries are
+    pure DataFrame->DataFrame transforms, so the SAME function runs on
+    a readStream frame — batch/stream parity without code changes."""
+    import json
+
+    from dwds_livestream_spark.operators.curation import (
+        c4_clean,
+        gopher_quality,
+    )
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "A good sentence with five words here."},
+        {"doc_id": 2, "text": "no"},
+    ]
+    (src / "b0.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in rows) + "\n"
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(src))
+    )
+    out = tmp_path / "out"
+    ck = tmp_path / "ck"
+    q = (
+        c4_clean(gopher_quality(stream).join(
+            stream.select("doc_id", "text"), "doc_id"
+        ).select("doc_id", "text"))
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ck))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    batch = {
+        r["doc_id"]: r
+        for r in c4_clean(
+            spark.read.schema("doc_id long, text string").json(str(src))
+        ).collect()
+    }
+    assert set(got) == {1, 2}
+    for k in got:
+        assert got[k]["n_lines_kept"] == batch[k]["n_lines_kept"]
+        assert got[k]["keep"] == batch[k]["keep"]
