@@ -1761,3 +1761,21 @@ SELECT doc_id,
 FROM t
 ORDER BY doc_id
 """
+
+
+def q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVF ANN: build the cell-partitioned index
+    (operators/ann_index.py) in a scratch dir, then answer top-k via
+    partition-pruned scans. Rows-only (approximate by construction);
+    identity-with-ivf_topk + pruning-plan gates live in
+    tests/test_ann_index.py."""
+    import tempfile
+
+    from ..operators.ann_index import ivf_index_query, ivf_index_write
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_idx_") + "/idx"
+    ivf_index_write(emb, path, n_centroids=16)
+    return ivf_index_query(
+        spark, path, emb.where(F.col("vec_id") < 10), k=10, nprobe=4
+    )
