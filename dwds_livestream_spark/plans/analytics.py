@@ -2813,3 +2813,37 @@ SELECT event_id, user_id, ts,
 FROM events
 WHERE event_type = 'purchase' AND value IS NOT NULL
 """
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the supplier co-order graph (suppliers that
+    appear on the same order are adjacent) — degree-ordered orientation
+    (operators/graph.py) vs the oracle's independent id-ordered 3-way
+    join. Supplier pairs per order are a small quadratic (orders hold
+    ~4-7 lineitems), and the orientation bounds the wedge join at
+    O(sqrt(|E|)) out-degree regardless of hub suppliers."""
+    from ..operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .where(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .select(
+            F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b")
+        )
+    )
+    return triangle_count(pairs)
+
+
+ORACLE_TRIANGLE_COUNT = """
+WITH pairs AS (
+  SELECT DISTINCT x.l_suppkey AS u, y.l_suppkey AS v
+  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_suppkey < y.l_suppkey
+)
+SELECT count(*) AS n_triangles
+FROM pairs e1
+JOIN pairs e2 ON e1.u = e2.u AND e1.v < e2.v
+JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v
+"""
