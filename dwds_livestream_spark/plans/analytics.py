@@ -2847,3 +2847,15 @@ FROM pairs e1
 JOIN pairs e2 ON e1.u = e2.u AND e1.v < e2.v
 JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v
 """
+
+
+def q_hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day, answered from persisted
+    per-day HLL sketches (operators/hll.py, DataSketches JVM funcs) —
+    the window unions |days| KB-sized blobs, never rescans events.
+    Rows-only (sketch estimates); ±5% gates vs exact in
+    tests/test_hll.py."""
+    from ..operators.hll import daily_sketches, rolling_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_distinct(daily_sketches(ev), window_days=7).orderBy("day")

@@ -20,6 +20,7 @@ ROWS_ONLY = {
     "dedup_clusters_ann",  # recall gate: tests/test_dedup_similarity.py
     "embedding_pca",  # numpy parity: tests/test_embedding_ops.py
     "ann_index_topk",  # ivf_topk identity + pruning: tests/test_ann_index.py
+    "hll_rolling_distinct",  # ±5%-vs-exact gate: tests/test_hll.py
 }
 
 
