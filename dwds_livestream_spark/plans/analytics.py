@@ -2859,3 +2859,124 @@ def q_hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return rolling_distinct(daily_sketches(ev), window_days=7).orderBy("day")
+
+
+_EXP_NOW = "2024-02-01 00:00:00"
+
+
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate over events (operators/expectations.py): five
+    rule families — all row rules fused into ONE groupless aggregate
+    pass (conditional counts), uniqueness as its own keys-only
+    aggregate. The freshness clock is pinned for determinism."""
+    from ..operators.expectations import (
+        freshness,
+        in_range,
+        matches,
+        not_null,
+        unique,
+        validate,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return validate(
+        ev,
+        [
+            not_null("user_id"),
+            in_range("value", 0, 900),
+            matches("event_type", "^[a-z]+$"),
+            unique("event_id"),
+            freshness("ts", 30 * 86400, _EXP_NOW),
+        ],
+    )
+
+
+ORACLE_EXPECTATIONS = f"""
+WITH rows_pass AS (
+  SELECT
+    count(*) FILTER (user_id IS NULL) AS nn,
+    count(*) FILTER (value IS NOT NULL AND NOT (value BETWEEN 0 AND 900)) AS ir,
+    count(*) FILTER (event_type IS NOT NULL
+                     AND NOT regexp_matches(event_type, '^[a-z]+$')) AS mt,
+    CASE WHEN epoch(TIMESTAMP '{_EXP_NOW}') - epoch(max(ts)) > {30 * 86400}
+         THEN 1 ELSE 0 END AS fr
+  FROM events
+), uq AS (
+  SELECT count(*) AS u FROM (
+    SELECT event_id FROM events GROUP BY event_id HAVING count(*) > 1)
+), stacked AS (
+  SELECT 'not_null(user_id)' AS rule, CAST(nn AS BIGINT) AS n_violations FROM rows_pass
+  UNION ALL
+  SELECT 'in_range[0,900](value)', CAST(ir AS BIGINT) FROM rows_pass
+  UNION ALL
+  SELECT 'matches[^[a-z]+$](event_type)', CAST(mt AS BIGINT) FROM rows_pass
+  UNION ALL
+  SELECT 'freshness[{30 * 86400}s@{_EXP_NOW}](ts)', CAST(fr AS BIGINT) FROM rows_pass
+  UNION ALL
+  SELECT 'unique(event_id)', CAST(u AS BIGINT) FROM uq
+)
+SELECT rule, n_violations, n_violations = 0 AS passed
+FROM stacked ORDER BY rule
+"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff (operators/diff.py): customer vs a derived
+    'next version' (every 97th key dropped, every 11th acctbal bumped,
+    a shifted clone block added) — one full-outer join, |delta|-sized
+    output with per-row changed-column lists."""
+    from ..operators.diff import snapshot_diff
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    new = (
+        cust.where(F.col("c_custkey") % 97 != 0)
+        .withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey") % 11 == 0, F.col("c_acctbal") + 100
+            ).otherwise(F.col("c_acctbal")),
+        )
+        .unionByName(
+            cust.where(F.col("c_custkey") % 13 == 0).select(
+                (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                "c_name",
+                "c_nationkey",
+                "c_acctbal",
+            )
+        )
+    )
+    return snapshot_diff(cust, new, keys=["c_custkey"]).orderBy("c_custkey")
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH old_s AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+), new_s AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 100
+              ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey % 97 != 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal
+  FROM customer WHERE c_custkey % 13 = 0
+), j AS (
+  SELECT coalesce(n.c_custkey, o.c_custkey) AS c_custkey,
+         o.c_custkey IS NULL AS added,
+         n.c_custkey IS NULL AS removed,
+         list_sort(list_filter([
+           CASE WHEN o.c_name IS DISTINCT FROM n.c_name THEN 'c_name' END,
+           CASE WHEN o.c_nationkey IS DISTINCT FROM n.c_nationkey THEN 'c_nationkey' END,
+           CASE WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal THEN 'c_acctbal' END
+         ], x -> x IS NOT NULL)) AS diffs
+  FROM old_s o FULL OUTER JOIN new_s n USING (c_custkey)
+)
+SELECT c_custkey,
+       CASE WHEN added THEN 'added' WHEN removed THEN 'removed'
+            WHEN len(diffs) > 0 THEN 'changed' END AS change,
+       CASE WHEN added OR removed THEN [] ELSE diffs END AS changed_cols
+FROM j
+WHERE added OR removed OR len(diffs) > 0
+ORDER BY c_custkey
+"""
