@@ -278,3 +278,13 @@ def test_source_zscores_default_has_no_python_stage(spark, sf_dir):
     for marker in ("FlatMapGroupsInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert marker not in plan
     assert "windowspecdefinition(source#" in plan
+
+
+def test_topk_windows_get_group_limit_pushdown(spark, sf_dir):
+    """rank<=k over a window must trigger WindowGroupLimit (Spark 3.5+
+    rank-filter pushdown): each task keeps a k-sized heap per group
+    BEFORE the shuffle/sort, so the window never materializes full
+    groups — the difference between top-k and sort-everything at scale."""
+    for q in (A.q_top_parts_per_brand, A.q_trending_topk):
+        plan = _plan(q(spark, sf_dir))
+        assert "WindowGroupLimit" in plan, q.__name__
