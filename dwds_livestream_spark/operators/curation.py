@@ -448,3 +448,68 @@ def c4_clean(
         n_kept.cast("int").alias("n_lines_kept"),
         keep.alias("keep"),
     )
+
+
+def weighted_sample_per_key(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Weighted top-k sample per key (Efraimidis-Spirakis A-ES, 2006):
+    each row draws u ~ U(0,1) and survives if its key u^(1/w) ranks in
+    the key's top k — inclusion probability proportional to weight,
+    exactly one pass.
+
+    u is CONTENT-ADDRESSED (md5 of the row id → 48-bit fraction), not
+    rand(): the sample is reproducible row-for-row on any engine, any
+    partitioning, any rerun — same design as ``mixture_sample`` /
+    ``stratified_split``. Ranking uses ln(u)/w (monotone transform of
+    u^(1/w)), one per-key window; the rank<=k filter triggers Spark's
+    WindowGroupLimit pushdown, so each task heaps k rows per key
+    before the shuffle.
+
+    Output: key, id, weight, es_score (round 1e-6), rank.
+    """
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
+        ).cast("double")
+        / F.lit(float(1 << 48))
+    )
+    # + 0.0 folds IEEE -0.0 to +0.0 (a near-zero score rounds to -0.0
+    # here but to 0.0 in engines that normalize; keep both sides equal)
+    score = F.round(
+        F.log(u) / F.col(weight_col).cast("double"), 6
+    ) + F.lit(0.0)
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("key").orderBy(F.desc("es_score"), F.asc("id"))
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(id_col).alias("id"),
+            F.col(weight_col).cast("double").alias("weight"),
+            score.alias("es_score"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def curriculum_shards(
+    df: DataFrame, order_col: str, n_shards: int = 8
+) -> DataFrame:
+    """Globally ordered shards WITHOUT a global sort: repartitionByRange
+    samples range bounds (one small sampling job), every task then sorts
+    only its own slice — shard i's max ``order_col`` ≤ shard i+1's min.
+    The curriculum-training write path (easy→hard by quality/ppl
+    score): `.write.partitionBy('shard')` after this and shard files
+    ARE the curriculum order. No SinglePartition anywhere in the plan.
+    """
+    return (
+        df.repartitionByRange(n_shards, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("shard", F.spark_partition_id())
+    )

@@ -2980,3 +2980,36 @@ FROM j
 WHERE added OR removed OR len(diffs) > 0
 ORDER BY c_custkey
 """
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted per-customer order sample (operators/curation.py
+    weighted_sample_per_key; Efraimidis-Spirakis keys from
+    content-addressed u) — reproducible cross-engine, so the oracle
+    replays the identical draw in SQL."""
+    from ..operators.curation import weighted_sample_per_key
+
+    orders = _t(spark, sf_dir, "orders")
+    return weighted_sample_per_key(
+        orders, key_col="o_custkey", weight_col="o_totalprice",
+        id_col="o_orderkey", k=3,
+    ).orderBy("key", "rank")
+
+
+ORACLE_WEIGHTED_SAMPLE = """
+WITH s AS (
+  SELECT o_custkey AS key, o_orderkey AS id,
+         CAST(o_totalprice AS DOUBLE) AS weight,
+         ROUND(
+           ln(CAST(concat('0x', substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))
+                   AS BIGINT) / 281474976710656.0)
+           / CAST(o_totalprice AS DOUBLE), 6) + 0.0 AS es_score
+  FROM orders
+), r AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY key ORDER BY es_score DESC, id) AS INT) AS rank
+  FROM s
+)
+SELECT key, id, weight, es_score, rank FROM r WHERE rank <= 3
+ORDER BY key, rank
+"""

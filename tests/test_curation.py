@@ -223,3 +223,59 @@ def test_c4_clean_is_map_only(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="Hello world today is fine.")])
     plan = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_weighted_sample_props(spark):
+    from dwds_livestream_spark.operators.curation import (
+        weighted_sample_per_key,
+    )
+
+    rows = [
+        Row(k="a", i=i, w=1000.0 if i == 0 else 0.001) for i in range(50)
+    ] + [Row(k="b", i=100 + i, w=1.0) for i in range(2)]
+    df = spark.createDataFrame(rows)
+    out = weighted_sample_per_key(
+        df, key_col="k", weight_col="w", id_col="i", k=3
+    ).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["key"], []).append(r)
+    # per-key cap respected; short keys keep everything
+    assert len(by_key["a"]) == 3 and len(by_key["b"]) == 2
+    # the overwhelming-weight row must be sampled
+    assert 0 in {r["id"] for r in by_key["a"]}
+    # deterministic: same input, same sample
+    again = weighted_sample_per_key(
+        df, key_col="k", weight_col="w", id_col="i", k=3
+    ).collect()
+    assert sorted((r["key"], r["id"]) for r in again) == sorted(
+        (r["key"], r["id"]) for r in out
+    )
+    # WindowGroupLimit pushdown on the rank filter
+    plan = (
+        weighted_sample_per_key(df, "k", "w", "i", 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
+
+
+def test_curriculum_shards_globally_ordered(spark):
+    from dwds_livestream_spark.operators.curation import curriculum_shards
+
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 997 * 1.7).alias("score")
+    )
+    out = curriculum_shards(df, "score", n_shards=8)
+    bounds = (
+        out.groupBy("shard")
+        .agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+        .orderBy("shard")
+        .collect()
+    )
+    assert len(bounds) > 1
+    for a, b in zip(bounds, bounds[1:]):
+        assert a["hi"] <= b["lo"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan
+    assert out.count() == 10_000
