@@ -2816,31 +2816,51 @@ WHERE event_type = 'purchase' AND value IS NOT NULL
 
 
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle count on the supplier co-order graph (suppliers that
-    appear on the same order are adjacent) — degree-ordered orientation
-    (operators/graph.py) vs the oracle's independent id-ordered 3-way
-    join. Supplier pairs per order are a small quadratic (orders hold
-    ~4-7 lineitems), and the orientation bounds the wedge join at
-    O(sqrt(|E|)) out-degree regardless of hub suppliers."""
+    """Triangle count on the part CO-PURCHASE graph (parts on the same
+    order are adjacent) — degree-ordered orientation (operators/
+    graph.py) vs the oracle's independent id-ordered 3-way join. The
+    part graph stays sparse as data grows (~0.4% density at sf0.1,
+    vs the supplier co-order graph which saturates to a clique and
+    makes triangle counting a silly n³); pairs per order are a small
+    quadratic (orders hold ~4-7 lineitems)."""
     from ..operators.graph import triangle_count
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        li.alias("x")
-        .join(li.alias("y"), "l_orderkey")
-        .where(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
-        .select(
-            F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b")
-        )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # pairs built IN-ROW from each order's part set (one groupBy
+    # shuffle + C(k,2) per order, k ~ 4-7) instead of a lineitem
+    # self-join — 2x faster edge construction at sf0.1
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )
+    pairs = per_order.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ps"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ps"),
+                            i + 2,
+                            F.greatest(
+                                F.size("ps") - i - 1, F.lit(0)
+                            ),
+                        ),
+                        lambda z: F.struct(
+                            x.alias("a"), z.alias("b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
     return triangle_count(pairs)
 
 
 ORACLE_TRIANGLE_COUNT = """
 WITH pairs AS (
-  SELECT DISTINCT x.l_suppkey AS u, y.l_suppkey AS v
+  SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
   FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
-  WHERE x.l_suppkey < y.l_suppkey
+  WHERE x.l_partkey < y.l_partkey
 )
 SELECT count(*) AS n_triangles
 FROM pairs e1
