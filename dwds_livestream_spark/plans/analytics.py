@@ -3033,3 +3033,62 @@ WITH s AS (
 SELECT key, id, weight, es_score, rank FROM r WHERE rank <= 3
 ORDER BY key, rank
 """
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment analysis: two-proportion z-test on purchase rate
+    between variants (assignment = user_id parity — deterministic
+    stand-in for an assignment column). ONE groupless aggregate pass
+    (conditional counts, map-side partials); the test statistic is
+    arithmetic on the 1-row result. |z| > 1.96 ⇒ significant at 5%."""
+    ev = _t(spark, sf_dir, "events")
+    a = F.col("user_id") % 2 == 0
+    conv = F.col("event_type") == "purchase"
+    agg = ev.agg(
+        F.count_if(a).cast("long").alias("n_a"),
+        F.count_if(a & conv).cast("long").alias("conv_a"),
+        F.count_if(~a).cast("long").alias("n_b"),
+        F.count_if(~a & conv).cast("long").alias("conv_b"),
+    )
+    p_a = F.col("conv_a") / F.col("n_a")
+    p_b = F.col("conv_b") / F.col("n_b")
+    p_pool = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        p_pool * (1 - p_pool) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    )
+    z = F.round((p_a - p_b) / se, 6)
+    return agg.select(
+        "n_a",
+        "conv_a",
+        F.round(p_a, 6).alias("rate_a"),
+        "n_b",
+        "conv_b",
+        F.round(p_b, 6).alias("rate_b"),
+        z.alias("z_score"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
+
+
+ORACLE_AB_TEST = """
+WITH agg AS (
+  SELECT
+    CAST(count(*) FILTER (user_id % 2 = 0) AS BIGINT) AS n_a,
+    CAST(count(*) FILTER (user_id % 2 = 0 AND event_type = 'purchase') AS BIGINT) AS conv_a,
+    CAST(count(*) FILTER (user_id % 2 != 0) AS BIGINT) AS n_b,
+    CAST(count(*) FILTER (user_id % 2 != 0 AND event_type = 'purchase') AS BIGINT) AS conv_b
+  FROM events
+), m AS (
+  SELECT *,
+         conv_a * 1.0 / n_a AS p_a,
+         conv_b * 1.0 / n_b AS p_b,
+         (conv_a + conv_b) * 1.0 / (n_a + n_b) AS p_pool
+  FROM agg
+)
+SELECT n_a, conv_a, ROUND(p_a, 6) AS rate_a,
+       n_b, conv_b, ROUND(p_b, 6) AS rate_b,
+       ROUND((p_a - p_b) / sqrt(p_pool * (1 - p_pool) * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score,
+       abs(ROUND((p_a - p_b) / sqrt(p_pool * (1 - p_pool) * (1.0 / n_a + 1.0 / n_b)), 6)) > 1.96 AS significant
+FROM m
+"""
