@@ -43,3 +43,39 @@ def stream_stream_join(
         & (F.col(ts_r) < F.col(left_ts) + F.expr(f"INTERVAL {within}"))
     )
     return lw.join(rw, cond, "inner")
+
+
+def stream_stream_left_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "10 minutes",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: same time-bound contract as
+    ``stream_stream_join``, but a left event with no right match is
+    EMITTED WITH NULLS once the watermark passes its join window (i.e.
+    the engine can prove no match can still arrive). This is the
+    "enrich if correlated, emit regardless" shape — e.g. page views
+    joined to purchases that may never come.
+
+    State bounds are identical to the inner join; the only difference
+    is the deferred null emission, which arrives one watermark advance
+    AFTER the window closes (Spark emits outer results on state
+    eviction).
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    for c in rw.columns:
+        if c in set(lw.columns):
+            rw = rw.withColumnRenamed(c, f"{c}_r")
+    on_r = f"{on}_r" if f"{on}_r" in rw.columns else on
+    ts_r = f"{right_ts}_r" if f"{right_ts}_r" in rw.columns else right_ts
+    cond = (
+        (F.col(on) == F.col(on_r))
+        & (F.col(ts_r) >= F.col(left_ts))
+        & (F.col(ts_r) < F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, "leftOuter")

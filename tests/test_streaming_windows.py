@@ -352,3 +352,52 @@ def test_windowed_distinct_users_stream_and_batch_parity(spark, tmp_path):
         for r in windowed_distinct_users(batch_df, "1 minute", exact=True).collect()
     }
     assert exact == got
+
+
+def test_stream_stream_left_join_emits_nulls_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join: matched rows join; an unmatched
+    left row is emitted WITH NULLS once the watermark proves no match
+    can arrive (advanced by a later file-per-trigger batch)."""
+    from dwds_livestream_spark.streaming.joins import stream_stream_left_join
+
+    la, lb = tmp_path / "la", tmp_path / "lb"
+    la.mkdir(); lb.mkdir()
+    (la / "a1.jsonl").write_text(
+        "\n".join([_jsonl("2024-01-01T10:00:00Z", "k1"),
+                   _jsonl("2024-01-01T10:00:00Z", "k2")])
+    )
+    # k1 matches inside the window; k2 never matches. The late batch
+    # (a2/b2) pushes the watermark far past k2's window so its null
+    # row must be evicted and emitted.
+    (lb / "b1.jsonl").write_text(_jsonl("2024-01-01T10:05:00Z", "k1"))
+    (la / "a2.jsonl").write_text(_jsonl("2024-01-01T12:00:00Z", "k9"))
+    (lb / "b2.jsonl").write_text(_jsonl("2024-01-01T12:00:00Z", "k9"))
+
+    def stream(d):
+        return (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(d))
+            .selectExpr("from_json(value, 'timestamp timestamp, lemma string') AS e")
+            .select("e.timestamp", "e.lemma")
+        )
+
+    right = stream(lb).withColumnRenamed("timestamp", "r_ts")
+    joined = stream_stream_left_join(
+        stream(la), right, on="lemma",
+        left_ts="timestamp", right_ts="r_ts", within="10 minutes",
+        watermark="1 minute",
+    )
+    rows: list = []
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda b, i: rows.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssloj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.lemma, None if r.lemma_r is None else r.lemma_r) for r in rows}
+    # k1 matched; k2 emitted with null right side after watermark
+    assert ("k1", "k1") in got
+    assert ("k2", None) in got
