@@ -3092,3 +3092,31 @@ SELECT n_a, conv_a, ROUND(p_a, 6) AS rate_a,
        abs(ROUND((p_a - p_b) / sqrt(p_pool * (1 - p_pool) * (1.0 / n_a + 1.0 / n_b)), 6)) > 1.96 AS significant
 FROM m
 """
+
+
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ELT via Spark 4's VARIANT type: parse_json on
+    the raw props string, typed field extraction with
+    try_variant_get — the open-schema path (vs from_json's declared
+    schema in `json_extract`). Oracle: DuckDB JSON operators."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        ev.select(
+            "event_id",
+            F.try_variant_get(v, "$.k", "int").alias("k"),
+            F.try_variant_get(v, "$.missing", "string").alias("missing"),
+        )
+        .where(F.col("k").isNotNull())
+        .orderBy("event_id")
+    )
+
+
+ORACLE_VARIANT_EXTRACT = """
+SELECT event_id,
+       CAST(props::JSON ->> 'k' AS INT) AS k,
+       props::JSON ->> 'missing' AS missing
+FROM events
+WHERE props::JSON ->> 'k' IS NOT NULL
+ORDER BY event_id
+"""
