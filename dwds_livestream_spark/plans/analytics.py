@@ -3120,3 +3120,42 @@ FROM events
 WHERE props::JSON ->> 'k' IS NOT NULL
 ORDER BY event_id
 """
+
+
+def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental join-view maintenance (operators/incremental_join.py):
+    orders/lineitem split deterministically into old + delta halves;
+    the emitted rows are exactly the delta of the joined view —
+    verified by the oracle computing (full ⋈) MINUS (old ⋈)."""
+    from ..operators.incremental_join import join_delta
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_linenumber", "l_quantity"
+    )
+    a_old = orders.where(F.col("o_orderkey") % 10 != 0)
+    d_a = orders.where(F.col("o_orderkey") % 10 == 0)
+    b_old = li.where(F.col("l_linenumber") > 1)
+    d_b = li.where(F.col("l_linenumber") == 1)
+    return join_delta(a_old, b_old, d_a, d_b, on="o_orderkey").orderBy(
+        "o_orderkey", "l_linenumber"
+    )
+
+
+ORACLE_INCREMENTAL_JOIN = """
+WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+l AS (SELECT l_orderkey AS o_orderkey, l_linenumber, l_quantity FROM lineitem),
+full_j AS (SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+                  l.l_linenumber, l.l_quantity
+           FROM o JOIN l USING (o_orderkey)),
+old_j AS (SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+                 l.l_linenumber, l.l_quantity
+          FROM o JOIN l USING (o_orderkey)
+          WHERE o.o_orderkey % 10 != 0 AND l.l_linenumber > 1)
+SELECT * FROM full_j
+EXCEPT ALL
+SELECT * FROM old_j
+ORDER BY o_orderkey, l_linenumber
+"""
