@@ -61,7 +61,8 @@ def quarantine_writer(
     rows land in ``bad_path`` with ``violated`` and the batch id."""
 
     def write(batch: DataFrame, batch_id: int) -> None:
-        marked = with_violations(batch, rules).persist()
+        already = "violated" in batch.columns  # pre-marked by the sink
+        marked = (batch if already else with_violations(batch, rules)).persist()
         try:
             clean = F.size("violated") == 0
             (
@@ -94,8 +95,16 @@ def start_quarantine_sink(
     writer = quarantine_writer(good_path, bad_path, rules)
     if ledger is not None:
         writer = idempotent(writer, ledger)
+    # rule marking happens ON THE STREAM so df.observe can report the
+    # gate per micro-batch (rows_bad shows up in each progress event's
+    # observedMetrics — captured by metrics.ThroughputListener)
+    marked = with_violations(stream, rules).observe(
+        "gate",
+        F.count(F.lit(1)).alias("rows_total"),
+        F.count_if(F.size("violated") > 0).alias("rows_bad"),
+    )
     q = (
-        stream.writeStream.foreachBatch(writer)
+        marked.writeStream.foreachBatch(writer)
         .option("checkpointLocation", checkpoint)
     )
     return q.trigger(**(trigger or {"availableNow": True})).start()

@@ -88,3 +88,42 @@ def test_with_violations_is_map_only(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_gate_metrics_are_observed(spark, tmp_path):
+    """df.observe on the marked stream surfaces rows_total/rows_bad in
+    every progress event — the per-batch data-quality meter."""
+    from dwds_livestream_spark.streaming.metrics import ThroughputListener
+
+    rows = [
+        {"user_id": 1, "value": 5.0, "event_type": "view"},
+        {"user_id": None, "value": 1.0, "event_type": "view"},
+        {"user_id": 3, "value": -1.0, "event_type": "view"},
+    ]
+    src = _write_batch(tmp_path, rows)
+    listener = ThroughputListener()
+    spark.streams.addListener(listener)
+    try:
+        stream = spark.readStream.schema(SCHEMA).json(str(src))
+        q = start_quarantine_sink(
+            stream,
+            rules(),
+            good_path=str(tmp_path / "good"),
+            bad_path=str(tmp_path / "bad"),
+            checkpoint=str(tmp_path / "ck"),
+        )
+        q.awaitTermination(120)
+        import time as _t
+
+        gate = None
+        for _ in range(50):
+            for snap in listener.snapshots.values():
+                if snap.get("observed", {}).get("gate"):
+                    gate = snap["observed"]["gate"]
+            if gate:
+                break
+            _t.sleep(0.2)
+        assert gate is not None
+        assert gate["rows_total"] == 3 and gate["rows_bad"] == 2
+    finally:
+        spark.streams.removeListener(listener)
