@@ -1779,3 +1779,18 @@ def q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_index_query(
         spark, path, emb.where(F.col("vec_id") < 10), k=10, nprobe=4
     )
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full iterative BPE training (operators/bpe.py): 8 merge rules
+    learned from the documents corpus — the loop runs on the vocab
+    table, never rescanning text. Rows-only (iterative, not SQL);
+    merge-sequence parity vs a pure-Python reference BPE is asserted
+    in tests/test_bpe.py."""
+    from ..operators.bpe import bpe_train
+
+    rules = bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
+    return spark.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(rules)],
+        "step int, sym_a string, sym_b string, pair_count long",
+    )

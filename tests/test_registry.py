@@ -21,6 +21,7 @@ ROWS_ONLY = {
     "embedding_pca",  # numpy parity: tests/test_embedding_ops.py
     "ann_index_topk",  # ivf_topk identity + pruning: tests/test_ann_index.py
     "hll_rolling_distinct",  # ±5%-vs-exact gate: tests/test_hll.py
+    "bpe_train_merges",  # python-reference parity: tests/test_bpe.py
 }
 
 
