@@ -308,3 +308,35 @@ def canonical_dedup(
         df.groupBy(F.md5(canon).alias("canon_hash"))
         .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_dups"))
     )
+
+
+def feature_hash_tf(
+    df: DataFrame,
+    dim: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashing-trick term frequencies (HashingTF analog, Weinberger et
+    al. 2009): sparse (doc_id, pos, tf) vectors with pos = md5-hash of
+    the token mod ``dim`` — fixed dimensionality with NO vocabulary
+    build, so the featurizer is stateless and identical across corpus
+    shards (the property that matters for incremental featurization at
+    100 TB: no vocab to version or broadcast).
+
+    md5 (not xxhash64) so an external engine reproduces the exact
+    layout — same convention as the count-min sketch. One explode +
+    one map-side-combined shuffle on (doc_id, pos).
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    pos = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("__tok")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(dim),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(toks).alias("__tok"))
+        .select(id_col, pos.alias("pos"))
+        .groupBy(id_col, "pos")
+        .agg(F.count("*").cast("int").alias("tf"))
+    )

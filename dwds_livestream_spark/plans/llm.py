@@ -1794,3 +1794,32 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, a, b, c) for i, (a, b, c) in enumerate(rules)],
         "step int, sym_a string, sym_b string, pair_count long",
     )
+
+
+FH_DIM = 256
+
+
+def q_feature_hash_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick sparse TF vectors (operators/selection.py
+    feature_hash_tf): stateless featurization, md5 layout reproduced
+    verbatim by the oracle."""
+    from ..operators.selection import feature_hash_tf
+
+    return feature_hash_tf(
+        _t(spark, sf_dir, "documents"), dim=FH_DIM
+    ).orderBy("doc_id", "pos")
+
+
+ORACLE_FEATURE_HASH_TF = rf"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                x -> len(x) > 0)) AS tok
+  FROM documents
+)
+SELECT doc_id,
+       CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) % {FH_DIM} AS pos,
+       CAST(count(*) AS INT) AS tf
+FROM w GROUP BY 1, 2
+ORDER BY doc_id, pos
+"""
