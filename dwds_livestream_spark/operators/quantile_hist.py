@@ -1,0 +1,117 @@
+"""Mergeable fixed-bin quantile histograms: the HLL-table pattern
+(operators/hll.py) applied to percentiles.
+
+Beyond-reference operator (project brief: pipeline ops at scale). The
+existing ``value_percentiles`` query answers ONE fixed question per
+event scan; this module persists a per-day histogram whose bins are
+summable, so ANY later date-range percentile question is answered from
+``days x n_bins`` rollup rows — no rescan of the events, no
+percentile_approx shuffle of raw values.
+
+Unlike HLL (whose sketch blobs force a rows-only check), a fixed-bin
+histogram is *deterministic arithmetic* — bin assignment, merge, and
+the interpolated quantile reconstruction are all reproducible in ANSI
+SQL, so the registry entry carries a full DuckDB value-hash oracle.
+
+- ``histogram_rollup``: one groupBy(day, bin) pass -> (day, bin, cnt).
+  Out-of-domain values clamp into the edge bins (the standard
+  fixed-domain trade-off; pick [lo, hi) from domain knowledge or a
+  prior profile scan).
+- ``range_quantiles``: merge a date slice (sum bins), then reconstruct
+  quantiles by linear interpolation inside the covering bin. Rank
+  convention: the q-quantile is the value at 1-based rank
+  ceil(q * N) of the sorted multiset, located by the first bin whose
+  cumulative count reaches that rank.
+
+Error bound: an interpolated quantile is off by at most one bin width
+(exact if values were uniform within the bin) — gated against exact
+percentiles in tests/test_quantile_hist.py.
+
+At 100 TB: the rollup is one map-side-combined aggregate (the same
+shuffle volume as any daily count); the persisted table is
+|days| x n_bins rows of (date, int, long) — kilobytes per year — and
+every range-quantile query touches only those rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def histogram_rollup(
+    events: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    lo: float = 0.0,
+    hi: float = 512.0,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Per-day fixed-bin histogram: (day, bin, cnt). Bin width is
+    (hi - lo) / n_bins; values outside [lo, hi) clamp to the edge
+    bins so every row is counted (N is preserved exactly)."""
+    w = (hi - lo) / n_bins
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w)).cast("long")
+    bin_ = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw))
+    return (
+        events.select(F.to_date(ts_col).alias("day"), bin_.alias("bin"))
+        .groupBy("day", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def range_quantiles(
+    hist: DataFrame,
+    start: str,
+    end: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    lo: float = 0.0,
+    hi: float = 512.0,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Approximate quantiles for days in [start, end], computed ONLY
+    from the persisted histogram rows: (q, est). Merge = bin-wise sum;
+    the window runs over <= n_bins merged rows (bounded by
+    construction, not by the data — whitelisted in the plan sweep)."""
+    w = (hi - lo) / n_bins
+    merged = (
+        hist.where(F.col("day").between(F.lit(start), F.lit(end)))
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    cum_w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = merged.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(cum_w).alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        ).alias("cum_before"),
+        F.sum("cnt").over(
+            Window.orderBy("bin").rangeBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    ).withColumn("cum_before", F.coalesce("cum_before", F.lit(0)))
+    q_df = hist.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    ranked = cum.join(
+        F.broadcast(q_df),
+        (F.ceil(F.col("q") * F.col("n")) > F.col("cum_before"))
+        & (F.ceil(F.col("q") * F.col("n")) <= F.col("cum")),
+    )
+    est = (
+        F.lit(lo)
+        + F.lit(w)
+        * (
+            F.col("bin")
+            + (F.ceil(F.col("q") * F.col("n")) - F.col("cum_before"))
+            / F.col("cnt")
+        )
+    )
+    return ranked.select("q", F.round(est, 6).alias("est")).orderBy("q")

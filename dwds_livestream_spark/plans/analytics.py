@@ -3159,3 +3159,139 @@ EXCEPT ALL
 SELECT * FROM old_j
 ORDER BY o_orderkey, l_linenumber
 """
+
+
+# exact double literals for 0.7**k, k = 0..13 — shared verbatim with
+# the DuckDB oracle so neither engine calls pow() (JVM Math.pow and C
+# libm pow are each allowed 1-ulp error and need not agree)
+_EWMA_W = [
+    1.0, 0.7, 0.48999999999999994, 0.3429999999999999,
+    0.24009999999999995, 0.16806999999999994, 0.11764899999999996,
+    0.08235429999999996, 0.05764800999999997, 0.04035360699999998,
+    0.028247524899999984, 0.019773267429999988, 0.01384128720099999,
+    0.009688901040699992,
+]
+_EWMA_LOOKBACK = 14  # alpha = 0.3, truncated at 14 daily points
+
+
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponentially-weighted moving average of each user's
+    daily spend: ewma_t = sum_k w_k x_{t-k} / sum_k w_k over the last
+    14 daily points, w_k = 0.7^k — the smoothing primitive behind
+    trend dashboards and anomaly baselines.
+
+    Why truncated: the exact recurrence (ewma_t = a·x_t +
+    (1-a)·ewma_{t-1}) is a sequential scan — inexpressible as a
+    window aggregate and numerically explosive in its closed
+    prefix-sum form ((1/(1-a))^rn overflows double precision past a
+    few hundred steps). Truncation at 14 points carries >= 99.3% of
+    the exact kernel's mass (1 - 0.7^14) and turns the operator into
+    a bounded self-join both engines express identically.
+
+    Scale: daily aggregate (one map-side-combined shuffle on
+    (user_id, day)) -> row_number per user (partitioned window, never
+    global) -> equi-join on user_id with a rank-band predicate — a
+    bounded 14x row expansion co-partitioned on the join key. Weights
+    come from a 14-element literal array (element_at), not pow():
+    zero Python, whole-stage codegen throughout.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    )
+    daily = ev.groupBy("user_id", "day").agg(
+        F.round(F.sum("value"), 6).alias("x")
+    )
+    d = daily.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("user_id").orderBy("day")),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.rn") <= F.col("a.rn"))
+        & (F.col("b.rn") > F.col("a.rn") - _EWMA_LOOKBACK),
+    )
+    wgt = F.element_at(
+        F.array(*[F.lit(w) for w in _EWMA_W]),
+        (F.col("a.rn") - F.col("b.rn") + 1).cast("int"),
+    )
+    return (
+        j.groupBy(
+            F.col("a.user_id").alias("user_id"), F.col("a.day").alias("day")
+        )
+        .agg(
+            F.round(
+                F.sum(wgt * F.col("b.x")) / F.sum(wgt), 6
+            ).alias("ewma")
+        )
+    )
+
+
+ORACLE_EWMA_USER_VALUE = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, ROUND(SUM(value), 6) AS x
+  FROM events GROUP BY 1, 2),
+d AS (SELECT user_id, day, x,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM daily),
+w AS (SELECT [1.0, 0.7, 0.48999999999999994, 0.3429999999999999,
+              0.24009999999999995, 0.16806999999999994,
+              0.11764899999999996, 0.08235429999999996,
+              0.05764800999999997, 0.04035360699999998,
+              0.028247524899999984, 0.019773267429999988,
+              0.01384128720099999, 0.009688901040699992] AS ws)
+SELECT a.user_id, a.day,
+       ROUND(SUM(ws[a.rn - b.rn + 1] * b.x)
+             / SUM(ws[a.rn - b.rn + 1]), 6) AS ewma
+FROM d a
+JOIN d b ON a.user_id = b.user_id
+        AND b.rn <= a.rn AND b.rn > a.rn - 14, w
+GROUP BY 1, 2
+"""
+
+
+def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range percentiles answered from the persisted per-day histogram
+    rollup (operators/quantile_hist.py) — the HLL-table pattern for
+    quantiles: build (day, bin, cnt) once, then any date-range p50/
+    p90/p99 question touches |days| x 64 rollup rows, never the
+    events. Unlike HLL sketches the histogram is deterministic
+    arithmetic, so this entry carries a full value-hash oracle; the
+    error-vs-exact gate lives in tests/test_quantile_hist.py.
+
+    Scale: the rollup is one map-side-combined groupBy(day, bin); the
+    reconstruction windows run over <= 64 merged bins (bounded by
+    construction — plan-sweep whitelisted) and the quantile join is a
+    64-row x 3-row broadcast.
+    """
+    from ..operators.quantile_hist import histogram_rollup, range_quantiles
+
+    hist = histogram_rollup(_t(spark, sf_dir, "events"))
+    return range_quantiles(hist, "2024-01-08", "2024-01-22")
+
+
+ORACLE_QUANTILE_ROLLUP = """
+WITH hist AS (
+  SELECT CAST(ts AS DATE) AS day,
+         LEAST(63, GREATEST(0, CAST(FLOOR(value / 8.0) AS BIGINT))) AS bin,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2),
+merged AS (
+  SELECT bin, SUM(cnt) AS cnt FROM hist
+  WHERE day BETWEEN DATE '2024-01-08' AND DATE '2024-01-22'
+  GROUP BY bin),
+cum AS (
+  SELECT bin, cnt,
+         SUM(cnt) OVER (ORDER BY bin) AS cum,
+         COALESCE(SUM(cnt) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before,
+         SUM(cnt) OVER () AS n
+  FROM merged),
+qs AS (SELECT UNNEST(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS q)
+SELECT q, ROUND(0.0 + 8.0 * (bin + (CEIL(q * n) - cum_before) * 1.0 / cnt),
+                6) AS est
+FROM cum JOIN qs ON CEIL(q * n) > cum_before AND CEIL(q * n) <= cum
+ORDER BY q
+"""

@@ -1823,3 +1823,96 @@ SELECT doc_id,
 FROM w GROUP BY 1, 2
 ORDER BY doc_id, pos
 """
+
+
+def q_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster formation + keep-best representative selection
+    — the full fuzzy-dedup DECISION step a curation pipeline actually
+    ships (cluster, then keep one doc per cluster; cf. the keep-longest
+    policy of C4/FineWeb-style pipelines): exact 5-gram Jaccard pairs
+    (inverted-index join, operators/dedup.py) -> connected components
+    (pointer jumping, operators/components.py) -> per-cluster keeper =
+    longest doc, ties to the smallest doc_id.
+
+    Output: cluster_id, keeper_id, n_members, kept_chars,
+    dropped_chars (chars removed from the corpus by this cluster).
+    Singletons appear with n_members = 1 and dropped_chars = 0, so the
+    result IS the corpus-wide dedup ledger.
+
+    The DuckDB oracle recomputes the clustering via recursive-CTE
+    transitive closure (independent algorithm) and the keeper via the
+    same deterministic ranking, so a hash match checks the composition
+    end-to-end.
+
+    Scale: pairs shuffle O(shared shingles) via the inverted index
+    (never all-pairs); components converge in O(log n) rounds; the
+    keeper windows partition BY CLUSTER (bounded by the largest dup
+    group, never global). Window.partitionBy covers row_number, count
+    and sum in ONE exchange.
+    """
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.8)
+    cc = connected_components(
+        pairs.select("doc_a", "doc_b"),
+        src="doc_a",
+        dst="doc_b",
+        nodes=docs,
+        node_col="doc_id",
+    )
+    member = cc.select(F.col("node").alias("doc_id"), "cluster_id").join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    by_cluster = Window.partitionBy("cluster_id")
+    ranked = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        member.withColumn("rn", F.row_number().over(ranked))
+        .withColumn("n_members", F.count("*").over(by_cluster))
+        .withColumn("total_chars", F.sum("n_chars").over(by_cluster))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keeper_id"),
+            "n_members",
+            F.col("n_chars").alias("kept_chars"),
+            (F.col("total_chars") - F.col("n_chars")).alias("dropped_chars"),
+        )
+    )
+
+
+ORACLE_CLUSTER_REPRESENTATIVE = """
+WITH RECURSIVE
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
+       FROM toks, unnest(range(1, greatest(len(w)-4, 0)+1)) AS t(i)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE ROUND(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.8),
+und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT doc_id AS n FROM documents),
+reach(src, dst) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+cc AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+member AS (SELECT c.cluster_id, d.doc_id, d.n_chars
+           FROM cc c JOIN documents d USING (doc_id)),
+rk AS (SELECT cluster_id, doc_id, n_chars,
+              ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                 ORDER BY n_chars DESC, doc_id) AS rn,
+              COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+              SUM(n_chars) OVER (PARTITION BY cluster_id) AS total_chars
+       FROM member)
+SELECT cluster_id, doc_id AS keeper_id, n_members,
+       n_chars AS kept_chars, total_chars - n_chars AS dropped_chars
+FROM rk WHERE rn = 1
+"""

@@ -31,6 +31,7 @@ GLOBAL_WINDOW_OK = {
     "hybrid_rrf": "fusion input is two top-k lists (<= 2k rows)",
     "hll_rolling_distinct": "frame is one row per DAY (sketch table)",
     "decile_lift": "cumulative share over the 10-row decile summary",
+    "quantile_rollup": "cumulative over <= 64 merged histogram bins",
 }
 
 # nested-loop joins allowed ONLY when one side is bounded (1-row stats
@@ -70,6 +71,7 @@ NESTED_LOOP_OK = {
     "q22_idle_customers": "1-row scalar-avg cross join (TPC-H Q22 shape)",
     "spend_percent_rank": "bucket-bounds broadcast (distributed_rank)",
     "rolling_active_users": "1-row date-bounds cross join",
+    "quantile_rollup": "64-bin histogram x 3-row quantile-list join",
 }
 
 
