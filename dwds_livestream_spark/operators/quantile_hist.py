@@ -39,6 +39,25 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def day_bin_cells(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    lo: float = 0.0,
+    hi: float = 512.0,
+    n_bins: int = 64,
+) -> DataFrame:
+    """(day, bin) cell per row — the shared binning projection behind
+    the batch rollup and its streaming twin
+    (streaming/sketches.py::histogram_stream). Values outside [lo, hi)
+    clamp to the edge bins so every row is counted (N is preserved
+    exactly)."""
+    w = (hi - lo) / n_bins
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w)).cast("long")
+    bin_ = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw))
+    return df.select(F.to_date(ts_col).alias("day"), bin_.alias("bin"))
+
+
 def histogram_rollup(
     events: DataFrame,
     value_col: str = "value",
@@ -48,13 +67,9 @@ def histogram_rollup(
     n_bins: int = 64,
 ) -> DataFrame:
     """Per-day fixed-bin histogram: (day, bin, cnt). Bin width is
-    (hi - lo) / n_bins; values outside [lo, hi) clamp to the edge
-    bins so every row is counted (N is preserved exactly)."""
-    w = (hi - lo) / n_bins
-    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w)).cast("long")
-    bin_ = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw))
+    (hi - lo) / n_bins."""
     return (
-        events.select(F.to_date(ts_col).alias("day"), bin_.alias("bin"))
+        day_bin_cells(events, value_col, ts_col, lo, hi, n_bins)
         .groupBy("day", "bin")
         .agg(F.count("*").alias("cnt"))
     )

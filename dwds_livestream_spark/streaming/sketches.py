@@ -46,3 +46,35 @@ def countmin_stream(
         ).alias("s")
     ).select("s.d", "s.pos")
     return cells.groupBy("d", "pos").agg(F.count("*").alias("cnt"))
+
+
+def histogram_stream(
+    stream: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    lo: float = 0.0,
+    hi: float = 512.0,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Continuously-maintained quantile-histogram rollup
+    (operators/quantile_hist.py) over a streaming frame — bins are
+    additive exactly like count-min cells, so groupBy(day, bin) count
+    IS the maintained rollup: after any micro-batch the streamed table
+    equals ``histogram_rollup`` of everything ingested so far, and
+    ``range_quantiles`` answers percentile questions against it with
+    no event rescan.
+
+    State is |days seen| x n_bins rows — unlike count-min it grows
+    with the calendar, so at retention scale run output mode 'update'
+    (changed day-bins only; the sink upserts) rather than 'complete'.
+    A watermark is deliberately NOT applied: late events must still
+    land in their day's bins for the streamed==batch identity to hold;
+    bound state by retiring closed days from the SINK table instead.
+    """
+    from ..operators.quantile_hist import day_bin_cells
+
+    return (
+        day_bin_cells(stream, value_col, ts_col, lo, hi, n_bins)
+        .groupBy("day", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )

@@ -298,6 +298,27 @@ def main() -> None:
     finally:
         A._t = real_t
 
+    # quantile-histogram rollup: one map-side-combined aggregate; the
+    # persisted artifact stays <= days*64 rows no matter how many
+    # events feed it, and the range-quantile answer never rescans them
+    from dwds_livestream_spark.operators.quantile_hist import (  # noqa: PLC0415
+        histogram_rollup,
+        range_quantiles,
+    )
+
+    t0 = time.perf_counter()
+    h = histogram_rollup(events, lo=0.0, hi=1024.0)
+    hist_rows = h.count()
+    plan = h._jdf.queryExecution().executedPlan().toString()
+    if hist_rows > 2 * 64:  # synthetic ts spans a midnight (2 days)
+        raise SystemExit("histogram_rollup: rollup exceeded days*64 rows")
+    report("histogram_rollup", n, t0, plan, "partial_count", "Join")
+    t0 = time.perf_counter()
+    qr = range_quantiles(h, "2023-01-01", "2024-12-31", lo=0.0, hi=1024.0)
+    rows = qr.count()
+    plan = qr._jdf.queryExecution().executedPlan().toString()
+    report("range_quantiles", hist_rows, t0, plan, "BroadcastNestedLoopJoin")
+
 
 if __name__ == "__main__":
     main()

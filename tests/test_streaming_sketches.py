@@ -63,3 +63,68 @@ def test_streamed_sketch_equals_batch(spark, tmp_path):
     assert set(est) == set(true)
     for k, t in true.items():
         assert est[k] >= t
+
+
+def test_streamed_histogram_equals_batch_and_answers_quantiles(
+    spark, tmp_path
+):
+    """streaming/sketches.py::histogram_stream — after ingesting all
+    batches the streamed (day, bin, cnt) table equals the batch
+    histogram_rollup, and range_quantiles over the STREAMED table
+    reproduces the batch answer (continuous percentile serving with no
+    event rescan)."""
+    import json as _json
+
+    from dwds_livestream_spark.operators.quantile_hist import (
+        histogram_rollup,
+        range_quantiles,
+    )
+    from dwds_livestream_spark.streaming.sketches import histogram_stream
+
+    src = tmp_path / "hsrc"
+    src.mkdir()
+    rows1 = [
+        {"ts": f"2024-01-0{d} 10:00:00", "value": v}
+        for d in (1, 2) for v in (3.0, 17.5, 100.0, 480.0, 600.0)
+    ]
+    rows2 = [
+        {"ts": "2024-01-02 23:59:59", "value": v}
+        for v in (-5.0, 42.0, 42.0, 255.9)
+    ]
+    (src / "b1.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows1) + "\n"
+    )
+    (src / "b2.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows2) + "\n"
+    )
+    schema = "ts timestamp, value double"
+
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        histogram_stream(stream)
+        .writeStream.format("memory")
+        .queryName("hist_cells")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "hck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = spark.table("hist_cells")
+    batch = histogram_rollup(spark.read.schema(schema).json(str(src)))
+    got = {(str(r.day), r.bin): r.cnt for r in streamed.collect()}
+    want = {(str(r.day), r.bin): r.cnt for r in batch.collect()}
+    assert got == want and sum(want.values()) == len(rows1) + len(rows2)
+
+    ans_stream = {
+        r.q: r.est
+        for r in range_quantiles(
+            streamed, "2024-01-01", "2024-01-02"
+        ).collect()
+    }
+    ans_batch = {
+        r.q: r.est
+        for r in range_quantiles(batch, "2024-01-01", "2024-01-02").collect()
+    }
+    assert ans_stream == ans_batch and set(ans_stream) == {0.5, 0.9, 0.99}
