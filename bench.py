@@ -76,18 +76,29 @@ def _stream_throughput() -> dict | None:
     env = dict(os.environ)
     env.setdefault("STREAM_BENCH_SECONDS", "25")
     env.setdefault("STREAM_BENCH_EPS", "12000")
-    try:
-        out = subprocess.run(
-            [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                          "scripts", "stream_bench.py")],
-            capture_output=True, text=True, timeout=180, env=env,
-        ).stdout
-        for line in reversed(out.strip().splitlines()):
-            if line.startswith("{"):
-                return json.loads(line)
-    except Exception:
+
+    def once() -> dict | None:
+        try:
+            out = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "scripts", "stream_bench.py")],
+                capture_output=True, text=True, timeout=180, env=env,
+            ).stdout
+            for line in reversed(out.strip().splitlines()):
+                if line.startswith("{"):
+                    return json.loads(line)
+        except Exception:
+            return None
         return None
-    return None
+
+    result = once()
+    if result is None or not result.get("events"):
+        # degenerate measurement (no micro-batch completed — seen once
+        # under a concurrent 32-thread JVM): one retry on the, by now,
+        # quieter machine
+        result = once() or result
+    return result
 
 
 if __name__ == "__main__":

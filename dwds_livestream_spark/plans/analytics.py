@@ -2425,12 +2425,14 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e0.unionAll(
         e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).repartition("a")
-    deg = edges.groupBy("a").agg(F.count("*").alias("deg"))
+    # deg has exactly one row per node (every node appears as a source
+    # after mirroring), so it doubles as the node table: n and the
+    # uniform rank init read the 16k-row deg cache instead of running
+    # two distinct() shuffles over the edge set
+    deg = edges.groupBy("a").agg(F.count("*").alias("deg")).cache()
+    n = deg.count()
     ed = edges.join(deg, "a").select("a", "b", "deg").cache()
-    n = ed.select("a").distinct().count()  # one job, fills the cache
-    rank = ed.select("a").distinct().select(
-        "a", F.lit(1.0 / n).alias("r")
-    )
+    rank = deg.select("a", F.lit(1.0 / n).alias("r"))
     for _ in range(3):
         contrib = ed.join(rank, "a").select(
             F.col("b").alias("a"), (F.col("r") / F.col("deg")).alias("c")
@@ -3294,4 +3296,86 @@ SELECT q, ROUND(0.0 + 8.0 * (bin + (CEIL(q * n) - cum_before) * 1.0 / cnt),
                 6) AS est
 FROM cum JOIN qs ON CEIL(q * n) > cum_before AND CEIL(q * n) <= cum
 ORDER BY q
+"""
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of each event type's
+    daily-spend series: x = trend + seasonal + residual, with trend =
+    centered 7-day moving average (interior days only — the frame must
+    be full so the estimate is unbiased), seasonal = per-day-of-week
+    mean of the detrended series, residual = what's left. The anomaly
+    / forecasting preprocessing step `seasonal_profile` (raw calendar
+    means) doesn't provide, since it never removes trend.
+
+    All arithmetic is ROUND(·, 6)-pinned doubles at each stage so the
+    DuckDB oracle hash-matches (the decimal-AVG trick used by
+    seasonal_profile is unavailable: DuckDB AVG returns DOUBLE for
+    decimal inputs, with different scale rules than Spark's decimal
+    division).
+
+    Scale: daily aggregate (one map-side-combined shuffle, |days| x
+    #types rows out), then every window partitions BY EVENT TYPE —
+    frames are calendar-bounded per series, never global, and the
+    day-of-week seasonal means are a 7 x #types aggregate joined back
+    on (event_type, dow).
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("x"))
+    w7 = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    )
+    t = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.when(
+            F.count("*").over(w7) == 7,
+            F.round(F.sum("x").over(w7) / 7.0, 6),
+        ).alias("trend"),
+    ).where(F.col("trend").isNotNull())
+    det = t.withColumn("detrended", F.round(F.col("x") - F.col("trend"), 6))
+    dow = det.withColumn("dow", F.dayofweek("day"))
+    seas = dow.groupBy("event_type", "dow").agg(
+        F.round(F.avg("detrended"), 6).alias("seasonal")
+    )
+    return (
+        dow.join(seas, ["event_type", "dow"])
+        .select(
+            "event_type",
+            "day",
+            "x",
+            "trend",
+            "seasonal",
+            F.round(F.col("detrended") - F.col("seasonal"), 6).alias(
+                "residual"
+            ),
+        )
+    )
+
+
+ORACLE_SEASONAL_DECOMPOSE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, ROUND(SUM(value), 6) AS x
+  FROM events GROUP BY 1, 2),
+t AS (
+  SELECT event_type, day, x,
+         CASE WHEN COUNT(*) OVER w = 7
+              THEN ROUND(SUM(x) OVER w / 7.0, 6) END AS trend
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+det AS (
+  SELECT event_type, day, x, trend,
+         ROUND(x - trend, 6) AS detrended,
+         dayofweek(day) + 1 AS dow
+  FROM t WHERE trend IS NOT NULL),
+seas AS (
+  SELECT event_type, dow, ROUND(AVG(detrended), 6) AS seasonal
+  FROM det GROUP BY 1, 2)
+SELECT d.event_type, d.day, d.x, d.trend, s.seasonal,
+       ROUND(d.detrended - s.seasonal, 6) AS residual
+FROM det d JOIN seas s ON d.event_type = s.event_type AND d.dow = s.dow
 """
