@@ -47,6 +47,7 @@ def distributed_rank(
     n_buckets: int = 32,
     rank_col: str = "rn",
     total_col: str | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Append an exact global ``row_number`` (1-based) column ordered by
     ``value_col`` (+ ``tiebreakers``) without a global sort.
@@ -56,8 +57,17 @@ def distributed_rank(
     ``row_number`` itself. When ``total_col`` is given, the total row
     count is attached as a constant column (for percent_rank /
     cume_dist / ntile derivation).
+
+    ``materialize`` (default True) localCheckpoints ``df`` first: the
+    frame fans out to the bounds aggregate, the bucket counts, and the
+    ranked output, so a lazily-derived input (typically an aggregate
+    of something much bigger) would otherwise be recomputed three
+    times. Pass False only when ``df`` is a raw scan that's cheaper to
+    re-read than to store.
     """
     ties = tiebreakers or []
+    if materialize:
+        df = df.localCheckpoint()
     v = F.col(value_col)
 
     if n_buckets < 2:  # degenerate: one bucket IS the global window

@@ -1292,7 +1292,12 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary fall into the lower bucket on both sides (``<=``), so the
     hash match checks the bucketing itself.
     """
-    ppl = q_lm_perplexity(spark, sf_dir).select("doc_id", "ppl")
+    # materialize the per-doc scores ONCE: the frame fans out to the
+    # bounds aggregate AND the bucketing projection, and without a
+    # checkpoint each consumer re-trains the bigram LM end-to-end
+    # (measured ~2x the query). (doc_id, ppl) is 2 columns per doc —
+    # cheap executor-local storage at any corpus size.
+    ppl = q_lm_perplexity(spark, sf_dir).select("doc_id", "ppl").localCheckpoint()
     bounds = ppl.agg(
         F.percentile_approx(
             "ppl",
