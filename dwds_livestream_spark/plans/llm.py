@@ -1921,3 +1921,132 @@ SELECT cluster_id, doc_id AS keeper_id, n_members,
        n_chars AS kept_chars, total_chars - n_chars AS dropped_chars
 FROM rk WHERE rn = 1
 """
+
+
+# target language mix for the mixture planner — the knob a pretraining
+# run sets; literals shared verbatim with the oracle
+_MIX_WEIGHTS = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+_MIX_BUDGET_FRAC = 0.5  # plan a run over half the corpus's tokens
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning — the arithmetic BEFORE
+    ``mixture_sample`` draws anything: given observed token supply per
+    language and a target weight vector, derive each language's token
+    target, sampling rate, and epoch count (rate > 1 means the
+    language must repeat to hit its weight — the DoReMi/LLaMA-style
+    oversampling diagnostic).
+
+    Output per language: tokens_avail, weight, tokens_target,
+    sample_rate (capped at 1), epochs (uncapped rate). A planner reads
+    `epochs > 1` as "this language is the binding constraint".
+
+    Scale: one map-side-combined aggregate over the corpus (token
+    counts), then all planning arithmetic happens on a |languages|-row
+    frame — the corpus is scanned exactly once, text never shuffles.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    supply = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).alias("tokens_avail")
+    )
+    wmap = F.create_map(
+        *[F.lit(x) for kv in _MIX_WEIGHTS.items() for x in kv]
+    )
+    total = supply.agg(F.sum("tokens_avail").alias("__total"))
+    planned = (
+        supply.crossJoin(F.broadcast(total))
+        .withColumn("weight", wmap[F.col("lang")])
+        .withColumn(
+            "tokens_target",
+            F.floor(
+                F.col("weight") * F.lit(_MIX_BUDGET_FRAC) * F.col("__total")
+            ).cast("long"),
+        )
+    )
+    rate = F.col("tokens_target") / F.col("tokens_avail")
+    return planned.select(
+        "lang",
+        "tokens_avail",
+        "weight",
+        "tokens_target",
+        F.round(F.least(rate, F.lit(1.0)), 6).alias("sample_rate"),
+        F.round(rate, 6).alias("epochs"),
+    )
+
+
+ORACLE_MIXTURE_PLAN = """
+WITH supply AS (
+  SELECT lang, SUM(len(string_split(text, ' '))) AS tokens_avail
+  FROM documents GROUP BY lang),
+total AS (SELECT SUM(tokens_avail) AS t FROM supply),
+w(lang, weight) AS (VALUES ('en', 0.4), ('de', 0.15), ('es', 0.15),
+                           ('fr', 0.15), ('zh', 0.15)),
+planned AS (
+  SELECT s.lang, s.tokens_avail, CAST(w.weight AS DOUBLE) AS weight,
+         CAST(FLOOR(CAST(w.weight AS DOUBLE) * 0.5 * total.t) AS BIGINT)
+           AS tokens_target
+  FROM supply s JOIN w ON s.lang = w.lang, total)
+SELECT lang, tokens_avail, weight, tokens_target,
+       ROUND(LEAST(tokens_target * 1.0 / tokens_avail, 1.0), 6)
+         AS sample_rate,
+       ROUND(tokens_target * 1.0 / tokens_avail, 6) AS epochs
+FROM planned
+"""
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law input): the corpus in 10
+    doc_id-deciles, counting word types FIRST SEEN in each decile and
+    the cumulative vocabulary — the diagnostic for "does more data
+    still add new vocabulary", which drives tokenizer-retraining and
+    data-mixing decisions.
+
+    Scale: explode to (token, decile), ONE min-aggregate per distinct
+    token (map-side combined; shuffle is |vocab|, not |tokens|), then
+    the growth curve lives on a 10-row frame (the cumulative window is
+    bounded by the decile count — whitelisted).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # doc_id is dense 0..n-1 in the testdata
+    tok = docs.select(
+        # explicit floor: Spark's double->int cast truncates where
+        # DuckDB's rounds (verify-skill gotcha)
+        F.floor(F.col("doc_id") * 10 / F.lit(n_docs))
+        .cast("int")
+        .alias("decile"),
+        F.explode(F.split(F.lower("text"), " ")).alias("w"),
+    )
+    per_dec = tok.groupBy("decile").agg(F.count("*").alias("n_tokens"))
+    first = tok.groupBy("w").agg(F.min("decile").alias("decile"))
+    growth = first.groupBy("decile").agg(F.count("*").alias("new_types"))
+    from pyspark.sql import Window
+
+    cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_dec.join(growth, "decile", "left")
+        .withColumn("new_types", F.coalesce("new_types", F.lit(0)))
+        .select(
+            "decile",
+            "n_tokens",
+            "new_types",
+            F.sum("new_types").over(cum).alias("cum_types"),
+        )
+    )
+
+
+ORACLE_VOCAB_GROWTH = """
+WITH n AS (SELECT COUNT(*) AS c FROM documents),
+tok AS (
+  SELECT CAST(FLOOR(doc_id * 10 / n.c) AS INT) AS decile,
+         unnest(string_split(lower(text), ' ')) AS w
+  FROM documents, n),
+per_dec AS (SELECT decile, COUNT(*) AS n_tokens FROM tok GROUP BY decile),
+first AS (SELECT w, MIN(decile) AS decile FROM tok GROUP BY w),
+growth AS (SELECT decile, COUNT(*) AS new_types FROM first GROUP BY decile)
+SELECT p.decile, p.n_tokens, COALESCE(g.new_types, 0) AS new_types,
+       SUM(COALESCE(g.new_types, 0)) OVER (ORDER BY p.decile
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_types
+FROM per_dec p LEFT JOIN growth g ON p.decile = g.decile
+"""

@@ -32,6 +32,7 @@ GLOBAL_WINDOW_OK = {
     "hll_rolling_distinct": "frame is one row per DAY (sketch table)",
     "decile_lift": "cumulative share over the 10-row decile summary",
     "quantile_rollup": "cumulative over <= 64 merged histogram bins",
+    "vocab_growth": "cumulative over the 10-row decile growth frame",
 }
 
 # nested-loop joins allowed ONLY when one side is bounded (1-row stats
@@ -72,6 +73,7 @@ NESTED_LOOP_OK = {
     "spend_percent_rank": "bucket-bounds broadcast (distributed_rank)",
     "rolling_active_users": "1-row date-bounds cross join",
     "quantile_rollup": "64-bin histogram x 3-row quantile-list join",
+    "mixture_plan": "1-row total-tokens cross join",
 }
 
 
