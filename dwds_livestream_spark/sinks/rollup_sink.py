@@ -1,0 +1,143 @@
+"""Exactly-once incremental maintenance of the quantile-histogram
+rollup table (operators/quantile_hist.py) from a stream.
+
+The streaming twin (streaming/sketches.py::histogram_stream) keeps the
+rollup as ENGINE state (complete/update output modes); this sink keeps
+it as a TABLE — the shape a serving layer reads and the engine never
+has to hold: each micro-batch appends its own day-bin increments, and
+the reader sums increments per (day, bin).
+
+Exactly-once WITHOUT a ledger: increments are written with dynamic
+partition overwrite into ``day=D/__batch=N`` leaf partitions, so a
+replayed micro-batch (restart between write and checkpoint commit)
+OVERWRITES its own previous output instead of double-counting — the
+same idempotence-by-addressing trick as the JDBC fact sink's batch
+ledger (sinks/fact_sink.py), but expressed in the storage layout.
+``day`` leads the layout so date-range readers still prune partitions.
+
+At 100 TB: each batch writes |days-in-batch| x n_bins tiny rows; the
+increment count grows with trigger count, so ``compact_rollup``
+periodically folds a CLOSED day's increments into a single
+``__batch=-1`` file (idempotent: re-compaction rewrites the same
+partition). Readers are correct before, during, and after compaction
+because they always sum increments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+COMPACTED_BATCH = -1
+
+
+def histogram_rollup_writer(
+    path: str,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    lo: float = 0.0,
+    hi: float = 512.0,
+    n_bins: int = 64,
+):
+    """foreachBatch function maintaining the increment table at
+    ``path``. Use:
+
+        stream.writeStream.foreachBatch(
+            histogram_rollup_writer(path)).start()
+    """
+    from ..operators.quantile_hist import day_bin_cells
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        inc = (
+            day_bin_cells(batch, value_col, ts_col, lo, hi, n_bins)
+            .groupBy("day", "bin")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("__batch", F.lit(int(batch_id)))
+        )
+        spark = batch.sparkSession
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            (
+                inc.repartition(1)  # increments are days x n_bins rows
+                .write.mode("overwrite")
+                .partitionBy("day", "__batch")
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+
+    return write_batch
+
+
+def read_rollup(spark: SparkSession, path: str) -> DataFrame:
+    """The current rollup: (day, bin, cnt) summed over increments —
+    feed this to range_quantiles. Day-range filters prune the
+    partition layout before any file is opened."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("day", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def compact_rollup(spark: SparkSession, path: str, upto_day: str) -> None:
+    """Fold every CLOSED day's increments (day <= upto_day) into one
+    ``__batch=-1`` partition per day. Readers stay correct before and
+    after because they always sum increments; days still receiving
+    batches must stay un-compacted (a concurrent writer's increment
+    would be folded twice).
+
+    Crash safety on plain parquet (no table format's atomic commit):
+    the folded result is STAGED to ``<path>.compacting`` on storage
+    first, old leaves are deleted only after the stage is fully
+    written, then staged directories move into place. A crash mid-swap
+    loses nothing — the staged day dirs still hold the folded data;
+    re-running compact_rollup finishes the move (it treats a leftover
+    stage as recovery input before folding anything new)."""
+    import os
+    import shutil
+
+    stage = path.rstrip("/") + ".compacting"
+
+    def _swap_in() -> None:
+        for day_dir in sorted(os.listdir(stage)):
+            if not day_dir.startswith("day="):
+                continue
+            src = os.path.join(stage, day_dir, f"__batch={COMPACTED_BATCH}")
+            if not os.path.isdir(src):
+                continue
+            dst_day = os.path.join(path, day_dir)
+            os.makedirs(dst_day, exist_ok=True)
+            # delete superseded increment leaves, then move the folded
+            # leaf in — per-day, so a crash affects at most one day,
+            # whose folded data still sits in the stage
+            for bdir in os.listdir(dst_day):
+                if bdir.startswith("__batch="):
+                    shutil.rmtree(os.path.join(dst_day, bdir))
+            shutil.move(src, os.path.join(dst_day, f"__batch={COMPACTED_BATCH}"))
+        shutil.rmtree(stage)
+
+    if os.path.isdir(stage):
+        if os.path.exists(os.path.join(stage, "_SUCCESS")):
+            _swap_in()  # recovery: finish an interrupted swap
+            return
+        shutil.rmtree(stage)  # stage write itself crashed — redo
+
+    cur = spark.read.parquet(path).where(F.col("day") <= F.lit(upto_day))
+    (
+        cur.groupBy("day", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn("__batch", F.lit(COMPACTED_BATCH))
+        .repartition(1)
+        .write.mode("overwrite")
+        .partitionBy("day", "__batch")
+        .parquet(stage)
+    )
+    _swap_in()
