@@ -102,16 +102,12 @@ def range_quantiles(
         "cnt",
         F.sum("cnt").over(cum_w).alias("cum"),
         F.sum("cnt").over(
-            Window.orderBy("bin").rowsBetween(
-                Window.unboundedPreceding, -1
-            )
-        ).alias("cum_before"),
-        F.sum("cnt").over(
             Window.orderBy("bin").rangeBetween(
                 Window.unboundedPreceding, Window.unboundedFollowing
             )
         ).alias("n"),
-    ).withColumn("cum_before", F.coalesce("cum_before", F.lit(0)))
+        # exact integer identity — no third window spec needed
+    ).withColumn("cum_before", F.col("cum") - F.col("cnt"))
     q_df = hist.sparkSession.createDataFrame(
         [(float(q),) for q in qs], "q double"
     )

@@ -67,7 +67,10 @@ def distributed_rank(
     """
     ties = tiebreakers or []
     if materialize:
-        df = df.localCheckpoint()
+        # lazy: compute-once at first action WITHOUT running the
+        # upstream job at DataFrame-construction time (plan tooling
+        # builds registry queries only to read .explain output)
+        df = df.localCheckpoint(eager=False)
     v = F.col(value_col)
 
     if n_buckets < 2:  # degenerate: one bucket IS the global window

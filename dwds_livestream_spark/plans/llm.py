@@ -1297,7 +1297,11 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint each consumer re-trains the bigram LM end-to-end
     # (measured ~2x the query). (doc_id, ppl) is 2 columns per doc —
     # cheap executor-local storage at any corpus size.
-    ppl = q_lm_perplexity(spark, sf_dir).select("doc_id", "ppl").localCheckpoint()
+    ppl = (
+        q_lm_perplexity(spark, sf_dir)
+        .select("doc_id", "ppl")
+        .localCheckpoint(eager=False)  # lazy: no job at build time
+    )
     bounds = ppl.agg(
         F.percentile_approx(
             "ppl",
@@ -1946,8 +1950,13 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame — the corpus is scanned exactly once, text never shuffles.
     """
     docs = _t(spark, sf_dir, "documents")
-    supply = docs.groupBy("lang").agg(
-        F.sum(F.size(F.split("text", " "))).alias("tokens_avail")
+    # plan ONLY the languages in the target mixture — a lang outside
+    # the weight vector has no defined plan row (and the oracle's
+    # weight join drops it), so it is filtered here, not NULL-planned
+    supply = (
+        docs.where(F.col("lang").isin(*_MIX_WEIGHTS))
+        .groupBy("lang")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("tokens_avail"))
     )
     wmap = F.create_map(
         *[F.lit(x) for kv in _MIX_WEIGHTS.items() for x in kv]

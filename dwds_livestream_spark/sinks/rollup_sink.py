@@ -45,33 +45,22 @@ def histogram_rollup_writer(
         stream.writeStream.foreachBatch(
             histogram_rollup_writer(path)).start()
     """
-    from ..operators.quantile_hist import day_bin_cells
+    from ..operators.quantile_hist import histogram_rollup
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
-        inc = (
-            day_bin_cells(batch, value_col, ts_col, lo, hi, n_bins)
-            .groupBy("day", "bin")
-            .agg(F.count("*").alias("cnt"))
-            .withColumn("__batch", F.lit(int(batch_id)))
+        inc = histogram_rollup(
+            batch, value_col, ts_col, lo, hi, n_bins
+        ).withColumn("__batch", F.lit(int(batch_id)))
+        (
+            inc.repartition(1)  # increments are days x n_bins rows
+            # per-write option (SPARK-25313), NOT the session conf: a
+            # session-global toggle races concurrent writers, and an
+            # overwrite that lands under 'static' truncates the table
+            .write.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .partitionBy("day", "__batch")
+            .parquet(path)
         )
-        spark = batch.sparkSession
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
-        try:
-            (
-                inc.repartition(1)  # increments are days x n_bins rows
-                .write.mode("overwrite")
-                .partitionBy("day", "__batch")
-                .parquet(path)
-            )
-        finally:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev
-            )
 
     return write_batch
 
@@ -100,7 +89,18 @@ def compact_rollup(spark: SparkSession, path: str, upto_day: str) -> None:
     written, then staged directories move into place. A crash mid-swap
     loses nothing — the staged day dirs still hold the folded data;
     re-running compact_rollup finishes the move (it treats a leftover
-    stage as recovery input before folding anything new)."""
+    stage as recovery input before folding anything new).
+
+    Two documented limits of the plain-parquet protocol:
+    - the per-day delete-then-move window is NOT atomic for concurrent
+      readers: a query listing day D mid-swap sees zero files for that
+      day (undercount). DATA is never lost, but run compaction in a
+      maintenance window, or serve from a snapshot, if readers race it
+      — a table format (Iceberg/Delta) is the answer where that
+      matters.
+    - the swap uses local-FS calls (same stance as
+      sinks/compaction.py): on HDFS/S3 the identical rename/delete
+      protocol goes through the Hadoop FileSystem API."""
     import os
     import shutil
 

@@ -71,10 +71,8 @@ def histogram_stream(
     land in their day's bins for the streamed==batch identity to hold;
     bound state by retiring closed days from the SINK table instead.
     """
-    from ..operators.quantile_hist import day_bin_cells
+    from ..operators.quantile_hist import histogram_rollup
 
-    return (
-        day_bin_cells(stream, value_col, ts_col, lo, hi, n_bins)
-        .groupBy("day", "bin")
-        .agg(F.count("*").alias("cnt"))
-    )
+    # the batch rollup IS the streaming aggregation — one shared body,
+    # so the streamed==batch identity can't drift
+    return histogram_rollup(stream, value_col, ts_col, lo, hi, n_bins)
