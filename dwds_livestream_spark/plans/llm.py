@@ -2059,3 +2059,24 @@ SELECT p.decile, p.n_tokens, COALESCE(g.new_types, 0) AS new_types,
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_types
 FROM per_dec p LEFT JOIN growth g ON p.decile = g.decile
 """
+
+
+def q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-BM25-index retrieval (operators/text_index.py): build
+    the term-bucket-partitioned postings once in a scratch dir, then
+    answer top-k via partition-pruned scans. Scores are identical to
+    ``bm25_topk`` by construction, so this entry reuses ITS oracle —
+    the hash match proves the index round-trip loses nothing. Pruning
+    and bucket-lockstep gates live in tests/test_text_index.py."""
+    import os
+    import tempfile
+
+    from ..operators.text_index import bm25_index_query, bm25_index_write
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"dwds_bm25_idx_{os.path.basename(sf_dir)}"
+    )
+    bm25_index_write(_t(spark, sf_dir, "documents"), path)
+    return bm25_index_query(
+        spark, path, BM25_TERMS, k1=BM25_K1, b=BM25_B, topk=BM25_TOPK
+    )

@@ -74,6 +74,7 @@ NESTED_LOOP_OK = {
     "rolling_active_users": "1-row date-bounds cross join",
     "quantile_rollup": "64-bin histogram x 3-row quantile-list join",
     "mixture_plan": "1-row total-tokens cross join",
+    "bm25_index_topk": "1-row corpus-stats cross join (same as bm25_topk)",
 }
 
 
