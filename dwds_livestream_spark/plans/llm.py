@@ -1778,12 +1778,17 @@ def q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-pruned scans. Rows-only (approximate by construction);
     identity-with-ivf_topk + pruning-plan gates live in
     tests/test_ann_index.py."""
+    import os
     import tempfile
 
     from ..operators.ann_index import ivf_index_query, ivf_index_write
 
     emb = _t(spark, sf_dir, "embeddings")
-    path = tempfile.mkdtemp(prefix="ivf_idx_") + "/idx"
+    # stable scratch path (mode=overwrite), not mkdtemp: repeated
+    # bench/driver runs must not accumulate index copies in /tmp
+    path = os.path.join(
+        tempfile.gettempdir(), f"dwds_ivf_idx_{os.path.basename(sf_dir)}"
+    )
     ivf_index_write(emb, path, n_centroids=16)
     return ivf_index_query(
         spark, path, emb.where(F.col("vec_id") < 10), k=10, nprobe=4
