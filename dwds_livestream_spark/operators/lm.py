@@ -87,3 +87,102 @@ def lm_perplexity(
             F.round(F.exp(F.avg(nll)), 6).alias("ppl"),
         )
     )
+
+
+def lm_train_write(
+    documents: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist the bigram LM as a queryable artifact — the
+    train-once/score-anywhere shape quality filtering needs at 100 TB
+    (CCNet trains its KenLM on Wikipedia ONCE, then scores every crawl
+    shard with it; retraining per scoring job, as ``lm_perplexity``
+    does, is only right for self-scoring).
+
+    Writes ``path/bigrams`` (w1, w2, c2), ``path/unigrams`` (w1, c1)
+    and ``path/meta`` (1 row: v = |vocab|). One tokenize pass, two
+    map-side-combined count shuffles — same training plan as
+    lm_perplexity; the artifact is n-gram-vocabulary-sized, never
+    corpus-sized."""
+    toks = tokens(F.lower(F.col(text_col)))
+    base = documents.select(
+        F.col(id_col).alias("doc_id"), toks.alias("__toks")
+    )
+    uni = (
+        base.select(F.explode("__toks").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    uni.write.mode("overwrite").parquet(f"{path}/unigrams")
+    spark = documents.sparkSession
+    uni_t = spark.read.parquet(f"{path}/unigrams")  # count from files:
+    # one job, and bigram counting below re-reads the corpus anyway
+    (
+        uni_t.agg(F.count("*").alias("v"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/meta")
+    )
+    (
+        base.select(F.explode(_bigrams(F.col("__toks"))).alias("g"))
+        .groupBy(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .agg(F.count("*").alias("c2"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/bigrams")
+    )
+
+
+def lm_score(
+    spark,
+    path: str,
+    documents: DataFrame,
+    add_k: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Score ``documents`` under the PERSISTED model at ``path`` —
+    same output shape as ``lm_perplexity`` (doc_id, n_bigrams,
+    avg_nll, ppl) and identical values when scoring the training
+    corpus itself (asserted in tests/test_lm_artifact.py).
+
+    Held-out semantics the retrain-per-call operator cannot offer:
+    bigrams (or even unigram contexts) UNSEEN in training back off to
+    the add-k floor — c2 = 0 / c1 = 0 via left joins — instead of
+    being dropped, so out-of-domain text gets the high perplexity it
+    deserves rather than a hole in the score."""
+    bi = spark.read.parquet(f"{path}/bigrams")
+    uni = spark.read.parquet(f"{path}/unigrams")
+    meta = spark.read.parquet(f"{path}/meta")
+
+    toks = tokens(F.lower(F.col(text_col)))
+    doc_bi = (
+        documents.select(
+            F.col(id_col).alias("doc_id"), toks.alias("__toks")
+        )
+        .select("doc_id", F.explode(_bigrams(F.col("__toks"))).alias("g"))
+        .select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    )
+    # join the two count tables SEPARATELY: a pre-joined model table
+    # would lose w1's unigram count for seen-context/unseen-bigram
+    # pairs (left-join miss drops the whole row's c1)
+    if broadcast_model:
+        bi, uni = F.broadcast(bi), F.broadcast(uni)
+    scored = (
+        doc_bi.join(bi, ["w1", "w2"], "left")
+        .withColumn("c2", F.coalesce("c2", F.lit(0)))
+        .join(uni, ["w1"], "left")
+        # unseen CONTEXT w1: unigram count 0 -> pure add-k floor
+        .withColumn("c1", F.coalesce("c1", F.lit(0)))
+        .crossJoin(F.broadcast(meta))
+    )
+    nll = -F.log(
+        (F.col("c2") + add_k) / (F.col("c1") + add_k * F.col("v"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg(nll), 6).alias("avg_nll"),
+        F.round(F.exp(F.avg(nll)), 6).alias("ppl"),
+    )

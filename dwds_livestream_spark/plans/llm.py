@@ -2085,3 +2085,24 @@ def q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_index_query(
         spark, path, BM25_TERMS, k1=BM25_K1, b=BM25_B, topk=BM25_TOPK
     )
+
+
+def q_lm_artifact_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-LM scoring (operators/lm.py lm_train_write/lm_score):
+    train the bigram model into a scratch artifact, then score the
+    corpus UNDER THE ARTIFACT. Identical to ``lm_perplexity`` on the
+    training corpus by construction, so this entry reuses ITS oracle —
+    the hash match proves the model round-trips through parquet
+    losslessly. Held-out add-k backoff semantics (the artifact's
+    reason to exist) are pinned in tests/test_lm_artifact.py."""
+    import os
+    import tempfile
+
+    from ..operators.lm import lm_score, lm_train_write
+
+    docs = _t(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(), f"dwds_lm_{os.path.basename(sf_dir)}"
+    )
+    lm_train_write(docs, path)
+    return lm_score(spark, path, docs, add_k=LM_ADD_K)

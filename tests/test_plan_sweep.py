@@ -75,6 +75,7 @@ NESTED_LOOP_OK = {
     "quantile_rollup": "64-bin histogram x 3-row quantile-list join",
     "mixture_plan": "1-row total-tokens cross join",
     "bm25_index_topk": "1-row corpus-stats cross join (same as bm25_topk)",
+    "lm_artifact_ppl": "1-row vocab-size cross join (same as lm_perplexity)",
 }
 
 
