@@ -42,6 +42,52 @@ def _bigrams(toks):
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
 
+def _tokenized(documents: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, __toks) — the single tokenization every LM path uses."""
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
+    )
+
+
+def _count_tables(base: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(unigrams(w1, c1), bigrams(w1, w2, c2)) — SHARED by
+    lm_perplexity and lm_train_write, so the persisted artifact's
+    exact-parity gate against the retrain-per-call operator cannot
+    drift."""
+    uni = (
+        base.select(F.explode("__toks").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    bi = (
+        base.select(F.explode(_bigrams(F.col("__toks"))).alias("g"))
+        .groupBy(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .agg(F.count("*").alias("c2"))
+    )
+    return uni, bi
+
+
+def _doc_bigrams(base: DataFrame) -> DataFrame:
+    return base.select(
+        "doc_id", F.explode(_bigrams(F.col("__toks"))).alias("g")
+    ).select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+
+
+def _nll(add_k: float):
+    """-ln P(w2|w1) under add-k smoothing — the one formula both
+    scorers share (expects c2, c1, v columns in scope)."""
+    return -F.log((F.col("c2") + add_k) / (F.col("c1") + add_k * F.col("v")))
+
+
+def _per_doc_stats(scored: DataFrame, add_k: float) -> DataFrame:
+    nll = _nll(add_k)
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg(nll), 6).alias("avg_nll"),
+        F.round(F.exp(F.avg(nll)), 6).alias("ppl"),
+    )
+
 
 def lm_perplexity(
     documents: DataFrame,
@@ -52,41 +98,16 @@ def lm_perplexity(
 ) -> DataFrame:
     """Per-document bigram-LM stats: doc_id, n_bigrams, avg_nll, ppl
     (both rounded 1e-6)."""
-    toks = tokens(F.lower(F.col(text_col)))
-    base = documents.select(
-        F.col(id_col).alias("doc_id"), toks.alias("__toks")
-    )
-    uni = (
-        base.select(F.explode("__toks").alias("w1"))
-        .groupBy("w1")
-        .agg(F.count("*").alias("c1"))
-    )
+    base = _tokenized(documents, text_col, id_col)
+    uni, bi = _count_tables(base)
     vocab = uni.agg(F.count("*").alias("v"))
-    bi = (
-        base.select(F.explode(_bigrams(F.col("__toks"))).alias("g"))
-        .groupBy(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
-        .agg(F.count("*").alias("c2"))
-    )
-    doc_bi = base.select(
-        "doc_id", F.explode(_bigrams(F.col("__toks"))).alias("g")
-    ).select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    doc_bi = _doc_bigrams(base)
 
     model = bi.join(uni, "w1")
     if broadcast_model:
         model = F.broadcast(model)
-    nll = -F.log(
-        (F.col("c2") + add_k) / (F.col("c1") + add_k * F.col("v"))
-    )
-    return (
-        doc_bi.join(model, ["w1", "w2"])
-        .crossJoin(F.broadcast(vocab))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_bigrams"),
-            F.round(F.avg(nll), 6).alias("avg_nll"),
-            F.round(F.exp(F.avg(nll)), 6).alias("ppl"),
-        )
-    )
+    scored = doc_bi.join(model, ["w1", "w2"]).crossJoin(F.broadcast(vocab))
+    return _per_doc_stats(scored, add_k)
 
 
 def lm_train_write(
@@ -106,15 +127,8 @@ def lm_train_write(
     map-side-combined count shuffles — same training plan as
     lm_perplexity; the artifact is n-gram-vocabulary-sized, never
     corpus-sized."""
-    toks = tokens(F.lower(F.col(text_col)))
-    base = documents.select(
-        F.col(id_col).alias("doc_id"), toks.alias("__toks")
-    )
-    uni = (
-        base.select(F.explode("__toks").alias("w1"))
-        .groupBy("w1")
-        .agg(F.count("*").alias("c1"))
-    )
+    base = _tokenized(documents, text_col, id_col)
+    uni, bi = _count_tables(base)
     uni.write.mode("overwrite").parquet(f"{path}/unigrams")
     spark = documents.sparkSession
     uni_t = spark.read.parquet(f"{path}/unigrams")  # count from files:
@@ -125,13 +139,7 @@ def lm_train_write(
         .write.mode("overwrite")
         .parquet(f"{path}/meta")
     )
-    (
-        base.select(F.explode(_bigrams(F.col("__toks"))).alias("g"))
-        .groupBy(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
-        .agg(F.count("*").alias("c2"))
-        .write.mode("overwrite")
-        .parquet(f"{path}/bigrams")
-    )
+    bi.write.mode("overwrite").parquet(f"{path}/bigrams")
 
 
 def lm_score(
@@ -157,14 +165,7 @@ def lm_score(
     uni = spark.read.parquet(f"{path}/unigrams")
     meta = spark.read.parquet(f"{path}/meta")
 
-    toks = tokens(F.lower(F.col(text_col)))
-    doc_bi = (
-        documents.select(
-            F.col(id_col).alias("doc_id"), toks.alias("__toks")
-        )
-        .select("doc_id", F.explode(_bigrams(F.col("__toks"))).alias("g"))
-        .select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
-    )
+    doc_bi = _doc_bigrams(_tokenized(documents, text_col, id_col))
     # join the two count tables SEPARATELY: a pre-joined model table
     # would lose w1's unigram count for seen-context/unseen-bigram
     # pairs (left-join miss drops the whole row's c1)
@@ -178,11 +179,4 @@ def lm_score(
         .withColumn("c1", F.coalesce("c1", F.lit(0)))
         .crossJoin(F.broadcast(meta))
     )
-    nll = -F.log(
-        (F.col("c2") + add_k) / (F.col("c1") + add_k * F.col("v"))
-    )
-    return scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_bigrams"),
-        F.round(F.avg(nll), 6).alias("avg_nll"),
-        F.round(F.exp(F.avg(nll)), 6).alias("ppl"),
-    )
+    return _per_doc_stats(scored, add_k)

@@ -32,6 +32,16 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens
 
 
+def bm25_part(tf, df, n_docs, avgdl, dl, k1: float, b: float):
+    """One term's BM25 contribution (RSJ/Lucene idf) as a Column —
+    SHARED with the persisted index (operators/text_index.py), whose
+    exact-parity gate against bm25_topk would silently break if the
+    two formulas could drift."""
+    idf = F.log((n_docs - df + 0.5) / (df + 0.5) + 1)
+    norm = F.lit(k1) * (1 - b + F.lit(b) * dl / avgdl)
+    return idf * tf * (k1 + 1) / (tf + norm)
+
+
 def bm25_topk(
     documents: DataFrame,
     query_terms: list[str],
@@ -71,15 +81,12 @@ def bm25_topk(
         ],
     )
 
-    def idf(i: int):
-        n, df = F.col("n_docs"), F.col(f"__df_{i}")
-        return F.log((n - df + 0.5) / (df + 0.5) + 1)
-
-    norm = F.lit(k1) * (1 - b + F.lit(b) * F.col("dl") / F.col("avgdl"))
     score = None
     for i in range(len(terms)):
-        tf = F.col(f"__tf_{i}")
-        part = idf(i) * tf * (k1 + 1) / (tf + norm)
+        part = bm25_part(
+            F.col(f"__tf_{i}"), F.col(f"__df_{i}"),
+            F.col("n_docs"), F.col("avgdl"), F.col("dl"), k1, b,
+        )
         score = part if score is None else score + part
 
     return (

@@ -8,23 +8,29 @@ corpus per query batch — right for one-shot scoring, wrong for a
 served corpus. This module persists the index once; every later query
 reads ONLY the partitions holding its terms' postings:
 
-- ``bm25_index_write``: one tokenize pass -> postings (term, doc_id,
-  tf) written partitioned by ``tbucket`` = md5(term) mod n_buckets,
-  plus a doc-length table and a 1-row corpus-stats table (n_docs,
-  avgdl). At 100 TB this is one scan + one partitioned write; the
-  postings shuffle is |distinct (doc, term)|, never |tokens|.
-- ``bm25_index_query``: the query's term buckets are computed
-  DRIVER-SIDE from the same md5 (no scan), the postings scan carries
-  ``tbucket IN (...)`` so only those partitions are read
-  (PartitionFilters — asserted in tests), per-term document
-  frequencies come from the postings slice itself, and scoring joins
-  the slice with the doc-length table. Shuffle is O(matching
-  postings), never O(corpus).
+- ``bm25_index_write``: tokenize -> postings (term, doc_id, tf)
+  written partitioned by ``tbucket`` = md5(term) mod n_buckets, plus
+  a doc-length table and a 1-row stats table (n_docs, avgdl, AND
+  n_buckets — persisting the layout parameter is what makes a
+  write/query bucket-count mismatch impossible, the same reason
+  ann_index persists its centroids). Two tokenize passes (doclen,
+  postings); corpus stats aggregate the already-written doclen files,
+  not the corpus.
+- ``bm25_index_query``: reads the persisted n_buckets, computes the
+  query terms' buckets DRIVER-SIDE from the same md5 (no scan), and
+  scans postings with ``tbucket IN (...)`` — PartitionFilters,
+  asserted in tests. Per-term document frequencies come from the
+  probed slice itself (exact: the slice holds every posting of each
+  query term); the doc-length table is pruned to matched doc_ids with
+  a broadcast semi-join BEFORE joining, so no query ever shuffles the
+  corpus-sized doclen table. The per-document score is assembled from
+  per-term conditional sums added in fixed query-term order — the
+  SAME addition sequence as ``bm25_topk``'s in-row expression, so
+  equality is exact, not merely within float-reassociation noise.
 
-Scoring is the same Robertson-Sparck Jones / Lucene BM25 variant as
-``bm25_topk`` with identical tokenization, so an index built from a
-corpus answers queries identically to the in-memory operator —
-asserted in tests/test_text_index.py.
+Scoring uses retrieval.bm25_part — one shared formula, so the
+identity with ``bm25_topk`` (asserted in tests/test_text_index.py and
+by the registry entry reusing its DuckDB oracle) cannot drift.
 """
 
 from __future__ import annotations
@@ -35,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
+from .retrieval import bm25_part
 
 
 def _term_bucket_col(term, n_buckets: int):
@@ -60,16 +67,23 @@ def bm25_index_write(
     n_buckets: int = 64,
 ) -> None:
     """Build and persist: ``path/postings`` partitioned by tbucket,
-    ``path/doclen`` (doc_id, dl), ``path/stats`` (1 row)."""
+    ``path/doclen`` (doc_id, dl), ``path/stats`` (1 row: n_docs,
+    avgdl, n_buckets)."""
     toks = documents.select(
         F.col(id_col).alias("doc_id"),
         tokens(F.lower(F.col(text_col))).alias("__toks"),
     )
-    doclen = toks.select("doc_id", F.size("__toks").alias("dl"))
-    doclen.write.mode("overwrite").parquet(f"{path}/doclen")
+    toks.select("doc_id", F.size("__toks").alias("dl")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/doclen")
+    spark = documents.sparkSession
     (
-        doclen.agg(
-            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+        # stats from the WRITTEN doclen files — no third corpus pass
+        spark.read.parquet(f"{path}/doclen")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+            F.lit(int(n_buckets)).alias("n_buckets"),
         )
         .coalesce(1)
         .write.mode("overwrite")
@@ -96,14 +110,18 @@ def bm25_index_query(
     k1: float = 1.2,
     b: float = 0.75,
     topk: int = 10,
-    n_buckets: int = 64,
 ) -> DataFrame:
     """Top-``topk`` (doc_id, score) for ``query_terms``, reading ONLY
     the probed term buckets' partitions. Identical scores to
-    ``retrieval.bm25_topk`` on the indexed corpus."""
+    ``retrieval.bm25_topk`` on the indexed corpus. The bucket count
+    comes from the persisted stats row — a query can never probe with
+    a different layout than the index was written with."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = list(dict.fromkeys(t.lower() for t in query_terms))
+
+    stats = spark.read.parquet(f"{path}/stats")
+    n_buckets = int(stats.first().n_buckets)
     buckets = sorted({_term_bucket_py(t, n_buckets) for t in terms})
 
     postings = (
@@ -111,29 +129,46 @@ def bm25_index_query(
         .where(F.col("tbucket").isin(buckets))  # partition pruning
         .where(F.col("term").isin(terms))       # row pruning in-bucket
     )
-    stats = spark.read.parquet(f"{path}/stats")
-    doclen = spark.read.parquet(f"{path}/doclen")
-
-    # document frequency per term, from the slice itself (the slice
-    # holds EVERY posting of each query term — df is exact)
-    df_t = postings.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df")
+    # document frequency per term from the slice itself; postings are
+    # unique per (term, doc_id) by construction, so a plain count IS
+    # the distinct-document count
+    df_t = postings.groupBy("term").agg(F.count("*").alias("df"))
+    # prune the corpus-sized doclen table to matched docs with a
+    # broadcast semi-join BEFORE joining — the slice's doc_ids are
+    # top-k-query-sized, the corpus never shuffles
+    matched = postings.select("doc_id").distinct()
+    doclen = (
+        spark.read.parquet(f"{path}/doclen")
+        .join(F.broadcast(matched), "doc_id", "left_semi")
     )
     scored = (
         postings.join(F.broadcast(df_t), "term")
         .crossJoin(F.broadcast(stats))
-        .join(doclen, "doc_id")
+        .join(F.broadcast(doclen), "doc_id")
+        .withColumn(
+            "part",
+            bm25_part(
+                F.col("tf"), F.col("df"),
+                F.col("n_docs"), F.col("avgdl"), F.col("dl"), k1, b,
+            ),
+        )
     )
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
-    )
-    norm = F.lit(k1) * (
-        1 - b + F.lit(b) * F.col("dl") / F.col("avgdl")
-    )
-    part = idf * F.col("tf") * (k1 + 1) / (F.col("tf") + norm)
+    # assemble the doc score in FIXED query-term order (each per-term
+    # sum covers <= 1 row, so it is exact; missing terms contribute a
+    # literal 0.0) — bit-identical to bm25_topk's in-row p0+p1+...,
+    # immune to shuffle-order float reassociation
+    per_term = [
+        F.sum(F.when(F.col("term") == t, F.col("part"))).alias(f"__p_{i}")
+        for i, t in enumerate(terms)
+    ]
+    score = None
+    for i in range(len(terms)):
+        p = F.coalesce(F.col(f"__p_{i}"), F.lit(0.0))
+        score = p if score is None else score + p
     return (
         scored.groupBy("doc_id")
-        .agg(F.round(F.sum(part), 6).alias("score"))
+        .agg(*per_term)
+        .select("doc_id", F.round(score, 6).alias("score"))
         .where(F.col("score") > 0)
         .orderBy(F.desc("score"), "doc_id")
         .limit(topk)

@@ -1778,17 +1778,15 @@ def q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-pruned scans. Rows-only (approximate by construction);
     identity-with-ivf_topk + pruning-plan gates live in
     tests/test_ann_index.py."""
-    import os
     import tempfile
 
     from ..operators.ann_index import ivf_index_query, ivf_index_write
 
     emb = _t(spark, sf_dir, "embeddings")
-    # stable scratch path (mode=overwrite), not mkdtemp: repeated
-    # bench/driver runs must not accumulate index copies in /tmp
-    path = os.path.join(
-        tempfile.gettempdir(), f"dwds_ivf_idx_{os.path.basename(sf_dir)}"
-    )
+    # per-run mkdtemp: a fixed path would race a concurrent driver /
+    # bench process (overwrite deletes files mid-scan); tmp growth is
+    # bounded by run count and the dirs are tiny at test scale
+    path = tempfile.mkdtemp(prefix="dwds_ivf_idx_") + "/idx"
     ivf_index_write(emb, path, n_centroids=16)
     return ivf_index_query(
         spark, path, emb.where(F.col("vec_id") < 10), k=10, nprobe=4
@@ -2073,14 +2071,12 @@ def q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``bm25_topk`` by construction, so this entry reuses ITS oracle —
     the hash match proves the index round-trip loses nothing. Pruning
     and bucket-lockstep gates live in tests/test_text_index.py."""
-    import os
     import tempfile
 
     from ..operators.text_index import bm25_index_query, bm25_index_write
 
-    path = os.path.join(
-        tempfile.gettempdir(), f"dwds_bm25_idx_{os.path.basename(sf_dir)}"
-    )
+    # per-run mkdtemp: see q_ann_index_topk
+    path = tempfile.mkdtemp(prefix="dwds_bm25_idx_") + "/idx"
     bm25_index_write(_t(spark, sf_dir, "documents"), path)
     return bm25_index_query(
         spark, path, BM25_TERMS, k1=BM25_K1, b=BM25_B, topk=BM25_TOPK
@@ -2095,14 +2091,12 @@ def q_lm_artifact_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash match proves the model round-trips through parquet
     losslessly. Held-out add-k backoff semantics (the artifact's
     reason to exist) are pinned in tests/test_lm_artifact.py."""
-    import os
     import tempfile
 
     from ..operators.lm import lm_score, lm_train_write
 
     docs = _t(spark, sf_dir, "documents")
-    path = os.path.join(
-        tempfile.gettempdir(), f"dwds_lm_{os.path.basename(sf_dir)}"
-    )
+    # per-run mkdtemp: see q_ann_index_topk
+    path = tempfile.mkdtemp(prefix="dwds_lm_") + "/model"
     lm_train_write(docs, path)
     return lm_score(spark, path, docs, add_k=LM_ADD_K)

@@ -29,9 +29,7 @@ def test_index_query_identical_to_in_memory(spark, index):
     path, docs = index
     got = [
         (r.doc_id, r.score)
-        for r in bm25_index_query(
-            spark, path, TERMS, topk=20, n_buckets=16
-        ).collect()
+        for r in bm25_index_query(spark, path, TERMS, topk=20).collect()
     ]
     want = [
         (r.doc_id, r.score)
@@ -42,7 +40,7 @@ def test_index_query_identical_to_in_memory(spark, index):
 
 def test_postings_scan_is_partition_pruned(spark, index):
     path, _ = index
-    q = bm25_index_query(spark, path, TERMS, topk=5, n_buckets=16)
+    q = bm25_index_query(spark, path, TERMS, topk=5)
     plan = q._jdf.queryExecution().executedPlan().toString()
     buckets = sorted({_term_bucket_py(t, 16) for t in TERMS})
     # the postings FileScan must carry tbucket partition filters
@@ -75,7 +73,5 @@ def test_bucket_assignment_lockstep(spark, index):
 
 def test_unknown_term_scores_empty(spark, index):
     path, _ = index
-    out = bm25_index_query(
-        spark, path, ["zzz-not-a-term-zzz"], topk=5, n_buckets=16
-    )
+    out = bm25_index_query(spark, path, ["zzz-not-a-term-zzz"], topk=5)
     assert out.count() == 0
