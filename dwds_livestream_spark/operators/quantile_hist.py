@@ -126,3 +126,83 @@ def range_quantiles(
         )
     )
     return ranked.select("q", F.round(est, 6).alias("est")).orderBy("q")
+
+
+def histogram_rollup_by(
+    events: DataFrame,
+    key_col: str,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    lo: float = 0.0,
+    hi: float = 512.0,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Keyed rollup: (key, day, bin, cnt) — per-segment percentile
+    state (per event type, per tenant, per endpoint). Still ONE
+    map-side-combined aggregate; the artifact is |keys| x |days| x
+    n_bins rows."""
+    w = (hi - lo) / n_bins
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w)).cast("long")
+    bin_ = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw))
+    return (
+        events.select(
+            F.col(key_col).alias("key"),
+            F.to_date(ts_col).alias("day"),
+            bin_.alias("bin"),
+        )
+        .groupBy("key", "day", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def range_quantiles_by(
+    hist: DataFrame,
+    start: str,
+    end: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    lo: float = 0.0,
+    hi: float = 512.0,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Per-key quantiles for days in [start, end] from the keyed
+    rollup: (key, q, est). Unlike the global variant, every window
+    here partitions BY KEY — no single-partition stage at any key
+    cardinality (the plan the global form only approximates via its
+    bounded-64-row whitelist)."""
+    w = (hi - lo) / n_bins
+    merged = (
+        hist.where(F.col("day").between(F.lit(start), F.lit(end)))
+        .groupBy("key", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    cum_w = Window.partitionBy("key").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot_w = Window.partitionBy("key")
+    cum = merged.select(
+        "key",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(cum_w).alias("cum"),
+        F.sum("cnt").over(tot_w).alias("n"),
+    ).withColumn("cum_before", F.col("cum") - F.col("cnt"))
+    q_df = hist.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    ranked = cum.join(
+        F.broadcast(q_df),
+        (F.ceil(F.col("q") * F.col("n")) > F.col("cum_before"))
+        & (F.ceil(F.col("q") * F.col("n")) <= F.col("cum")),
+    )
+    est = (
+        F.lit(lo)
+        + F.lit(w)
+        * (
+            F.col("bin")
+            + (F.ceil(F.col("q") * F.col("n")) - F.col("cum_before"))
+            / F.col("cnt")
+        )
+    )
+    return ranked.select(
+        "key", "q", F.round(est, 6).alias("est")
+    ).orderBy("key", "q")

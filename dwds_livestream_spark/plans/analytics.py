@@ -3379,3 +3379,46 @@ SELECT d.event_type, d.day, d.x, d.trend, s.seasonal,
        ROUND(d.detrended - s.seasonal, 6) AS residual
 FROM det d JOIN seas s ON d.event_type = s.event_type AND d.dow = s.dow
 """
+
+
+def q_quantile_rollup_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type range percentiles from the KEYED histogram
+    rollup (operators/quantile_hist.py histogram_rollup_by /
+    range_quantiles_by) — per-segment p50/p90/p99, the grouped form of
+    ``quantile_rollup``. Every window partitions BY KEY, so unlike the
+    global variant no stage is single-partition at any key
+    cardinality; the quantile join stays a broadcast of the 3-row
+    q-list.
+    """
+    from ..operators.quantile_hist import (
+        histogram_rollup_by,
+        range_quantiles_by,
+    )
+
+    hist = histogram_rollup_by(_t(spark, sf_dir, "events"), "event_type")
+    return range_quantiles_by(hist, "2024-01-08", "2024-01-22")
+
+
+ORACLE_QUANTILE_ROLLUP_BY_TYPE = """
+WITH hist AS (
+  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+         LEAST(63, GREATEST(0, CAST(FLOOR(value / 8.0) AS BIGINT))) AS bin,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2, 3),
+merged AS (
+  SELECT key, bin, SUM(cnt) AS cnt FROM hist
+  WHERE day BETWEEN DATE '2024-01-08' AND DATE '2024-01-22'
+  GROUP BY key, bin),
+cum AS (
+  SELECT key, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY key ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY key) AS n
+  FROM merged),
+cb AS (SELECT *, cum - cnt AS cum_before FROM cum),
+qs AS (SELECT UNNEST(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS q)
+SELECT key, q,
+       ROUND(0.0 + 8.0 * (bin + (CEIL(q * n) - cum_before) * 1.0 / cnt),
+             6) AS est
+FROM cb JOIN qs ON CEIL(q * n) > cum_before AND CEIL(q * n) <= cum
+ORDER BY key, q
+"""

@@ -163,3 +163,38 @@ def test_cluster_representative_ledger_invariants(spark):
         ).count() == 0
     finally:
         led.unpersist()
+
+
+def test_keyed_rollup_matches_per_key_slices(spark, events):
+    """range_quantiles_by(key) == range_quantiles on each key's own
+    events — the grouped operator is exactly the per-segment
+    composition of the global one."""
+    from dwds_livestream_spark.operators.quantile_hist import (
+        histogram_rollup_by,
+        range_quantiles_by,
+    )
+
+    hist = histogram_rollup_by(
+        events, "event_type", lo=LO, hi=HI, n_bins=NBINS
+    )
+    got = {
+        (r.key, r.q): r.est
+        for r in range_quantiles_by(
+            hist, "2024-01-01", "2024-12-31", lo=LO, hi=HI, n_bins=NBINS
+        ).collect()
+    }
+    keys = [r[0] for r in events.select("event_type").distinct().collect()]
+    for k in keys:
+        sub = histogram_rollup(
+            events.where(F.col("event_type") == k),
+            lo=LO, hi=HI, n_bins=NBINS,
+        )
+        want = {
+            r.q: r.est
+            for r in range_quantiles(
+                sub, "2024-01-01", "2024-12-31",
+                lo=LO, hi=HI, n_bins=NBINS,
+            ).collect()
+        }
+        for q, est in want.items():
+            assert got[(k, q)] == est, (k, q, got[(k, q)], est)
