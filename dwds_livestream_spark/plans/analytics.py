@@ -3422,3 +3422,69 @@ SELECT key, q,
 FROM cb JOIN qs ON CEIL(q * n) > cum_before AND CEIL(q * n) <= cum
 ORDER BY key, q
 """
+
+
+def q_type_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between every PAIR of event types' daily
+    spend series — the cross-metric dependence matrix behind "do
+    purchases move with views" dashboards. Computed from sufficient
+    statistics (n, Σx, Σy, Σxy, Σx², Σy²) so the formula is explicit
+    and identical in the oracle (DuckDB's corr() builtin would apply
+    its own NULL/ddof conventions).
+
+    Scale: daily aggregate (map-side combined), then a self-join ON
+    DAY — both sides are |days| x |types| rows, co-partitioned on the
+    join key; the matrix itself is C(|types|, 2) rows. Days where
+    either series is absent drop out of that pair's statistics (inner
+    join), the standard pairwise-complete convention.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.round(F.sum("value"), 6).alias("x"))
+    a, b = daily.alias("a"), daily.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    )
+    g = j.groupBy(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("a.x")).alias("sx"),
+        F.sum(F.col("b.x")).alias("sy"),
+        F.sum(F.col("a.x") * F.col("b.x")).alias("sxy"),
+        F.sum(F.col("a.x") * F.col("a.x")).alias("sxx"),
+        F.sum(F.col("b.x") * F.col("b.x")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ) * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    return g.select(
+        "type_a", "type_b", "n", F.round(num / den, 6).alias("corr")
+    ).orderBy("type_a", "type_b")
+
+
+ORACLE_TYPE_CORRELATION_MATRIX = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, ROUND(SUM(value), 6) AS x
+  FROM events GROUP BY 1, 2),
+j AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.x AS xa, b.x AS xb
+  FROM daily a JOIN daily b
+    ON a.day = b.day AND a.event_type < b.event_type),
+g AS (
+  SELECT type_a, type_b, COUNT(*) AS n,
+         SUM(xa) AS sx, SUM(xb) AS sy, SUM(xa * xb) AS sxy,
+         SUM(xa * xa) AS sxx, SUM(xb * xb) AS syy
+  FROM j GROUP BY 1, 2)
+SELECT type_a, type_b, n,
+       ROUND((n * sxy - sx * sy)
+             / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)),
+             6) AS corr
+FROM g ORDER BY type_a, type_b
+"""
