@@ -3488,3 +3488,94 @@ SELECT type_a, type_b, n,
              6) AS corr
 FROM g ORDER BY type_a, type_b
 """
+
+
+def q_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user spend — the standard inequality
+    summary ("do 1% of users drive 90% of revenue"). Uses the exact
+    rank identity G = 2·Σ(i·x_i) / (n·Σx) − (n+1)/n over spend sorted
+    ascending (ties broken by user_id, making the rank — and therefore
+    the statistic — deterministic).
+
+    Scale: ranks come from operators/ranking.py::distributed_rank
+    (equi-depth bucket ranks — NO single-partition sort), then ONE
+    groupless aggregate. The oracle computes the identical formula
+    with a window row_number.
+    """
+    from ..operators.ranking import distributed_rank
+
+    ev = _t(spark, sf_dir, "events")
+    spend = ev.groupBy("user_id").agg(
+        F.round(F.sum("value"), 6).alias("spend")
+    )
+    ranked = distributed_rank(
+        spend, "spend", tiebreakers=[F.col("user_id")], rank_col="rn"
+    )
+    return ranked.agg(
+        F.count("*").alias("n_users"),
+        F.round(
+            2.0 * F.sum(F.col("rn") * F.col("spend"))
+            / (F.count("*") * F.sum("spend"))
+            - (F.count("*") + 1.0) / F.count("*"),
+            6,
+        ).alias("gini"),
+    )
+
+
+ORACLE_SPEND_GINI = """
+WITH spend AS (
+  SELECT user_id, ROUND(SUM(value), 6) AS spend
+  FROM events GROUP BY user_id),
+r AS (SELECT spend,
+             ROW_NUMBER() OVER (ORDER BY spend, user_id) AS rn
+      FROM spend)
+SELECT COUNT(*) AS n_users,
+       ROUND(2.0 * SUM(rn * spend) / (COUNT(*) * SUM(spend))
+             - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+FROM r
+"""
+
+
+def q_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of event values vs
+    Benford's law — the classic anomaly/fraud screen for transaction
+    amounts. Output per digit 1-9: observed count, observed share,
+    Benford's expected share log10(1 + 1/d), and the deviation.
+
+    Scale: the digit is in-row arithmetic (floor(v / 10^floor(log10
+    v))), then one 9-row aggregate; the share denominator is a window
+    over those 9 rows (bounded by construction)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value") > 0)
+    digit = F.floor(
+        F.col("value") / F.pow(F.lit(10.0), F.floor(F.log10("value")))
+    ).cast("int")
+    counts = ev.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    total_w = Window.rangeBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    ).orderBy("digit")
+    expected = F.log10(1.0 + 1.0 / F.col("digit"))
+    share = F.col("n") / F.sum("n").over(total_w)
+    return counts.select(
+        "digit",
+        "n",
+        F.round(share, 6).alias("observed"),
+        F.round(expected, 6).alias("benford"),
+        F.round(share - expected, 6).alias("deviation"),
+    ).orderBy("digit")
+
+
+ORACLE_BENFORD_DEVIATION = """
+WITH d AS (
+  SELECT CAST(FLOOR(value / POWER(10.0, FLOOR(LOG10(value)))) AS INT)
+           AS digit
+  FROM events WHERE value > 0),
+c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit)
+SELECT digit, n,
+       ROUND(n * 1.0 / SUM(n) OVER (), 6) AS observed,
+       ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford,
+       ROUND(n * 1.0 / SUM(n) OVER () - LOG10(1.0 + 1.0 / digit), 6)
+         AS deviation
+FROM c ORDER BY digit
+"""

@@ -77,6 +77,7 @@ NESTED_LOOP_OK = {
     "bm25_index_topk": "1-row corpus-stats cross join (same as bm25_topk)",
     "lm_artifact_ppl": "1-row vocab-size cross join (same as lm_perplexity)",
     "quantile_rollup_by_type": "keyed histogram x 3-row quantile-list join",
+    "spend_gini": "bucket-bounds broadcast (distributed_rank)",
 }
 
 
