@@ -39,9 +39,15 @@ def with_violations(
     df: DataFrame, rules: list[tuple[str, Column]]
 ) -> DataFrame:
     """Adds ``violated``: sorted array of the rule names each row
-    breaks (empty array = clean). Pure projection, map-only."""
+    breaks (empty array = clean). Pure projection, map-only.
+
+    NULL-valued predicates count as VIOLATED (fail-closed): a rule
+    like ``length(lemma) > 128`` evaluates to NULL on a NULL lemma,
+    and three-valued logic would otherwise wave exactly the rows a
+    dead-letter gate exists to catch straight into the good table."""
     marks = [
-        F.when(pred, F.lit(name)) for name, pred in rules
+        F.when(F.coalesce(pred, F.lit(True)), F.lit(name))
+        for name, pred in rules
     ]
     return df.withColumn(
         "violated",

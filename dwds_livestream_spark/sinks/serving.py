@@ -33,6 +33,7 @@ from urllib.parse import parse_qs, urlparse
 from ..streaming.hub import BroadcastHub
 
 _POLL_SECONDS = 0.05  # delivery-loop poll; flush-per-event regardless
+_HEARTBEAT_SECONDS = 15.0  # idle keepalive so dead sockets fail a write
 
 
 def _sse_frame(line: str) -> bytes:
@@ -43,9 +44,12 @@ def _jsonl_frame(line: str) -> bytes:
     return f"{line}\n".encode("utf-8")
 
 
+# route -> (content type, event frame, idle heartbeat bytes): the SSE
+# comment frame and a JSONL blank line are both no-ops to conforming
+# consumers
 _ROUTES = {
-    "/api/events": ("text/event-stream", _sse_frame),
-    "/api/jsonl": ("text/jsonl", _jsonl_frame),
+    "/api/events": ("text/event-stream", _sse_frame, b":keepalive\n\n"),
+    "/api/jsonl": ("text/jsonl", _jsonl_frame, b"\n"),
 }
 
 
@@ -70,7 +74,7 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_header("Content-Length", "0")
             self.end_headers()
             return
-        content_type, frame = route
+        content_type, frame, heartbeat = route
         # tap BEFORE the response goes out: once the client has seen the
         # headers, every subsequent publish must reach its buffer.
         name = f"http-{uuid.uuid4().hex[:12]}"
@@ -86,11 +90,24 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_header("Connection", "close")
             self.close_connection = True
             self.end_headers()
+            idle = 0.0
             while not self.stopping.is_set():
                 lines = sub.poll()
                 if not lines:
                     time.sleep(_POLL_SECONDS)
+                    idle += _POLL_SECONDS
+                    if idle >= _HEARTBEAT_SECONDS:
+                        # a client that disconnected while the stream
+                        # is quiet is only detectable by a write —
+                        # emit a protocol-neutral heartbeat (SSE
+                        # comment / JSONL blank line) so dead sockets
+                        # fail here instead of leaking the handler
+                        # thread and hub subscription forever
+                        self.wfile.write(heartbeat)
+                        self.wfile.flush()
+                        idle = 0.0
                     continue
+                idle = 0.0
                 for line in lines:
                     self.wfile.write(frame(line))
                     self.wfile.flush()

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import fcntl
 import hashlib
+import http.client
 import os
 import tempfile
 import threading
@@ -105,7 +106,13 @@ class HttpPollSimpleReader(SimpleDataSourceStreamReader):
                         backoff = self.base_backoff_s  # success resets
                         if self._stop.is_set():
                             return
-            except OSError:
+            except (OSError, http.client.HTTPException):
+                # HTTPException (e.g. IncompleteRead on a dropped
+                # chunked stream) is NOT an OSError — letting it
+                # escape would kill the puller thread while this
+                # instance still holds the flock, stalling the source
+                # forever (same hazard the Spark-3 shim guards,
+                # asserted in tests/test_http_poll.py)
                 pass
             if self._stop.is_set():
                 return
@@ -141,9 +148,11 @@ class HttpPollSimpleReader(SimpleDataSourceStreamReader):
         cut = buf.rfind(b"\n")
         if cut < 0:
             return []
+        # split strictly on \n — splitlines() would fragment a JSONL
+        # record on embedded \v, \f, \x1c-\x1e bytes inside strings
         return [
             (ln.decode("utf-8", errors="replace"),)
-            for ln in buf[: cut + 1].splitlines()
+            for ln in buf[:cut].split(b"\n")
         ]
 
     # --------------------------------------------------- Spark contract

@@ -66,14 +66,24 @@ class TailStreamReader(DataSourceStreamReader):
 
     def _last_newline_end(self, lo: int, hi: int) -> int:
         """Largest position in (lo, hi] just past a '\\n' — the
-        complete-line frontier; lo if no newline arrived yet."""
+        complete-line frontier; lo if no newline arrived yet. Scans
+        BACKWARD from hi in bounded chunks, so the driver never holds
+        the whole appended range (or, on a fromEnd attach, the whole
+        multi-GB file) in memory just to find the frontier."""
         if hi <= lo:
             return lo
+        chunk = 1 << 16
         with open(self.path, "rb") as fh:
-            fh.seek(lo)
-            buf = fh.read(hi - lo)
-        cut = buf.rfind(b"\n")
-        return lo if cut < 0 else lo + cut + 1
+            pos = hi
+            while pos > lo:
+                step = min(chunk, pos - lo)
+                fh.seek(pos - step)
+                buf = fh.read(step)
+                cut = buf.rfind(b"\n")
+                if cut >= 0:
+                    return pos - step + cut + 1
+                pos -= step
+        return lo
 
     def initialOffset(self) -> dict:
         return dict(self._init)
@@ -105,6 +115,33 @@ class TailStreamReader(DataSourceStreamReader):
     def partitions(
         self, start: dict, end: dict
     ) -> list[InputPartition]:
+        if start["epoch"] > end["epoch"]:
+            # query RESTART: this reader's in-memory epoch counter
+            # began again at 0 while the checkpointed offset is at
+            # epoch N — without this branch the epoch mismatch would
+            # fall into the rotation path and replay the entire file.
+            # If the current file still reaches the checkpointed byte,
+            # it is the same incarnation: continue from it (this also
+            # covers bytes appended while the query was down, which
+            # the fromEnd re-attach baseline alone would skip). If it
+            # is shorter, the file rotated while down: replay from 0
+            # as a new epoch.
+            try:
+                size = os.stat(self.path).st_size
+            except FileNotFoundError:
+                size = 0
+            if size >= start["offset"]:
+                adopted, lo = start["epoch"], start["offset"]
+            else:
+                adopted, lo = start["epoch"] + 1, 0
+            self._epoch = adopted
+            self._last = {
+                "epoch": adopted,
+                "offset": max(end["offset"], lo),
+            }
+            return [
+                TailPartition(self.path, lo, end["offset"], self.encoding)
+            ]
         lo = start["offset"] if start["epoch"] == end["epoch"] else 0
         return [TailPartition(self.path, lo, end["offset"], self.encoding)]
 
@@ -121,7 +158,10 @@ class TailStreamReader(DataSourceStreamReader):
         cut = buf.rfind(b"\n")
         if cut < 0:
             return
-        for line in buf[: cut + 1].splitlines():
+        # split strictly on \n (same framing rule as sources/tail.py):
+        # splitlines() would fragment a log line on embedded \v, \f,
+        # \x1c-\x1e bytes and desync rows from the \n-aligned offsets
+        for line in buf[:cut].split(b"\n"):
             yield (line.decode(partition.encoding, errors="replace"),)
 
     def commit(self, end: dict) -> None:

@@ -93,6 +93,11 @@ def sessionize_stream(
             if cur is None:
                 cur = [t, t, 1]
             elif t - cur[1] <= gap_us:
+                # a late-but-in-watermark event can PRECEDE the stored
+                # session's start (it arrives in a later batch): the
+                # start must move back or the emitted session diverges
+                # from the batch twin
+                cur[0] = min(cur[0], t)
                 cur[1] = max(cur[1], t)
                 cur[2] += 1
             else:
@@ -160,6 +165,7 @@ def sessionize_stream_tws(
                 if cur is None:
                     cur = [t, t, 1]
                 elif t - cur[1] <= gap_ms * 1000:
+                    cur[0] = min(cur[0], t)  # late event before start
                     cur[1] = max(cur[1], t)
                     cur[2] += 1
                 else:

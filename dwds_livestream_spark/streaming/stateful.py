@@ -77,7 +77,13 @@ def rate_limit_stream(
             mask = []
             for t in pdf[ts_col]:
                 minute_us = (int(t.value) // 1000 // 60_000_000) * 60_000_000
-                if minute_us != window_us:  # new minute: bucket refills
+                # refill ONLY on forward movement: an out-of-order
+                # event from an earlier minute must not reset the
+                # bucket (a single late straggler would otherwise
+                # refill the window twice and admit up to 2x epm);
+                # late events are charged against the current window
+                # instead — under-admits, never over-admits
+                if minute_us > window_us:
                     window_us, tokens = minute_us, epm
                 if tokens > 0:
                     tokens -= 1

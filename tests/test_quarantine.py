@@ -127,3 +127,24 @@ def test_gate_metrics_are_observed(spark, tmp_path):
         assert gate["rows_total"] == 3 and gate["rows_bad"] == 2
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_null_predicate_rows_are_quarantined_fail_closed(spark):
+    """Review fix: a rule predicate that evaluates to NULL (e.g.
+    length(lemma) > 128 on a NULL lemma) must count as VIOLATED —
+    three-valued logic would otherwise route exactly the rows a
+    dead-letter gate exists to catch into the good table."""
+    import pyspark.sql.functions as F
+
+    from dwds_livestream_spark.sinks.quarantine import with_violations
+
+    df = spark.createDataFrame(
+        [("ok", 5), (None, 5), ("x" * 200, 5)], "lemma string, n int"
+    )
+    out = with_violations(
+        df, [("too_long", F.length("lemma") > 128)]
+    )
+    rows = {r.lemma: list(r.violated) for r in out.collect()}
+    assert rows["ok"] == []
+    assert rows[None] == ["too_long"]  # NULL lemma -> fail closed
+    assert rows["x" * 200] == ["too_long"]

@@ -144,3 +144,24 @@ def test_full_live_topology_pipeline_to_http_client(spark, tmp_path):
         resp.close()
         conn.close()
         server.stop()
+
+
+def test_idle_heartbeat_reaches_quiet_client(monkeypatch):
+    """Review fix: on a quiet stream the handler emits a periodic SSE
+    comment / JSONL blank line so a dead socket fails a write instead
+    of leaking the handler thread and hub tap forever."""
+    from dwds_livestream_spark.sinks import serving as srv
+
+    monkeypatch.setattr(srv, "_HEARTBEAT_SECONDS", 0.2)
+    hub = BroadcastHub()
+    server = LivestreamHTTPServer(hub).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", server.port)
+        conn.request("GET", "/api/events")
+        resp = conn.getresponse()
+        # publish NOTHING; within ~1s a keepalive comment must arrive
+        chunk = resp.fp.read(len(b":keepalive\n\n"))
+        assert chunk == b":keepalive\n\n"
+        conn.close()
+    finally:
+        server.stop()

@@ -149,3 +149,30 @@ def test_sessionize_stream_tws_closes_on_gap(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_sessionize_stream_late_event_moves_session_start_back(
+    spark, tmp_path
+):
+    """Review fix: a late-but-in-watermark event that PRECEDES the
+    stored session's start must move session_start back, keeping
+    parity with the batch sessionizer."""
+    src = tmp_path / "src_late"
+    src.mkdir()
+    (src / "b1.jsonl").write_text(_jsonl("2024-01-01T10:00:00Z", "k"))
+    # later batch, earlier event time: within the 10-minute watermark
+    # and within the gap of the open session
+    (src / "b2.jsonl").write_text(_jsonl("2024-01-01T09:59:40Z", "k"))
+    (src / "b3.jsonl").write_text(_jsonl("2024-01-01T11:00:00Z", "flush"))
+    (src / "b4.jsonl").write_text(_jsonl("2024-01-01T12:00:00Z", "flush2"))
+    _order_files(src)
+
+    out = sessionize_stream(
+        _read_stream(spark, src), gap="1 minute", watermark="10 minutes"
+    )
+    rows = _run_append(out, tmp_path, "late_start")
+    k = [r for r in rows if r.key == "k"]
+    assert len(k) == 1
+    assert k[0].n_events == 2
+    assert k[0].session_start == dt.datetime(2024, 1, 1, 9, 59, 40)
+    assert k[0].session_end == dt.datetime(2024, 1, 1, 10, 0, 0)

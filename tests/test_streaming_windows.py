@@ -401,3 +401,48 @@ def test_stream_stream_left_join_emits_nulls_after_watermark(spark, tmp_path):
     # k1 matched; k2 emitted with null right side after watermark
     assert ("k1", "k1") in got
     assert ("k2", None) in got
+
+
+def test_rate_limit_late_event_does_not_refill_bucket(spark, tmp_path):
+    """Review fix: a single out-of-order event from an EARLIER minute
+    must not reset the bucket — before the fix the minute flip-flop
+    refilled twice and admitted up to 2x epm in one minute."""
+    src = tmp_path / "src_late_rl"
+    src.mkdir()
+    # minute 10:01 exhausts epm=2 in batch 1; batch 2 opens with a
+    # LATE 10:00 straggler, then two more 10:01 events — which must
+    # stay blocked (the straggler must not have refilled the window)
+    (src / "b1.jsonl").write_text(
+        "\n".join(
+            [
+                _jsonl("2024-01-01T10:01:01Z", "m1"),
+                _jsonl("2024-01-01T10:01:02Z", "m2"),
+            ]
+        )
+    )
+    (src / "b2.jsonl").write_text(
+        "\n".join(
+            [
+                _jsonl("2024-01-01T10:00:30Z", "late"),
+                _jsonl("2024-01-01T10:01:03Z", "m3"),
+                _jsonl("2024-01-01T10:01:04Z", "m4"),
+                _jsonl("2024-01-01T10:02:00Z", "next"),
+            ]
+        )
+    )
+    _order_files(src)
+    out = rate_limit_stream(_read_stream(spark, src), epm=2)
+    collected: list = []
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(lambda b, i: collected.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_rl_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = sorted(r.lemma for r in collected)
+    # m1, m2 fill minute 10:01; the late straggler and m3/m4 find the
+    # bucket empty (charged to the current window, no refill); the
+    # genuinely-new minute 10:02 refills
+    assert kept == ["m1", "m2", "next"]

@@ -98,3 +98,44 @@ def test_reader_epoch_bumps_on_truncation(tmp_path):
     assert second["epoch"] == 1 and second["offset"] == 2
     [p] = r.partitions(first, second)
     assert [t[0] for t in r.read(p)] == ["x"]
+
+
+def test_restart_with_checkpointed_epoch_does_not_replay(tmp_path):
+    """Review fix: after a query restart a FRESH reader starts at
+    epoch 0 while the checkpoint carries epoch>=1; the same-file case
+    must continue from the checkpointed byte (also covering bytes
+    appended while down), not replay the whole file."""
+    log = tmp_path / "restart.log"
+    log.write_bytes(b"old-1\nold-2\n")
+    ckpt_offset = log.stat().st_size  # committed under epoch 1
+    log.write_bytes(log.read_bytes() + b"while-down\n")
+
+    fresh = TailStreamReader({"path": str(log), "fromEnd": "true"})
+    end = fresh.latestOffset()  # fresh counter: epoch 0
+    [p] = fresh.partitions({"epoch": 1, "offset": ckpt_offset}, end)
+    rows = [r[0] for r in fresh.read(p)]
+    assert rows == ["while-down"]
+    # the reader adopts the checkpoint epoch so later polls continue it
+    assert fresh.latestOffset()["epoch"] == 1
+
+
+def test_restart_after_rotation_while_down_replays_new_file(tmp_path):
+    log = tmp_path / "rotated.log"
+    log.write_bytes(b"fresh-1\n")  # shorter than the checkpointed 100
+    fresh = TailStreamReader({"path": str(log), "fromEnd": "true"})
+    end = fresh.latestOffset()
+    [p] = fresh.partitions({"epoch": 2, "offset": 100}, end)
+    rows = [r[0] for r in fresh.read(p)]
+    assert rows == ["fresh-1"]
+    assert fresh.latestOffset()["epoch"] == 3
+
+
+def test_control_bytes_inside_line_do_not_split_it(tmp_path):
+    """Review fix: framing is strictly on \\n — a \\v / \\f / \\x1c
+    inside a log line must not fragment it (splitlines would)."""
+    log = tmp_path / "ctl.log"
+    log.write_bytes(b"GET /a\x0bb HTTP\nplain\x1cline\n")
+    r = TailStreamReader({"path": str(log), "fromEnd": "false"})
+    [p] = r.partitions({"epoch": 0, "offset": 0}, r.latestOffset())
+    rows = [x[0] for x in r.read(p)]
+    assert rows == ["GET /a\x0bb HTTP", "plain\x1cline"]
