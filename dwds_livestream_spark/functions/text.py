@@ -36,7 +36,12 @@ def tokens(text: Column) -> Column:
     gives []) but measured 8x faster — the literal split is a single
     scan and the higher-order filter (interpreted per element, outside
     codegen) disappears entirely."""
-    norm = F.trim(F.regexp_replace(text, r"\s+", " "))
+    # coalesce: NULL text must yield [] like empty text does —
+    # size(null) is -1 under legacy semantics, which would surface as
+    # n_tokens = -1 in every stats consumer
+    norm = F.coalesce(
+        F.trim(F.regexp_replace(text, r"\s+", " ")), F.lit("")
+    )
     return F.when(norm == "", F.array().cast("array<string>")).otherwise(
         F.split(norm, " ")
     )
@@ -167,21 +172,33 @@ def winnowing_fingerprints(
         df.withColumn("__toks", tokens(F.col(text_col)))
         .withColumn(
             "__grams",
-            F.transform(
-                F.sequence(
-                    F.lit(1), F.greatest(F.size("__toks") - (k - 1), F.lit(0))
+            # guard both stages: sequence(1, 0) is DESCENDING in
+            # Spark — docs shorter than k tokens (or with fewer than
+            # `window` grams) must hit the empty branch, not crash
+            # slice(.., 0, ..)
+            F.when(
+                F.size("__toks") - (k - 1) > 0,
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.size("__toks") - (k - 1)
+                    ),
+                    lambda i: F.hash(
+                        F.array_join(F.slice("__toks", i, k), " ")
+                    ),
                 ),
-                lambda i: F.hash(F.array_join(F.slice("__toks", i, k), " ")),
-            ),
+            ).otherwise(F.array().cast("array<int>")),
         )
         .withColumn(
             "__wmins",
-            F.transform(
-                F.sequence(
-                    F.lit(1), F.greatest(F.size("__grams") - (window - 1), F.lit(0))
+            F.when(
+                F.size("__grams") - (window - 1) > 0,
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.size("__grams") - (window - 1)
+                    ),
+                    lambda i: F.array_min(F.slice("__grams", i, window)),
                 ),
-                lambda i: F.array_min(F.slice("__grams", i, window)),
-            ),
+            ).otherwise(F.array().cast("array<int>")),
         )
     )
     return out.select(

@@ -58,6 +58,11 @@ def kmeans(
     init = (
         src.orderBy("id").limit(k).select("vec").collect()
     )  # k rows — driver-sized seed, deterministic (lowest ids)
+    if len(init) < k:
+        raise ValueError(
+            f"kmeans needs at least k={k} rows, got {len(init)} — "
+            "fewer rows than clusters has no valid seeding"
+        )
     cents = np.array([r.vec for r in init], dtype="float64")
 
     partial_schema = "cluster long, cnt long, sums array<double>"

@@ -32,6 +32,16 @@ PII_DIGITS = r"\d{6,}"
 PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 
+
+def _guarded_gram_transform(n_pos, fn, elem_array_type: str):
+    """transform over positions 1..n_pos, or a typed empty array when
+    n_pos <= 0 — sequence(1, 0) is DESCENDING in Spark, so a document
+    with fewer than n tokens would otherwise crash slice(.., 0, ..)."""
+    return F.when(
+        n_pos > 0, F.transform(F.sequence(F.lit(1), n_pos), fn)
+    ).otherwise(F.array().cast(elem_array_type))
+
+
 def _with_shingles(
     df: DataFrame, text_col: str, n: int, out: str = "__sh"
 ) -> DataFrame:
@@ -45,11 +55,10 @@ def _with_shingles(
     return df.withColumn("__toks", tokens(F.lower(F.col(text_col)))).withColumn(
         out,
         F.array_distinct(
-            F.transform(
-                F.sequence(
-                    F.lit(1), F.greatest(F.size("__toks") - (n - 1), F.lit(0))
-                ),
+            _guarded_gram_transform(
+                F.greatest(F.size("__toks") - (n - 1), F.lit(0)),
                 lambda i: F.array_join(F.slice("__toks", i, n), " "),
+                "array<string>",
             )
         ),
     )
@@ -70,11 +79,10 @@ def _with_shingle_hashes(
     return df.withColumn("__toks", tokens(F.lower(F.col(text_col)))).withColumn(
         out,
         F.array_distinct(
-            F.transform(
-                F.sequence(
-                    F.lit(1), F.greatest(F.size("__toks") - (n - 1), F.lit(0))
-                ),
+            _guarded_gram_transform(
+                F.greatest(F.size("__toks") - (n - 1), F.lit(0)),
                 lambda i: F.xxhash64(F.slice("__toks", i, n)),
+                "array<bigint>",
             )
         ),
     )

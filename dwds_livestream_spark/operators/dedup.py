@@ -67,12 +67,16 @@ def shingles(
     once per gram (O(tokens^2) per doc).
     """
     with_toks = df.withColumn("__toks", F.split(F.col(text_col), " "))
-    idx = F.sequence(
-        F.lit(1), F.greatest(F.size("__toks") - (n - 1), F.lit(0))
-    )
-    sh = F.transform(
-        idx, lambda i: F.array_join(F.slice("__toks", i, n), " ")
-    )
+    n_pos = F.greatest(F.size("__toks") - (n - 1), F.lit(0))
+    # guard: sequence(1, 0) is DESCENDING in Spark — a doc with fewer
+    # than n tokens must hit the empty branch, not crash slice(.., 0)
+    sh = F.when(
+        n_pos > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_pos),
+            lambda i: F.array_join(F.slice("__toks", i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     out = with_toks.select(F.col(id_col), F.explode(sh).alias("shingle"))
     return out.distinct() if distinct else out
 
@@ -319,13 +323,23 @@ def simhash_near_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_hamming: int = 8,
+    max_hamming: int = 3,
     blocks: int = 4,
 ) -> DataFrame:
     """SimHash near-dup pairs by banded bit-blocks (pigeonhole: two sigs
     within ``max_hamming`` of each other agree exactly on at least one
     of ``blocks`` 16-bit blocks when max_hamming < blocks). Exact
-    hamming verified on candidates. Output: doc_a, doc_b, hamming."""
+    hamming verified on candidates. Output: doc_a, doc_b, hamming.
+
+    ``max_hamming`` must stay BELOW ``blocks`` or the pigeonhole
+    guarantee breaks (a pair differing in every block meets in no
+    bucket and is silently lost) — enforced, not just documented; use
+    more blocks for a larger radius."""
+    if max_hamming >= blocks:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming < blocks: "
+            f"{max_hamming} >= {blocks} would silently lose pairs"
+        )
     # both self-join sides consume the signature frame: cache so the
     # Arrow signing kernel runs once (16 bytes/doc)
     sig = simhash_signatures(df, text_col, id_col).cache()

@@ -35,13 +35,20 @@ def snapshot_diff(
         *[F.col(k).alias(f"__kn_{k}") for k in keys],
         F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__vn"),
     )
+    # presence MARKERS, not key-null checks: with plain equality a
+    # NULL-valued key never matches, and "old-side key is null" would
+    # misread a null-keyed removed row as 'added'. eqNullSafe lets
+    # null-keyed rows pair up; the markers make added/removed immune
+    # to key values entirely.
+    o = o.withColumn("__in_old", F.lit(1))
+    n = n.withColumn("__in_new", F.lit(1))
     cond = None
     for k in keys:
-        c = F.col(f"__ko_{k}") == F.col(f"__kn_{k}")
+        c = F.col(f"__ko_{k}").eqNullSafe(F.col(f"__kn_{k}"))
         cond = c if cond is None else cond & c
     j = o.join(n, cond, "full_outer")
-    added = F.col(f"__ko_{keys[0]}").isNull()
-    removed = F.col(f"__kn_{keys[0]}").isNull()
+    added = F.col("__in_old").isNull()
+    removed = F.col("__in_new").isNull()
     changed_cols = F.filter(
         F.array(
             *[

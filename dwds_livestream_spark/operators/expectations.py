@@ -60,7 +60,16 @@ def freshness(ts_col: str, max_lag_seconds: int, now: str) -> tuple:
     return (
         f"freshness[{max_lag_seconds}s@{now}]",
         ts_col,
-        ("agg", F.when(lag > max_lag_seconds, 1).otherwise(0).cast("long")),
+        # fail-closed on an EMPTY table: max(ts) is null there, the lag
+        # is null, and when(null > max_lag) would fall to otherwise(0)
+        # — reporting a pipeline that stopped producing rows entirely
+        # as fresh forever, the one scenario this gate exists to catch
+        (
+            "agg",
+            F.when(F.max(ts_col).isNull() | (lag > max_lag_seconds), 1)
+            .otherwise(0)
+            .cast("long"),
+        ),
     )
 
 
@@ -103,6 +112,8 @@ def validate(df: DataFrame, rules: list[tuple]) -> DataFrame:
             .select(F.lit(label).alias("rule"), "n_violations")
         )
         parts.append(dup_groups)
+    if not parts:
+        raise ValueError("validate() needs at least one rule")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -98,7 +98,13 @@ def lm_perplexity(
 ) -> DataFrame:
     """Per-document bigram-LM stats: doc_id, n_bigrams, avg_nll, ppl
     (both rounded 1e-6)."""
-    base = _tokenized(documents, text_col, id_col)
+    # materialize the tokenized frame once — it fans out to the
+    # unigram counts, bigram counts, AND per-doc bigrams; without this
+    # the corpus is scanned and re-tokenized three times (the module
+    # docstring's 'one tokenize pass' claim)
+    base = _tokenized(documents, text_col, id_col).localCheckpoint(
+        eager=False
+    )
     uni, bi = _count_tables(base)
     vocab = uni.agg(F.count("*").alias("v"))
     doc_bi = _doc_bigrams(base)
@@ -127,7 +133,9 @@ def lm_train_write(
     map-side-combined count shuffles — same training plan as
     lm_perplexity; the artifact is n-gram-vocabulary-sized, never
     corpus-sized."""
-    base = _tokenized(documents, text_col, id_col)
+    base = _tokenized(documents, text_col, id_col).localCheckpoint(
+        eager=False
+    )  # shared by the unigram and bigram count jobs: tokenize once
     uni, bi = _count_tables(base)
     uni.write.mode("overwrite").parquet(f"{path}/unigrams")
     spark = documents.sparkSession

@@ -50,12 +50,17 @@ def day_bin_cells(
     """(day, bin) cell per row — the shared binning projection behind
     the batch rollup and its streaming twin
     (streaming/sketches.py::histogram_stream). Values outside [lo, hi)
-    clamp to the edge bins so every row is counted (N is preserved
-    exactly)."""
+    clamp to the edge bins so every NUMERIC row is counted (N over
+    non-null values is preserved exactly); NULL and NaN are EXCLUDED —
+    greatest(0, null) would otherwise silently clamp them into bin 0
+    and drag every reconstructed quantile toward ``lo``, where
+    percentile/percentile_approx ignore them."""
     w = (hi - lo) / n_bins
     raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w)).cast("long")
     bin_ = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw))
-    return df.select(F.to_date(ts_col).alias("day"), bin_.alias("bin"))
+    return df.where(
+        F.col(value_col).isNotNull() & ~F.isnan(value_col)
+    ).select(F.to_date(ts_col).alias("day"), bin_.alias("bin"))
 
 
 def histogram_rollup(
@@ -140,12 +145,16 @@ def histogram_rollup_by(
     """Keyed rollup: (key, day, bin, cnt) — per-segment percentile
     state (per event type, per tenant, per endpoint). Still ONE
     map-side-combined aggregate; the artifact is |keys| x |days| x
-    n_bins rows."""
+    n_bins rows. Same binning rule (and null/NaN exclusion) as the
+    global rollup."""
     w = (hi - lo) / n_bins
     raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w)).cast("long")
     bin_ = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw))
     return (
-        events.select(
+        events.where(
+            F.col(value_col).isNotNull() & ~F.isnan(value_col)
+        )
+        .select(
             F.col(key_col).alias("key"),
             F.to_date(ts_col).alias("day"),
             bin_.alias("bin"),

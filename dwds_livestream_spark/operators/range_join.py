@@ -57,7 +57,28 @@ def range_join(
         ),
     )
     keys = ["__bin"] + (equi or [])
-    joined = p.join(i, on=keys, how=how).where(
-        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    if how == "inner":
+        joined = p.join(i, on=keys, how=how).where(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) < F.col(end_col))
+        )
+        return joined.drop("__bin")
+    # outer joins: the range predicate must live IN the join condition
+    # — as a post-join .where() it evaluates to NULL on unmatched rows'
+    # null interval columns and silently deletes them, turning
+    # how='left' into an inner join
+    pa, ia = p.alias("__p"), i.alias("__i")
+    cond = F.col("__p.__bin") == F.col("__i.__bin")
+    for k in equi or []:
+        cond = cond & (F.col(f"__p.{k}") == F.col(f"__i.{k}"))
+    cond = (
+        cond
+        & (F.col(f"__p.{ts_col}") >= F.col(f"__i.{start_col}"))
+        & (F.col(f"__p.{ts_col}") < F.col(f"__i.{end_col}"))
     )
-    return joined.drop("__bin")
+    out_cols = [F.col(f"__p.{c}") for c in points.columns] + [
+        F.col(f"__i.{c}")
+        for c in intervals.columns
+        if c not in (equi or [])
+    ]
+    return pa.join(ia, cond, how).select(*out_cols)

@@ -386,8 +386,12 @@ def embedding_near_dup_pairs(
             F.col("ids").alias("ids_b"),
             F.col("vecs").alias("vb"),
         )
-        # key <= key halves the chunk-pair space; the element-level
-        # id_a < id_b mask below dedups within/across chunks
+        # key <= key halves the chunk-pair space. Within a chunk the
+        # id_a < id_b mask dedups; ACROSS chunks every element pair
+        # must be kept and normalized to (min, max) — chunk keys carry
+        # no id-order guarantee (chunking follows partition order), so
+        # masking by raw id there silently dropped every qualifying
+        # pair whose lower-keyed chunk held the larger id
         cpairs = a.crossJoin(b).where(F.col("ka") <= F.col("kb"))
 
         def gemm_pairs(it):
@@ -396,10 +400,19 @@ def embedding_near_dup_pairs(
                     ia, ma = _unpack(r.ids_a, r.va)
                     ib, mb = _unpack(r.ids_b, r.vb)
                     cos = _cosine_matrix(ma, mb)
-                    mask = (cos >= threshold) & (ia[:, None] < ib[None, :])
+                    if r.ka == r.kb:
+                        mask = (cos >= threshold) & (
+                            ia[:, None] < ib[None, :]
+                        )
+                    else:
+                        mask = (cos >= threshold) & (
+                            ia[:, None] != ib[None, :]
+                        )
                     xs, ys = np.nonzero(mask)
+                    lo = np.minimum(ia[xs], ib[ys])
+                    hi = np.maximum(ia[xs], ib[ys])
                     yield pd.DataFrame(
-                        {"id_a": ia[xs], "id_b": ib[ys], "cosine": cos[xs, ys]}
+                        {"id_a": lo, "id_b": hi, "cosine": cos[xs, ys]}
                     )
 
         return cpairs.mapInPandas(

@@ -3278,7 +3278,9 @@ WITH hist AS (
   SELECT CAST(ts AS DATE) AS day,
          LEAST(63, GREATEST(0, CAST(FLOOR(value / 8.0) AS BIGINT))) AS bin,
          COUNT(*) AS cnt
-  FROM events GROUP BY 1, 2),
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1, 2),
 merged AS (
   SELECT bin, SUM(cnt) AS cnt FROM hist
   WHERE day BETWEEN DATE '2024-01-08' AND DATE '2024-01-22'
@@ -3404,7 +3406,9 @@ WITH hist AS (
   SELECT event_type AS key, CAST(ts AS DATE) AS day,
          LEAST(63, GREATEST(0, CAST(FLOOR(value / 8.0) AS BIGINT))) AS bin,
          COUNT(*) AS cnt
-  FROM events GROUP BY 1, 2, 3),
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1, 2, 3),
 merged AS (
   SELECT key, bin, SUM(cnt) AS cnt FROM hist
   WHERE day BETWEEN DATE '2024-01-08' AND DATE '2024-01-22'

@@ -77,7 +77,11 @@ def test_simhash_finds_near_duplicates(spark, documents):
     }
     near = {
         (r.doc_a, r.doc_b)
-        for r in simhash_near_pairs(documents, max_hamming=8).collect()
+        # blocks must exceed max_hamming (pigeonhole guarantee) and
+        # divide 64 evenly: 16 x 4-bit blocks
+        for r in simhash_near_pairs(
+            documents, max_hamming=8, blocks=16
+        ).collect()
     }
     if exact:
         recall = len(exact & near) / len(exact)
@@ -280,3 +284,72 @@ def test_ann_cluster_pair_recall_on_planted_duplicates(spark):
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.95, f"cluster-pair recall {recall} on {len(exact)}"
     assert approx <= exact  # verified edges => no spurious merges
+
+
+def test_short_documents_do_not_crash_shingle_family(spark):
+    """Review fix: sequence(1, 0) is DESCENDING in Spark — docs with
+    fewer than n tokens previously crashed shingles/_with_shingles/
+    winnowing with INVALID_PARAMETER_VALUE.START; they must contribute
+    zero shingles instead."""
+    from dwds_livestream_spark.functions.text import winnowing_fingerprints
+    from dwds_livestream_spark.operators.curation import decontaminate
+    from dwds_livestream_spark.operators.dedup import shingles
+
+    docs = spark.createDataFrame(
+        [(1, "only two"), (2, "a much longer document with many words here")],
+        "doc_id long, text string",
+    )
+    sh = shingles(docs, n=5)
+    assert sh.where(F.col("doc_id") == 1).count() == 0
+    assert sh.where(F.col("doc_id") == 2).count() > 0
+
+    wf = winnowing_fingerprints(docs, k=5, window=4)
+    assert wf.where(F.col("doc_id") == 1).count() == 0
+
+    # short bench doc (0 shingles) must not crash the broadcast build;
+    # no shared 5-gram -> no contaminated rows
+    bench = spark.createDataFrame([(100, "short one")], "doc_id long, text string")
+    assert decontaminate(docs, bench, n=5).count() == 0
+    # a bench doc sharing doc 2's 5-gram still flags it
+    bench2 = spark.createDataFrame(
+        [(101, "a much longer document with")], "doc_id long, text string"
+    )
+    hits = decontaminate(docs, bench2, n=5).collect()
+    assert [r.doc_id for r in hits] == [2]
+
+
+def test_exact_near_dup_pairs_complete_across_interleaved_chunks(spark):
+    """Review fix: the exact GEMM path must emit every qualifying pair
+    even when chunk id ranges interleave (chunking follows partition
+    order, so a lower-keyed chunk can hold LARGER ids)."""
+    from dwds_livestream_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    # force interleaved chunks: repartition so ids {1,100} and {2,50}
+    # land in different chunks with overlapping id ranges
+    rows = [(i, [1.0, 0.0]) for i in (1, 100, 2, 50)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).repartition(2, "vec_id")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.9, exact=True
+        ).collect()
+    }
+    import itertools
+
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted([1, 2, 50, 100]), 2)
+    }
+    assert pairs == want
+    assert all(a < b for a, b in pairs)
+
+
+def test_simhash_rejects_guarantee_breaking_radius(spark, documents):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        simhash_near_pairs(documents, max_hamming=4, blocks=4)
