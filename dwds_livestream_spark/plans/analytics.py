@@ -377,11 +377,20 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
-            F.sum(price).cast("decimal(18,2)").alias("sum_base_price"),
-            F.sum(price * (F.lit(1) - disc)).cast("decimal(18,4)").alias("sum_disc_price"),
+            # money math stays DECIMAL (exact) through the aggregate; the
+            # final cast to DOUBLE canonicalizes the *output type* so every
+            # engine/driver renders the value identically (no trailing-zero
+            # DECIMAL scale). Same exact decimal -> same double on both
+            # engines, so the comparison is still exact.
+            F.sum(_dec("l_quantity")).cast("decimal(18,2)").cast("double").alias("sum_qty"),
+            F.sum(price).cast("decimal(18,2)").cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc))
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("sum_disc_price"),
             F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
             .cast("decimal(18,6)")
+            .cast("double")
             .alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -393,10 +402,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q1 = """
 SELECT l_returnflag, l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(18,6)) AS sum_charge,
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_charge,
   ROUND(AVG(l_quantity), 4) AS avg_qty,
   ROUND(AVG(l_discount), 4) AS avg_disc,
   COUNT(*) AS count_order
@@ -422,7 +431,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = F.sum(
         _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
-    ).cast("decimal(18,4)")
+    ).cast("decimal(18,4)").cast("double")
     return (
         li.join(
             F.broadcast(
@@ -439,7 +448,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q3 = """
 SELECT o_orderkey, o_orderdate, o_orderpriority,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
 WHERE c_mktsegment = 'BUILDING'
@@ -474,7 +483,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "n_name")
     revenue = F.sum(
         _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
-    ).cast("decimal(18,4)")
+    ).cast("decimal(18,4)").cast("double")
     return (
         li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
                 li.l_orderkey == F.col("o_orderkey"))
@@ -489,7 +498,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q5 = """
 SELECT n_name,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -644,12 +653,13 @@ def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         F.sum(_dec("l_extendedprice") * _dec("l_discount"))
         .cast("decimal(18,4)")
+        .cast("double")
         .alias("revenue")
     )
 
 
 ORACLE_Q6 = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS revenue
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -708,14 +718,17 @@ def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_customers"),
-            F.sum(_dec("c_acctbal")).cast("decimal(18,2)").alias("total_acctbal"),
+            F.sum(_dec("c_acctbal"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("total_acctbal"),
         )
     )
 
 
 ORACLE_CUSTOMERS_NO_ORDERS = """
 SELECT c_mktsegment, COUNT(*) AS n_customers,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_acctbal
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_acctbal
 FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey
@@ -735,7 +748,10 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("order_year", "o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(_dec("o_totalprice")).cast("decimal(18,2)").alias("total_price"),
+            F.sum(_dec("o_totalprice"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("total_price"),
         )
     )
 
@@ -743,7 +759,7 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ROLLUP_REVENUE = """
 SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderpriority,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY ROLLUP (CAST(year(o_orderdate) AS INT), o_orderpriority)
 """
@@ -876,7 +892,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     volume = F.sum(
         _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
-    ).cast("decimal(18,4)")
+    ).cast("decimal(18,4)").cast("double")
     return (
         li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
                 li.l_orderkey == F.col("o_orderkey"))
@@ -893,7 +909,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q7 = """
 SELECT supp_nation, cust_nation, l_year,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
 FROM (
   SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
          CAST(year(l_shipdate) AS INT) AS l_year,
@@ -928,7 +944,7 @@ def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = F.sum(
         _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
-    ).cast("decimal(18,4)")
+    ).cast("decimal(18,4)").cast("double")
     lost = (
         li.join(
             F.broadcast(orders.select("o_orderkey", "o_custkey")),
@@ -947,7 +963,7 @@ def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q10 = """
 SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -1119,7 +1135,12 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "o_orderpriority", F.to_date("o_orderdate").alias("day")
         )
-        .agg(F.sum(_dec("o_totalprice")).cast("decimal(18,2)").alias("total"))
+        .agg(
+            F.sum(_dec("o_totalprice"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("total")
+        )
     )
     w = Window.partitionBy("o_orderpriority").orderBy("day")
     return daily.select(
@@ -1137,8 +1158,8 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_MOVING_AVG = """
 WITH daily AS (
-  SELECT o_orderpriority, date_trunc('day', o_orderdate) AS day,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+  SELECT o_orderpriority, CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
   FROM orders GROUP BY 1, 2
 )
 SELECT o_orderpriority, day, total,
@@ -1630,7 +1651,7 @@ WITH seg AS (
            - epoch_us(ts) AS dt_us
   FROM events)
 SELECT user_id, ROUND(SUM(value * dt_us) / SUM(dt_us), 4) AS twa,
-       SUM(dt_us) AS span_us, COUNT(*) AS n_segments
+       CAST(SUM(dt_us) AS BIGINT) AS span_us, COUNT(*) AS n_segments
 FROM seg WHERE dt_us IS NOT NULL
 GROUP BY user_id HAVING SUM(dt_us) > 0
 """
@@ -1880,7 +1901,7 @@ rk AS (SELECT event_type, t, open,
               row_number() OVER (PARTITION BY event_type
                                  ORDER BY open DESC, t ASC) AS rn
        FROM run)
-SELECT event_type, open AS peak_concurrency, make_timestamp(t) AS peak_at
+SELECT event_type, CAST(open AS BIGINT) AS peak_concurrency, make_timestamp(t) AS peak_at
 FROM rk WHERE rn = 1
 """
 
@@ -2074,6 +2095,7 @@ def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
             .cast("decimal(18,4)")
+            .cast("double")
             .alias("revenue")
         )
     )
@@ -2093,9 +2115,9 @@ def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_REVENUE_SHARE = """
 WITH rev AS (
   SELECT r_name, n_name,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
                   (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4))
-           AS revenue
+           AS DOUBLE) AS revenue
   FROM lineitem
   JOIN orders   ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -2502,8 +2524,8 @@ WITH fd AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS day
             FROM events GROUP BY user_id),
 dn AS (SELECT day, COUNT(*) AS new_users FROM fd GROUP BY day)
 SELECT day, new_users,
-       SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
-         AS users_to_date
+       CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+         AS BIGINT) AS users_to_date
 FROM dn
 """
 
@@ -2668,6 +2690,7 @@ def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (a rounded double AVG differed in the 4th decimal on one cell)
         F.sum(F.col("value").cast("decimal(18,6)"))
         .cast("decimal(18,6)")
+        .cast("double")
         .alias("sum_value"),
     )
 
@@ -2675,7 +2698,7 @@ def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SEASONAL_PROFILE = """
 SELECT event_type, dayofweek(ts) + 1 AS dow, hour(ts) AS hod,
        COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_value
 FROM events WHERE value IS NOT NULL
 GROUP BY 1, 2, 3
 """

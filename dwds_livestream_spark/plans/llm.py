@@ -710,7 +710,7 @@ ORACLE_PACK_STATS = (
     _PACK_CTE
     + f"""
 SELECT source, shard, pack_no, count(*) AS n_docs,
-       SUM(n_tokens) AS pack_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
        ROUND(SUM(n_tokens) / {PACK_BUDGET}.0, 6) AS fill_ratio
 FROM p GROUP BY source, shard, pack_no
 """
@@ -1283,17 +1283,20 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (head/middle/tail) by bigram-LM perplexity — the standard quality
     stratification before mixing/sampling.
 
-    Buckets are threshold-based: tercile bounds from one
-    ``percentile_approx`` aggregate, broadcast back onto a map-only
-    ``when()`` projection — no global sort, no single-partition window
-    anywhere (VERDICT r1 #2). At testdata scale the sketch is exact
-    (accuracy ≫ n: value at rank ceil(p·n)), which the oracle
-    replicates with an explicit row_number rank formula; ties at a
-    boundary fall into the lower bucket on both sides (``<=``), so the
-    hash match checks the bucketing itself.
+    Buckets are threshold-based and EXACT at any scale: tercile bounds
+    are the values at global ranks ceil(n/3) and ceil(2n/3), computed
+    with ``distributed_rank`` (operators/ranking.py — equi-depth
+    buckets, never a single-partition sort; VERDICT r2 #3 replaced a
+    per-partition 1e6-accuracy percentile sketch with this). The two
+    threshold rows reduce to a 1-row broadcast feeding a map-only
+    ``when()`` projection. The oracle replicates the same rank formula;
+    ties at a boundary fall into the lower bucket on both sides
+    (``<=``), so the hash match checks the bucketing itself.
     """
+    from ..operators.ranking import distributed_rank
+
     # materialize the per-doc scores ONCE: the frame fans out to the
-    # bounds aggregate AND the bucketing projection, and without a
+    # ranking stages AND the bucketing projection, and without a
     # checkpoint each consumer re-trains the bigram LM end-to-end
     # (measured ~2x the query). (doc_id, ppl) is 2 columns per doc —
     # cheap executor-local storage at any corpus size.
@@ -1302,18 +1305,25 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "ppl")
         .localCheckpoint(eager=False)  # lazy: no job at build time
     )
-    bounds = ppl.agg(
-        F.percentile_approx(
-            "ppl",
-            F.array(F.lit(1 / 3), F.lit(2 / 3)),
-            F.lit(1_000_000),
-        ).alias("__t")
+    ranked = distributed_rank(
+        ppl,
+        "ppl",
+        tiebreakers=[F.col("doc_id")],
+        rank_col="__rn",
+        total_col="__n",
+        materialize=False,  # ppl is already checkpointed above
     )
-    t = F.col("__t")
+    # same double arithmetic as the oracle: ceil(n/3.0), ceil(2.0*n/3.0)
+    r1 = F.ceil(F.col("__n") / F.lit(3.0))
+    r2 = F.ceil(F.col("__n") * F.lit(2.0) / F.lit(3.0))
+    bounds = (
+        ranked.where((F.col("__rn") == r1) | (F.col("__rn") == r2))
+        .agg(F.min("ppl").alias("__t1"), F.max("ppl").alias("__t2"))
+    )
     b = ppl.crossJoin(F.broadcast(bounds)).select(
         "ppl",
-        F.when(F.col("ppl") <= t[0], 1)
-        .when(F.col("ppl") <= t[1], 2)
+        F.when(F.col("ppl") <= F.col("__t1"), 1)
+        .when(F.col("ppl") <= F.col("__t2"), 2)
         .otherwise(3)
         .alias("bucket"),
     )
@@ -1330,9 +1340,9 @@ st AS (SELECT ppl, row_number() OVER (ORDER BY ppl) AS rn,
               COUNT(*) OVER () AS c
        FROM per_doc),
 t AS (SELECT
-        MAX(CASE WHEN rn = CAST(ceil((1.0/3.0) * c) AS BIGINT)
+        MAX(CASE WHEN rn = CAST(ceil(c / 3.0) AS BIGINT)
                  THEN ppl END) AS t1,
-        MAX(CASE WHEN rn = CAST(ceil((2.0/3.0) * c) AS BIGINT)
+        MAX(CASE WHEN rn = CAST(ceil(2.0 * c / 3.0) AS BIGINT)
                  THEN ppl END) AS t2
       FROM st),
 b AS (SELECT ppl,
@@ -1925,7 +1935,8 @@ rk AS (SELECT cluster_id, doc_id, n_chars,
               SUM(n_chars) OVER (PARTITION BY cluster_id) AS total_chars
        FROM member)
 SELECT cluster_id, doc_id AS keeper_id, n_members,
-       n_chars AS kept_chars, total_chars - n_chars AS dropped_chars
+       n_chars AS kept_chars,
+       CAST(total_chars - n_chars AS BIGINT) AS dropped_chars
 FROM rk WHERE rn = 1
 """
 
@@ -1988,7 +1999,7 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_MIXTURE_PLAN = """
 WITH supply AS (
-  SELECT lang, SUM(len(string_split(text, ' '))) AS tokens_avail
+  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens_avail
   FROM documents GROUP BY lang),
 total AS (SELECT SUM(tokens_avail) AS t FROM supply),
 w(lang, weight) AS (VALUES ('en', 0.4), ('de', 0.15), ('es', 0.15),
@@ -2058,8 +2069,9 @@ per_dec AS (SELECT decile, COUNT(*) AS n_tokens FROM tok GROUP BY decile),
 first AS (SELECT w, MIN(decile) AS decile FROM tok GROUP BY w),
 growth AS (SELECT decile, COUNT(*) AS new_types FROM first GROUP BY decile)
 SELECT p.decile, p.n_tokens, COALESCE(g.new_types, 0) AS new_types,
-       SUM(COALESCE(g.new_types, 0)) OVER (ORDER BY p.decile
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_types
+       CAST(SUM(COALESCE(g.new_types, 0)) OVER (ORDER BY p.decile
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_types
 FROM per_dec p LEFT JOIN growth g ON p.decile = g.decile
 """
 

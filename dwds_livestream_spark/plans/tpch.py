@@ -171,7 +171,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     amount = F.sum(
         _rev() - _dec("l_quantity") * _dec("p_retailprice") * F.lit("0.01").cast("decimal(4,2)")
-    ).cast("decimal(18,4)")
+    ).cast("decimal(18,4)").cast("double")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
@@ -184,10 +184,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q9 = """
 SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-  CAST(SUM(
+  CAST(CAST(SUM(
     CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
     - CAST(l_quantity AS DECIMAL(18,2)) * CAST(p_retailprice AS DECIMAL(18,2)) * CAST('0.01' AS DECIMAL(4,2))
-  ) AS DECIMAL(18,4)) AS sum_profit
+  ) AS DECIMAL(18,4)) AS DOUBLE) AS sum_profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -214,14 +214,17 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_part.crossJoin(F.broadcast(total))
         .where(F.col("_value") > F.col("_total") * frac)
-        .select("l_partkey", F.col("_value").cast("decimal(18,4)").alias("part_value"))
+        .select(
+            "l_partkey",
+            F.col("_value").cast("decimal(18,4)").cast("double").alias("part_value"),
+        )
         .orderBy(F.desc("part_value"), "l_partkey")
     )
 
 
 ORACLE_Q11 = """
 SELECT l_partkey,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS part_value
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS part_value
 FROM lineitem
 GROUP BY l_partkey
 HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))))
@@ -253,8 +256,8 @@ def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q12 = """
 SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
-  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1 ORDER BY ship_year
 """
@@ -355,7 +358,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.crossJoin(F.broadcast(top))
         .where(F.col("total_revenue") == F.col("_max"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
         .orderBy("s_suppkey")
     )
 
@@ -367,7 +374,7 @@ WITH revenue AS (
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
   GROUP BY l_suppkey)
-SELECT s_suppkey, s_name, total_revenue
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
 FROM supplier JOIN revenue ON s_suppkey = l_suppkey
 WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
 ORDER BY s_suppkey
@@ -521,12 +528,12 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .where(g1 | g2 | g3)
-        .agg(F.sum(_rev()).cast("decimal(18,4)").alias("revenue"))
+        .agg(F.sum(_rev()).cast("decimal(18,4)").cast("double").alias("revenue"))
     )
 
 
 ORACLE_Q19 = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
@@ -640,7 +647,10 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("numcust"),
-            F.sum(_dec("c_acctbal")).cast("decimal(18,2)").alias("totacctbal"),
+            F.sum(_dec("c_acctbal"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("totacctbal"),
         )
         .orderBy("c_nationkey")
     )
@@ -648,7 +658,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q22 = """
 SELECT c_nationkey, count(*) AS numcust,
-  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS totacctbal
+  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS totacctbal
 FROM customer c, (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal, count(*) AS cnt
                   FROM customer WHERE c_acctbal > 0) pos
 WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cnt > sum_bal

@@ -39,13 +39,53 @@ def norm_cell(v) -> str:
     return str(v)
 
 
-def value_hash(rows: list[tuple], col_order: list[int]) -> str:
-    lines = sorted("|".join(norm_cell(r[i]) for i in col_order) for r in rows)
+def norm_cell_coerced(v) -> str:
+    """Float-coercing rendering: how a driver that fetches through
+    pandas/Arrow sees the cell. A Decimal with trailing-zero scale or a
+    DATE column rendered as midnight TIMESTAMP diverges HERE even when
+    norm_cell agrees — the exact class of mismatch the round-2 driver
+    flagged on 7 queries whose values were bit-identical. Both
+    renderings must match for a query to count as green."""
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "∅"
+    if isinstance(v, decimal.Decimal):
+        return repr(round(float(v), 9))
+    if isinstance(v, float):
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, int):
+        return repr(round(float(v), 9)) if abs(v) < 2**52 else str(v)
+    if isinstance(v, datetime):
+        return str(v)  # space-separated, as pandas renders it
+    if isinstance(v, date):
+        return str(v) + " 00:00:00"  # a date fetched as datetime64
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell_coerced(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(rows: list[tuple], col_order: list[int], norm=norm_cell) -> str:
+    lines = sorted("|".join(norm(r[i]) for i in col_order) for r in rows)
     h = hashlib.md5()
     for line in lines:
         h.update(line.encode())
         h.update(b"\n")
     return h.hexdigest()
+
+
+def type_canon_problems(sdf, drel) -> list[str]:
+    """Output-type canon gate (stricter than any plausible driver): no
+    DECIMAL in the Spark schema, no DECIMAL/HUGEINT in the DuckDB
+    result, no DATE-vs-TIMESTAMP disagreement on same-named columns.
+    Keeps exact decimal math INTERNAL — only the final select types are
+    constrained, because those are what engine-specific fetches
+    render. See dwds_livestream_spark/plans/canon.py."""
+    from dwds_livestream_spark.plans.canon import all_problems
+
+    return all_problems(sdf, drel.columns, drel.types)
 
 
 def main() -> int:
@@ -82,6 +122,9 @@ def main() -> int:
         drows = drel.fetchall()
         dcols = drel.columns
         ok = True
+        for p in type_canon_problems(sdf, drel):
+            print(f"{name:28s} TYPE-CANON: {p}")
+            ok = False
         if sorted(scols) != sorted(dcols):
             print(f"{name:28s} SCHEMA MISMATCH spark={sorted(scols)} duck={sorted(dcols)}")
             ok = False
@@ -91,16 +134,21 @@ def main() -> int:
         if ok:
             sorder = [scols.index(c) for c in sorted(scols)]
             dorder = [dcols.index(c) for c in sorted(dcols)]
-            sh, dh = value_hash(srows, sorder), value_hash(drows, dorder)
-            if sh != dh:
-                ok = False
-                print(f"{name:28s} VALUE-HASH MISMATCH ({len(srows)} rows)")
-                sset = {tuple(norm_cell(r[i]) for i in sorder) for r in srows}
-                dset = {tuple(norm_cell(r[i]) for i in dorder) for r in drows}
-                for r in list(sset - dset)[:3]:
-                    print("   spark-only:", r)
-                for r in list(dset - sset)[:3]:
-                    print("   duck-only: ", r)
+            for norm in (norm_cell, norm_cell_coerced):
+                sh = value_hash(srows, sorder, norm)
+                dh = value_hash(drows, dorder, norm)
+                if sh != dh:
+                    ok = False
+                    print(
+                        f"{name:28s} VALUE-HASH MISMATCH"
+                        f" [{norm.__name__}] ({len(srows)} rows)"
+                    )
+                    sset = {tuple(norm(r[i]) for i in sorder) for r in srows}
+                    dset = {tuple(norm(r[i]) for i in dorder) for r in drows}
+                    for r in list(sset - dset)[:3]:
+                        print("   spark-only:", r)
+                    for r in list(dset - sset)[:3]:
+                        print("   duck-only: ", r)
         if ok:
             print(f"{name:28s} OK ({len(srows)} rows)")
         else:

@@ -1,0 +1,48 @@
+"""Output-type canon sweep over the whole registry (the class of bug
+behind round 2's seven persistent driver hash-fails: values bit-
+identical, output TYPES rendered differently per engine). Analysis-only
+— Spark schemas and DuckDB LIMIT-0 result types — so it gates every
+oracled query without executing any of them. The contract lives in
+dwds_livestream_spark/plans/canon.py."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from dwds_livestream_spark.plans.canon import (
+    duck_type_problems,
+    spark_schema_problems,
+    temporal_mismatch_problems,
+)
+from dwds_livestream_spark.plans.registry import ORACLE_SQL, QUERIES, TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def test_no_decimal_hugeint_or_temporal_skew_in_any_output(spark, duck):
+    bad: dict[str, list[str]] = {}
+    for name, fn in QUERIES.items():
+        problems: list[str] = []
+        sdf = fn(spark, SF_DIR)
+        problems += spark_schema_problems(sdf.schema)
+        if name in ORACLE_SQL:
+            rel = duck.sql(f"SELECT * FROM ({ORACLE_SQL[name]}) LIMIT 0")
+            problems += duck_type_problems(rel.columns, rel.types)
+            problems += temporal_mismatch_problems(
+                sdf.schema, rel.columns, rel.types
+            )
+        if problems:
+            bad[name] = problems
+    assert not bad, "\n".join(
+        f"{n}: {'; '.join(ps)}" for n, ps in sorted(bad.items())
+    )
