@@ -47,6 +47,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     result["streaming"] = _stream_throughput()
+    result["streaming_latency"] = _stream_latency_at_reference_rate()
 
     # Full result to a file (the driver's stdout capture truncated the
     # 133-query line in round 1 — BENCH_r01.json "parsed": null); the
@@ -99,6 +100,50 @@ def _stream_throughput() -> dict | None:
         # quieter machine
         result = once() or result
     return result
+
+
+def _stream_latency_at_reference_rate() -> dict | None:
+    """Second streaming measurement at the reference's ACTUAL rate
+    (~100 ev/s, BASELINE.md row 1): trigger-to-sink latency must stay
+    under the ~1 s trigger cadence (reference access_log.clj:123 polls
+    the tailer every 1000 ms). The throughput run above drives 120x
+    overload, which proves headroom but says nothing about latency at
+    the real load — this run does."""
+    if os.environ.get("SPARK_GRAFT_SKIP_STREAM"):
+        return None
+    import subprocess
+
+    env = dict(os.environ)
+    env["STREAM_BENCH_SECONDS"] = os.environ.get(
+        "STREAM_BENCH_LATENCY_SECONDS", "25"
+    )
+    env["STREAM_BENCH_EPS"] = "100"
+    try:
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "stream_bench.py")],
+            capture_output=True, text=True, timeout=180, env=env,
+        ).stdout
+        for line in reversed(out.strip().splitlines()):
+            if line.startswith("{"):
+                r = json.loads(line)
+                lat = r.get("latency") or {}
+                p95 = lat.get("trigger_to_sink_p95_s")
+                return {
+                    "metric": "stream_latency_at_reference_rate",
+                    "rate": 100,
+                    "p95_latency_s": p95,
+                    "mean_latency_s": lat.get("trigger_to_sink_mean_s"),
+                    "e2e_p95_latency_s": lat.get("e2e_p95_latency_s"),
+                    "e2e_mean_latency_s": lat.get("e2e_mean_latency_s"),
+                    "files_measured": lat.get("files_measured"),
+                    "target_p95_s": 1.0,
+                    "pass": p95 is not None and p95 < 1.0,
+                }
+    except Exception:
+        return None
+    return None
 
 
 if __name__ == "__main__":

@@ -47,6 +47,10 @@ def main() -> None:
     logdir = os.path.join(tmp, "logs")
     os.makedirs(logdir)
 
+    # cache + materialize like sources/dimension.DimensionSnapshot does
+    # (wbdb.clj atom-swap parity): an uncached static side re-executes
+    # its build under every micro-batch's broadcast — measured ~2x the
+    # steady-state trigger-to-sink latency at the reference's 100 ev/s
     dim = spark.createDataFrame(
         [
             Row(lemma=f"lemma{i}", hidx=None, lemma_type="AR_G",
@@ -55,10 +59,21 @@ def main() -> None:
             for i in range(1000)
         ],
         DIMENSION,
-    ).drop("status")
+    ).drop("status").cache()
+    dim.count()
 
     stop = threading.Event()
     counter = {"n": 0}
+    # latency bookkeeping: the synthetic lines all survive every filter
+    # (status 200, browser UA, known /wb lemma), so published events map
+    # 1:1 onto written lines, and the file source ingests whole files —
+    # cumulative counts therefore align on file boundaries. For each
+    # file we record (cumulative lines written, write completion time);
+    # when publish() has delivered past that boundary, the file's
+    # trigger-to-sink latency is publish_time - write_time.
+    file_marks: list[tuple[int, float]] = []  # (cum_written, write_time)
+    latencies: list[float] = []
+    consumed = {"files": 0}
 
     def writer() -> None:
         i = 0
@@ -70,14 +85,28 @@ def main() -> None:
             with open(path + ".tmp", "w") as f:
                 f.write("\n".join(lines))
             os.rename(path + ".tmp", path)  # atomic: no partial reads
+            file_marks.append((i, time.time()))
             batch += 1
             time.sleep(1.0)
 
     t = threading.Thread(target=writer, daemon=True)
     t.start()
 
+    warm_start = {"idx": None}
+
     def publish(lines: list[str], batch_id: int) -> None:
+        now = time.time()
         counter["n"] += len(lines)
+        k = consumed["files"]
+        while k < len(file_marks) and file_marks[k][0] <= counter["n"]:
+            latencies.append(now - file_marks[k][1])
+            k += 1
+        consumed["files"] = k
+        if warm_start["idx"] is None and lines:
+            # everything drained by the FIRST non-empty batch paid the
+            # one-time codegen/broadcast warmup — steady-state latency
+            # starts after it
+            warm_start["idx"] = len(latencies)
 
     q = start_live_server(
         spark,
@@ -113,23 +142,47 @@ def main() -> None:
         if steady_secs > 0:
             sustained = round(steady_events / steady_secs, 1)
     best = max(eps, sustained or 0.0)
-    print(
-        json.dumps(
-            {
-                "metric": "stream_events_per_sec",
-                "value": round(best, 1),
-                "unit": "events/sec",
-                "events": counter["n"],
-                "seconds": round(elapsed, 1),
-                "wallclock_eps": round(eps, 1),
-                "sustained_eps": sustained,
-                "offered_eps": EPS_IN,
-                "mean_batch_sec": round(sum(batch_secs) / max(len(batch_secs), 1), 3),
-                "target_eps": 100,
-                "pass": best >= 100,
-            }
-        )
-    )
+    out = {
+        "metric": "stream_events_per_sec",
+        "value": round(best, 1),
+        "unit": "events/sec",
+        "events": counter["n"],
+        "seconds": round(elapsed, 1),
+        "wallclock_eps": round(eps, 1),
+        "sustained_eps": sustained,
+        "offered_eps": EPS_IN,
+        "mean_batch_sec": round(sum(batch_secs) / max(len(batch_secs), 1), 3),
+        "target_eps": 100,
+        "pass": best >= 100,
+    }
+    def p95(xs: list[float]) -> float:
+        s = sorted(xs)
+        return s[min(len(s) - 1, int(0.95 * (len(s) - 1) + 0.5))]
+
+    if latencies:
+        # two latency views, both steady-state (files/batches drained by
+        # the first non-empty batch pay one-time codegen+broadcast
+        # warmup a months-running stream never pays again — dropped,
+        # same convention as sustained_eps above):
+        # - trigger_to_sink: micro-batch execution time, trigger fire ->
+        #   publish (the reference's "~1 s trigger" budget)
+        # - e2e write_to_sink: log-file write -> publish; includes up to
+        #   one trigger interval of file-discovery wait by construction
+        warm = latencies[warm_start["idx"] or 0:] or latencies
+        steady_batch = batch_secs[1:] if len(batch_secs) > 1 else batch_secs
+        out["latency"] = {
+            "files_measured": len(latencies),
+            "trigger_to_sink_mean_s": round(
+                sum(steady_batch) / max(len(steady_batch), 1), 3
+            ),
+            "trigger_to_sink_p95_s": round(p95(steady_batch), 3)
+            if steady_batch
+            else None,
+            "e2e_mean_latency_s": round(sum(warm) / len(warm), 3),
+            "e2e_p95_latency_s": round(p95(warm), 3),
+            "e2e_max_latency_s": round(max(warm), 3),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
