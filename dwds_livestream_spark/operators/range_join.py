@@ -15,12 +15,40 @@ row growth = ceil(interval_len / bin_width) + 1; pick ``bin_width``
 near the typical interval length to keep the blowup ~2x. Long-tail
 intervals (many bins) are the skew risk — cap via pre-splitting or
 choose wider bins.
+
+Outer modes are compositional: the inner match plus null-safe
+anti-joined unmatched rows from the preserved side(s). Joining the
+preserved interval side through its EXPLODED form would emit an
+unmatched interval once per overlapped bin (k duplicates); the
+anti-join runs against the original un-exploded frame, so every
+unmatched row appears exactly once and empty intervals (end <= start,
+which match nothing by the half-open predicate) still surface in
+right/full output. Cost: one extra hash join per preserved side —
+still never a nested loop.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _epoch(c: str) -> Column:
+    # TIMESTAMP_NTZ can't cast straight to long; via TIMESTAMP it
+    # resolves in the session timezone (UTC), a no-op for LTZ.
+    return F.col(c).cast("timestamp").cast("long")
+
+
+def _anti_nullsafe(keep: DataFrame, drop: DataFrame) -> DataFrame:
+    """keep LEFT ANTI drop on ALL of keep's columns, null-safely (a
+    plain anti join would treat any NULL-bearing row as unmatched and
+    resurrect it). Duplicate unmatched rows keep their multiplicity."""
+    d = drop.select(*[F.col(c).alias(f"__d_{c}") for c in keep.columns])
+    cond = None
+    for c in keep.columns:
+        eq = F.col(c).eqNullSafe(F.col(f"__d_{c}"))
+        cond = eq if cond is None else cond & eq
+    return keep.join(d, cond, "left_anti")
 
 
 def range_join(
@@ -36,49 +64,67 @@ def range_join(
     """Join each point row to every interval row with
     ``start <= ts < end`` (half-open), optionally also matching ``equi``
     key columns. Output: all point columns + all interval columns
-    (minus duplicated equi keys)."""
+    (minus duplicated equi keys); on outer rows the ``equi`` columns are
+    filled from whichever side exists."""
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(f"unsupported how={how!r}")
     w = int(bin_width_seconds)
+    eq = list(equi or [])
+    icols_out = [c for c in intervals.columns if c not in eq]
 
-    def epoch(c: str):
-        # TIMESTAMP_NTZ can't cast straight to long; via TIMESTAMP it
-        # resolves in the session timezone (UTC), a no-op for LTZ.
-        return F.col(c).cast("timestamp").cast("long")
-
-    p = points.withColumn("__bin", F.floor(epoch(ts_col) / w))
-    i = intervals.withColumn(
-        "__bin",
-        F.explode(
-            F.sequence(
-                F.floor(epoch(start_col) / w),
-                # end is exclusive: a zero-length [t, t) interval still
-                # needs its own bin, hence no -1 on an exact boundary
-                F.floor((epoch(end_col) - 1) / w),
-            )
-        ),
+    p = points.withColumn("__bin", F.floor(_epoch(ts_col) / w))
+    # empty intervals (end <= start) match nothing under the half-open
+    # predicate; filtering them BEFORE the bin explode also prevents
+    # sequence()'s descending mode from fanning an inverted interval
+    # into every bin between its endpoints
+    i = (
+        intervals.where(_epoch(end_col) > _epoch(start_col))
+        .withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor(_epoch(start_col) / w),
+                    F.floor((_epoch(end_col) - 1) / w),
+                )
+            ),
+        )
     )
-    keys = ["__bin"] + (equi or [])
-    if how == "inner":
-        joined = p.join(i, on=keys, how=how).where(
+    inner = (
+        p.join(i, on=["__bin", *eq], how="inner")
+        .where(
             (F.col(ts_col) >= F.col(start_col))
             & (F.col(ts_col) < F.col(end_col))
         )
-        return joined.drop("__bin")
-    # outer joins: the range predicate must live IN the join condition
-    # — as a post-join .where() it evaluates to NULL on unmatched rows'
-    # null interval columns and silently deletes them, turning
-    # how='left' into an inner join
-    pa, ia = p.alias("__p"), i.alias("__i")
-    cond = F.col("__p.__bin") == F.col("__i.__bin")
-    for k in equi or []:
-        cond = cond & (F.col(f"__p.{k}") == F.col(f"__i.{k}"))
-    cond = (
-        cond
-        & (F.col(f"__p.{ts_col}") >= F.col(f"__i.{start_col}"))
-        & (F.col(f"__p.{ts_col}") < F.col(f"__i.{end_col}"))
+        .select(*points.columns, *icols_out)
     )
-    out_cols = [F.col(f"__p.{c}") for c in points.columns] + [
-        F.col(f"__i.{c}")
-        for c in intervals.columns
-        if c not in (equi or [])
-    ]
-    return pa.join(ia, cond, how).select(*out_cols)
+    if how == "inner":
+        return inner
+
+    parts = [inner]
+    if how in ("left", "full"):
+        unmatched_p = _anti_nullsafe(points, inner.select(*points.columns))
+        parts.append(
+            unmatched_p.select(
+                *points.columns,
+                *[
+                    F.lit(None).cast(intervals.schema[c].dataType).alias(c)
+                    for c in icols_out
+                ],
+            )
+        )
+    if how in ("right", "full"):
+        # reconstruct the matched interval rows from the inner output:
+        # the equi columns are shared with the point side by definition
+        matched_i = inner.select(*intervals.columns)
+        unmatched_i = _anti_nullsafe(intervals, matched_i)
+        pcols_null = [
+            F.col(c).alias(c)
+            if c in eq
+            else F.lit(None).cast(points.schema[c].dataType).alias(c)
+            for c in points.columns
+        ]
+        parts.append(unmatched_i.select(*pcols_null, *icols_out))
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out

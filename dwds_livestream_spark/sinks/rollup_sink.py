@@ -76,12 +76,29 @@ def read_rollup(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def compact_rollup(spark: SparkSession, path: str, upto_day: str) -> None:
+def compact_rollup(
+    spark: SparkSession,
+    path: str,
+    upto_day: str,
+    max_batch: int | None = None,
+) -> None:
     """Fold every CLOSED day's increments (day <= upto_day) into one
     ``__batch=-1`` partition per day. Readers stay correct before and
     after because they always sum increments; days still receiving
     batches must stay un-compacted (a concurrent writer's increment
     would be folded twice).
+
+    ``max_batch`` guards against WRITER RESTARTS racing compaction: a
+    micro-batch written but not yet checkpoint-committed at crash time
+    is REPLAYED after restart — if compaction folded its leaf in the
+    meantime, the replayed overwrite would land in a fresh leaf and
+    double-count. Pass the stream's last COMMITTED batch id (from the
+    checkpoint's commit log); only leaves with ``__batch <= max_batch``
+    (plus earlier folds) are folded and deleted, so an uncommitted
+    leaf survives as an increment for its replay to overwrite. The
+    boundary is staged alongside the fold (``_FOLDED_MAX_BATCH``) so a
+    crash-recovered swap deletes exactly what was folded. Default
+    ``None`` folds everything — only safe when the stream is stopped.
 
     Crash safety on plain parquet (no table format's atomic commit):
     the folded result is STAGED to ``<path>.compacting`` on storage
@@ -105,8 +122,19 @@ def compact_rollup(spark: SparkSession, path: str, upto_day: str) -> None:
     import shutil
 
     stage = path.rstrip("/") + ".compacting"
+    # fold-boundary sidecar: written BEFORE the stage parquet (Spark's
+    # overwrite would wipe a file inside the stage dir, and writing it
+    # after _SUCCESS would leave a crash window where recovery can't
+    # know the boundary). If _SUCCESS exists, the sidecar predates it.
+    sidecar = stage + ".maxbatch"
 
-    def _swap_in() -> None:
+    def _swap_in(folded_max: int | None) -> None:
+        def superseded(bdir: str) -> bool:
+            bid = int(bdir.split("=", 1)[1])
+            if folded_max is None:
+                return True  # boundless fold consumed every leaf
+            return bid == COMPACTED_BATCH or bid <= folded_max
+
         for day_dir in sorted(os.listdir(stage)):
             if not day_dir.startswith("day="):
                 continue
@@ -115,22 +143,39 @@ def compact_rollup(spark: SparkSession, path: str, upto_day: str) -> None:
                 continue
             dst_day = os.path.join(path, day_dir)
             os.makedirs(dst_day, exist_ok=True)
-            # delete superseded increment leaves, then move the folded
-            # leaf in — per-day, so a crash affects at most one day,
-            # whose folded data still sits in the stage
+            # delete ONLY the leaves the fold consumed, then move the
+            # folded leaf in — per-day, so a crash affects at most one
+            # day, whose folded data still sits in the stage
             for bdir in os.listdir(dst_day):
-                if bdir.startswith("__batch="):
+                if bdir.startswith("__batch=") and superseded(bdir):
                     shutil.rmtree(os.path.join(dst_day, bdir))
             shutil.move(src, os.path.join(dst_day, f"__batch={COMPACTED_BATCH}"))
         shutil.rmtree(stage)
+        if os.path.exists(sidecar):
+            os.remove(sidecar)
 
     if os.path.isdir(stage):
         if os.path.exists(os.path.join(stage, "_SUCCESS")):
-            _swap_in()  # recovery: finish an interrupted swap
+            # recovery: finish an interrupted swap with ITS boundary
+            staged_max: int | None = None
+            if os.path.exists(sidecar):
+                with open(sidecar) as fh:
+                    staged_max = int(fh.read().strip())
+            _swap_in(staged_max)
             return
         shutil.rmtree(stage)  # stage write itself crashed — redo
+    if os.path.exists(sidecar):
+        os.remove(sidecar)  # stale sidecar from a pre-stage crash
 
+    if max_batch is not None:
+        with open(sidecar, "w") as fh:
+            fh.write(str(int(max_batch)))
     cur = spark.read.parquet(path).where(F.col("day") <= F.lit(upto_day))
+    if max_batch is not None:
+        cur = cur.where(
+            (F.col("__batch") <= F.lit(int(max_batch)))
+            | (F.col("__batch") == F.lit(COMPACTED_BATCH))
+        )
     (
         cur.groupBy("day", "bin")
         .agg(F.sum("cnt").alias("cnt"))
@@ -140,4 +185,4 @@ def compact_rollup(spark: SparkSession, path: str, upto_day: str) -> None:
         .partitionBy("day", "__batch")
         .parquet(stage)
     )
-    _swap_in()
+    _swap_in(max_batch)

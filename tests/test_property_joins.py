@@ -112,7 +112,113 @@ def test_range_join_matches_bruteforce(spark, case):
     assert got == expect
 
 
-# ---- paragraph dedup: global invariants under arbitrary corpora ----
+outer_range_cases = st.tuples(
+    st.lists(st.tuples(secs, keys), min_size=0, max_size=12),
+    st.lists(
+        # duration may be 0 (empty interval: matches nothing, must
+        # still surface once in right/full output)
+        st.tuples(secs, st.integers(min_value=0, max_value=600), keys),
+        min_size=0,
+        max_size=10,
+    ),
+    st.sampled_from([60, 3600]),
+    st.sampled_from(["left", "right", "full"]),
+)
+
+
+@settings(
+    max_examples=16,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(outer_range_cases)
+def test_range_join_outer_modes_match_bruteforce(spark, case):
+    """Outer semantics (VERDICT r2 #7): every preserved-side row appears
+    EXACTLY once when unmatched — in particular an unmatched interval
+    must not be duplicated per overlapped bin, and an empty interval
+    must still surface."""
+    point_rows, interval_rows, bin_w, how = case
+    if not point_rows and not interval_rows:
+        return
+    points = spark.createDataFrame(
+        [(i, _ts(s), k) for i, (s, k) in enumerate(point_rows)] or [],
+        "pid long, ts timestamp, k string",
+    )
+    intervals = spark.createDataFrame(
+        [(j, _ts(s), _ts(s + d), k) for j, (s, d, k) in enumerate(interval_rows)]
+        or [],
+        "iid long, s timestamp, e timestamp, k string",
+    )
+    got = sorted(
+        (
+            (r.pid, r.iid)
+            for r in range_join(
+                points, intervals, "ts", "s", "e",
+                bin_width_seconds=bin_w, equi=["k"], how=how,
+            ).collect()
+        ),
+        key=repr,
+    )
+    inner = {
+        (i, j)
+        for i, (ps, pk) in enumerate(point_rows)
+        for j, (s, d, ik) in enumerate(interval_rows)
+        if pk == ik and s <= ps < s + d
+    }
+    expect = set(inner)
+    if how in ("left", "full"):
+        matched_p = {i for i, _ in inner}
+        expect |= {(i, None) for i in range(len(point_rows)) if i not in matched_p}
+    if how in ("right", "full"):
+        matched_i = {j for _, j in inner}
+        expect |= {
+            (None, j) for j in range(len(interval_rows)) if j not in matched_i
+        }
+    assert got == sorted(expect, key=repr), f"how={how}"
+
+
+# -------- snapshot_diff: null keys and null values, brute-forced --------
+
+maybe_key = st.one_of(st.none(), st.integers(min_value=0, max_value=3))
+maybe_val = st.one_of(st.none(), st.integers(min_value=0, max_value=2))
+snapshot = st.lists(
+    st.tuples(maybe_key, maybe_key, maybe_val),
+    max_size=8,
+    unique_by=lambda r: (r[0], r[1]),  # keyed table: one row per key
+)
+
+
+@settings(
+    max_examples=16,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.tuples(snapshot, snapshot))
+def test_snapshot_diff_null_keys_match_bruteforce(spark, case):
+    """Null-safe key pairing (VERDICT r2 #7): a NULL-keyed row present
+    in both snapshots must pair up (changed/unchanged), never misread
+    as added+removed; NULL value transitions count as changes."""
+    from dwds_livestream_spark.operators.diff import snapshot_diff
+
+    old_rows, new_rows = case
+    schema = "k1 int, k2 int, v int"
+    old = spark.createDataFrame(old_rows or [], schema)
+    new = spark.createDataFrame(new_rows or [], schema)
+    got = {
+        (r.k1, r.k2): (r.change, tuple(r.changed_cols))
+        for r in snapshot_diff(old, new, keys=["k1", "k2"]).collect()
+    }
+    o = {(k1, k2): v for k1, k2, v in old_rows}
+    n = {(k1, k2): v for k1, k2, v in new_rows}
+    expect = {}
+    for key in o.keys() | n.keys():
+        if key not in o:
+            expect[key] = ("added", ())
+        elif key not in n:
+            expect[key] = ("removed", ())
+        elif o[key] != n[key]:
+            expect[key] = ("changed", ("v",))
+    assert got == expect
 
 para_word = st.sampled_from(["alpha", "beta", "gamma", "delta", "x"])
 paragraph = st.lists(para_word, min_size=1, max_size=4).map(" ".join)
