@@ -41,6 +41,79 @@ def to_json_events(df: DataFrame) -> Column | DataFrame:
     )
 
 
+def to_edn_events(df: DataFrame) -> DataFrame:
+    """P10-EDN — enriched event rows -> EDN map strings, the literal
+    output format of the reference's batch CLI (``log->edn``,
+    server.clj:37-48: ``pr`` of the merged event map). Closes the K6
+    documented deviation (JSON-only until round 3).
+
+    Parity choices, matching Clojure ``pr`` semantics:
+    - keys are kebab-case keywords (``lemma_type`` -> ``:lemma-type``,
+      wbdb.clj:17-18's key set);
+    - nil-valued keys are ABSENT (the reference ``merge``s metadata in,
+      so an unknown lemma's map simply lacks those keys);
+    - entries are ``, ``-separated inside ``{...}`` (EDN maps are
+      unordered; column order is pinned for determinism);
+    - strings print readably (``\\`` ``\"`` and control characters
+      escaped), integers bare, timestamps/dates as the same ISO strings
+      the JSON wire uses (the reference stores :timestamp as
+      ``Instant#toString`` — access_log.clj:53-55).
+
+    All JVM-side ``concat``/``replace`` expressions — no Python UDF on
+    the wire path.
+    """
+    from pyspark.sql import types as ST
+
+    def edn_string(col: Column) -> Column:
+        s = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+        s = F.replace(s, F.lit('"'), F.lit('\\"'))
+        s = F.replace(s, F.lit("\n"), F.lit("\\n"))
+        s = F.replace(s, F.lit("\t"), F.lit("\\t"))
+        s = F.replace(s, F.lit("\r"), F.lit("\\r"))
+        return F.concat(F.lit('"'), s, F.lit('"'))
+
+    def edn_value(name: str, dt) -> Column:
+        col = F.col(name)
+        if isinstance(dt, ST.StringType):
+            return edn_string(col)
+        if isinstance(dt, ST.TimestampType | ST.TimestampNTZType):
+            return edn_string(
+                F.date_format(col, "yyyy-MM-dd'T'HH:mm:ssXXX")
+            )
+        if isinstance(dt, ST.DateType):
+            return edn_string(F.date_format(col, "yyyy-MM-dd"))
+        if isinstance(
+            dt,
+            ST.ByteType
+            | ST.ShortType
+            | ST.IntegerType
+            | ST.LongType
+            | ST.DoubleType
+            | ST.FloatType
+            | ST.BooleanType,
+        ):
+            return col.cast("string")
+        raise TypeError(f"no EDN encoding for column {name}: {dt}")
+
+    frags = [
+        F.when(
+            F.col(f.name).isNotNull(),
+            F.concat(
+                F.lit(":" + f.name.replace("_", "-") + " "),
+                edn_value(f.name, f.dataType),
+            ),
+        )
+        for f in df.schema.fields
+    ]
+    # concat_ws skips NULL fragments — exactly the reference's merge
+    # semantics (absent keys), and an all-null row prints as "{}"
+    return df.select(
+        F.concat(F.lit("{"), F.concat_ws(", ", *frags), F.lit("}")).alias(
+            "value"
+        )
+    )
+
+
 def from_json_events(
     df: DataFrame,
     column: str = "value",
