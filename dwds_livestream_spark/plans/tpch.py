@@ -630,16 +630,26 @@ ORDER BY numwait DESC, s_name
 
 # ----------------------------------------------------------------- q22
 def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: well-funded customers with no orders, grouped
-    by nation. The 'above average positive balance' threshold is
+    """TPC-H Q22 shape: well-funded customers gone idle, grouped by
+    nation. The 'above average positive balance' threshold is
     multiplied through (bal * cnt > sum) to stay in exact decimals; the
-    no-orders predicate is a LEFT ANTI join against the order keys.
+    idle predicate is a LEFT ANTI join against recent order keys
+    (no order since 2001-01-01 — the synthetic data gives every
+    customer at least one lifetime order, so the literal TPC-H
+    'no orders ever' predicate selects zero rows at every sf and would
+    make the correctness check trivially green; 'idle since' keeps the
+    scalar-subquery + anti-join shape non-degenerate: 29/285/2845 rows
+    at sf0.001/0.01/0.1).
     """
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
     pos = cust.where(F.col("c_acctbal") > 0).agg(
         F.sum(_dec("c_acctbal")).alias("_sum_bal"), F.count("*").alias("_cnt")
     )
-    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= "2001-01-01")
+        .select("o_custkey")
+    )
     return (
         cust.crossJoin(F.broadcast(pos))
         .where(_dec("c_acctbal") * F.col("_cnt") > F.col("_sum_bal"))
@@ -662,7 +672,9 @@ SELECT c_nationkey, count(*) AS numcust,
 FROM customer c, (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal, count(*) AS cnt
                   FROM customer WHERE c_acctbal > 0) pos
 WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cnt > sum_bal
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01')
 GROUP BY c_nationkey
 ORDER BY c_nationkey
 """

@@ -49,6 +49,11 @@ def norm_cell_coerced(v) -> str:
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "∅"
     if isinstance(v, decimal.Decimal):
+        # Same >=2**52 integral cutoff as the int branch: a huge value
+        # typed BIGINT on one engine and DECIMAL on the other must
+        # render identically (float repr loses integer precision there).
+        if v == v.to_integral_value() and abs(v) >= 2**52:
+            return str(int(v))
         return repr(round(float(v), 9))
     if isinstance(v, float):
         return repr(round(v, 9))
