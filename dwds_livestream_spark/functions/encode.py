@@ -52,15 +52,21 @@ def to_edn_events(df: DataFrame) -> DataFrame:
       wbdb.clj:17-18's key set);
     - nil-valued keys are ABSENT (the reference ``merge``s metadata in,
       so an unknown lemma's map simply lacks those keys);
+    - strings print readably (Clojure ``char-escape-string``'s full
+      set: ``\\`` ``\"`` and newline/tab/return/formfeed/backspace),
+      integers bare, timestamps as ``Instant#toString`` — second
+      resolution with a conditional fraction: no fraction when the
+      instant is whole-second, else millis or micros with trailing
+      3-digit zero groups trimmed, exactly Instant's rendering
+      (access_log.clj:53-55 stores ``(str instant)``);
     - entries are ``, ``-separated inside ``{...}`` (EDN maps are
-      unordered; column order is pinned for determinism);
-    - strings print readably (``\\`` ``\"`` and control characters
-      escaped), integers bare, timestamps/dates as the same ISO strings
-      the JSON wire uses (the reference stores :timestamp as
-      ``Instant#toString`` — access_log.clj:53-55).
+      unordered; column order is pinned for determinism).
 
-    All JVM-side ``concat``/``replace`` expressions — no Python UDF on
-    the wire path.
+    Golden-tested byte-for-byte against the reference's own capture
+    ``dev/wb-page-requests.edn.gz`` (tests/test_edn_golden.py).
+
+    All JVM-side ``concat``/``replace``/``regexp_replace`` expressions
+    — no Python UDF on the wire path.
     """
     from pyspark.sql import types as ST
 
@@ -70,16 +76,24 @@ def to_edn_events(df: DataFrame) -> DataFrame:
         s = F.replace(s, F.lit("\n"), F.lit("\\n"))
         s = F.replace(s, F.lit("\t"), F.lit("\\t"))
         s = F.replace(s, F.lit("\r"), F.lit("\\r"))
+        s = F.replace(s, F.lit("\f"), F.lit("\\f"))
+        s = F.replace(s, F.lit("\b"), F.lit("\\b"))
         return F.concat(F.lit('"'), s, F.lit('"'))
+
+    def edn_instant(col: Column) -> Column:
+        # java.time.Instant#toString: fraction only when non-zero,
+        # printed in 3-digit groups with trailing zero groups trimmed
+        # (Spark timestamps are micro-resolution, so millis/micros)
+        s = F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        s = F.regexp_replace(s, r"\.(\d{3})000(?=Z|[+-])", r".$1")
+        return F.regexp_replace(s, r"\.000(?=Z|[+-])", "")
 
     def edn_value(name: str, dt) -> Column:
         col = F.col(name)
         if isinstance(dt, ST.StringType):
             return edn_string(col)
         if isinstance(dt, ST.TimestampType | ST.TimestampNTZType):
-            return edn_string(
-                F.date_format(col, "yyyy-MM-dd'T'HH:mm:ssXXX")
-            )
+            return edn_string(edn_instant(col))
         if isinstance(dt, ST.DateType):
             return edn_string(F.date_format(col, "yyyy-MM-dd"))
         if isinstance(
