@@ -3,11 +3,12 @@ opaque ``binary`` columns with typed metadata.
 
 The Spark-side architecture is real and tested — schema, partition-
 preserving mapInPandas, Arrow batch shapes, deterministic feature
-extraction over raw bytes. The actual media decode (PIL/ffmpeg/etc.) is
-STUBBED: those libraries are not in this container, so ``decode_*``
-raise NotImplementedError unless ``fake=True`` supplies a deterministic
-byte-level fake. Swap ``_decode_image_real`` for a PIL call in a real
-deployment; nothing else changes.
+extraction over raw bytes. Image decode is REAL when Pillow is
+importable (``fake=False`` decodes/resizes via PIL inside the Arrow
+workers); when it is not, ``fake=False`` raises NotImplementedError
+(honest gate — never a silent fake), and ``fake=True`` supplies a
+deterministic byte-level fake with the SAME output schema either way.
+Audio/video decode (ffmpeg) stays stubbed in real mode.
 
 Design for 100 TB of media:
 - payloads stay opaque bytes end-to-end (no JVM<->Python copies beyond
@@ -42,9 +43,47 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def _decode_image_real(payload: bytes) -> "object":
-    raise NotImplementedError(
-        "media decode requires an image library (e.g. PIL) not present "
-        "in this container; pass fake=True for the deterministic fake"
+    """Decode image bytes with Pillow. Imported lazily INSIDE the Arrow
+    worker (executors are separate processes; the driver never needs
+    the dependency). Raises NotImplementedError when Pillow is absent —
+    an honest gate, never a silent fallback to the fake."""
+    try:
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - exercised w/o PIL
+        raise NotImplementedError(
+            "real media decode requires Pillow, which is not installed; "
+            "pass fake=True for the deterministic byte-level fake"
+        ) from exc
+    import io
+
+    return Image.open(io.BytesIO(bytes(payload)))
+
+
+def _image_features(payload: bytes, n_buckets: int = 16) -> tuple:
+    """Real decode path: luminance statistics with the same output
+    shape as the byte-level fake (n_bytes, mean, entropy, histogram
+    feature vector) so downstream schemas are identical."""
+    import math
+
+    if payload is None:
+        return None, None, None, None
+    gray = _decode_image_real(payload).convert("L")
+    hist = gray.histogram()  # 256 luminance counts
+    n_px = sum(hist)
+    if n_px == 0:
+        return len(payload), 0.0, 0.0, [0.0] * n_buckets
+    mean = sum(v * c for v, c in enumerate(hist)) / n_px
+    buckets = [
+        sum(hist[b * 256 // n_buckets : (b + 1) * 256 // n_buckets])
+        for b in range(n_buckets)
+    ]
+    probs = [c / n_px for c in buckets]
+    entropy = -sum(p * math.log2(p) for p in probs if p > 0)
+    return (
+        len(payload),
+        round(mean, 6),
+        round(entropy, 6),
+        [round(p, 6) for p in probs],
     )
 
 
@@ -76,7 +115,9 @@ def extract_features(
     """Decode + feature-extract media payloads via mapInPandas.
 
     Filter on metadata BEFORE this operator — the modality predicate
-    here is a safety net, not the access path.
+    here is a safety net, not the access path. ``fake=False`` decodes
+    images with Pillow (NotImplementedError when it is absent); audio/
+    video real decode (ffmpeg) remains stubbed.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -87,9 +128,15 @@ def extract_features(
             ):
                 if modality not in modalities:
                     continue
-                if not fake:
-                    _decode_image_real(payload)  # raises: real decode stub
-                n, mean, ent, feat = _byte_features(payload)
+                if fake:
+                    n, mean, ent, feat = _byte_features(payload)
+                elif modality == "image":
+                    n, mean, ent, feat = _image_features(payload)
+                else:
+                    raise NotImplementedError(
+                        f"real {modality} decode requires ffmpeg-class "
+                        "tooling not modeled here; pass fake=True"
+                    )
                 rows.append((asset_id, modality, n, mean, ent, feat))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in FEATURE_SCHEMA.fields]
@@ -135,13 +182,25 @@ def resize_images(
 ) -> DataFrame:
     """Resize image payloads via mapInPandas — the brief's resize op.
 
-    Real deployment: swap the fake for a PIL ``Image.resize`` call;
-    the Spark plumbing (schema, Arrow batches, metadata update) is
-    identical. The deterministic fake treats the payload as a byte
-    grid and nearest-neighbor-samples it to width*height bytes, so
-    output sizes, schema, and partitioning are exercised for real.
+    ``fake=False`` is a real PIL ``Image.resize`` (nearest-neighbor,
+    re-encoded in the source format — deterministic), gated on Pillow
+    being importable. The deterministic fake treats the payload as a
+    byte grid and nearest-neighbor-samples it to width*height bytes;
+    both paths share the output schema, so the Spark plumbing
+    (Arrow batches, metadata update, partitioning) is exercised for
+    real either way.
     """
     target = width * height
+
+    def resize_real(payload) -> bytes:
+        import io
+
+        img = _decode_image_real(payload)
+        fmt = img.format or "PNG"
+        out = img.resize((width, height))
+        buf = io.BytesIO()
+        out.save(buf, format=fmt)
+        return buf.getvalue()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -152,16 +211,17 @@ def resize_images(
                 if modality != "image":
                     continue
                 if not fake:
-                    _decode_image_real(payload)  # raises: real decode stub
-                buf = bytes(payload or b"")
-                if buf:
-                    step = max(len(buf) / target, 1e-9)
-                    out = bytes(
-                        buf[min(int(i * step), len(buf) - 1)]
-                        for i in range(target)
-                    )
+                    out = resize_real(payload)
                 else:
-                    out = bytes(target)
+                    buf = bytes(payload or b"")
+                    if buf:
+                        step = max(len(buf) / target, 1e-9)
+                        out = bytes(
+                            buf[min(int(i * step), len(buf) - 1)]
+                            for i in range(target)
+                        )
+                    else:
+                        out = bytes(target)
                 rows.append((asset_id, modality, out, width, height))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in RESIZED_SCHEMA.fields]

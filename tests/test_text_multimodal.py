@@ -106,12 +106,103 @@ def test_multimodal_features_deterministic(spark):
     assert math.isclose(sum(out[1].feature), 1.0, rel_tol=1e-4)
 
 
-def test_multimodal_real_decode_is_stubbed(spark):
+try:
+    import PIL  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+
+def _bmp(width: int, height: int, pixel) -> bytes:
+    """Hand-crafted 24-bit uncompressed BMP (bottom-up, 4-byte row
+    padding) — a real decodable image without needing any image
+    library to BUILD the fixture. pixel(x, y) -> (b, g, r)."""
+    import struct
+
+    row_size = (3 * width + 3) & ~3
+    img_size = row_size * height
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    body = b""
+    for y in reversed(range(height)):
+        row = b"".join(bytes(pixel(x, y)) for x in range(width))
+        body += row + b"\x00" * (row_size - 3 * width)
+    return header + dib + body
+
+
+def _bmp_assets(spark):
+    checker = _bmp(16, 16, lambda x, y: (0, 0, 0) if (x + y) % 2 else (255, 255, 255))
+    flat = _bmp(8, 8, lambda x, y: (128, 128, 128))
+    return spark.createDataFrame(
+        [
+            Row(asset_id=1, modality="image", payload=checker),
+            Row(asset_id=2, modality="image", payload=flat),
+        ]
+    )
+
+
+def test_real_and_fake_paths_share_schema(spark):
+    """VERDICT r3 #5: both decode paths must produce the same output
+    schema. Schema comparison is plan-only, so this runs with or
+    without Pillow installed."""
+    assets = _bmp_assets(spark)
+    assert (
+        extract_features(assets, fake=False).schema
+        == extract_features(assets, fake=True).schema
+    )
+    assert (
+        resize_images(assets, 4, 4, fake=False).schema
+        == resize_images(assets, 4, 4, fake=True).schema
+    )
+
+
+@pytest.mark.skipif(_HAS_PIL, reason="Pillow installed: real decode works")
+def test_multimodal_real_decode_gated_without_pillow(spark):
     assets = spark.createDataFrame(
         [Row(asset_id=1, modality="image", payload=b"x")]
     )
     with pytest.raises(Exception, match="NotImplementedError|media decode"):
         extract_features(assets, fake=False).collect()
+
+
+def test_multimodal_real_audio_decode_stays_stubbed(spark):
+    assets = spark.createDataFrame(
+        [Row(asset_id=1, modality="audio", payload=b"RIFF....WAVE")]
+    )
+    with pytest.raises(Exception, match="NotImplementedError|audio"):
+        extract_features(assets, fake=False).collect()
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="Pillow not installed")
+def test_multimodal_real_decode_with_pillow(spark):
+    """Real Pillow path: luminance stats of known images, and resize
+    produces a decodable image at the target dimensions."""
+    assets = _bmp_assets(spark)
+    out = {
+        r.asset_id: r
+        for r in extract_features(assets, fake=False).collect()
+    }
+    assert out[2].byte_mean == pytest.approx(128.0)
+    assert out[2].byte_entropy == 0.0  # single luminance bucket
+    assert out[1].byte_mean == pytest.approx(127.5, abs=1.0)  # checker
+    assert len(out[1].feature) == 16
+    assert math.isclose(sum(out[1].feature), 1.0, rel_tol=1e-4)
+
+    resized = {
+        r.asset_id: r
+        for r in resize_images(assets, 4, 4, fake=False).collect()
+    }
+    import io
+
+    from PIL import Image
+
+    for r in resized.values():
+        img = Image.open(io.BytesIO(bytes(r.payload)))
+        assert img.size == (4, 4)
+        assert (r.width, r.height) == (4, 4)
 
 
 def test_documents_as_assets_runs_on_testdata(spark):
