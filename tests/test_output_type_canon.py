@@ -31,10 +31,16 @@ def duck():
 
 def test_no_decimal_hugeint_or_temporal_skew_in_any_output(spark, duck):
     bad: dict[str, list[str]] = {}
+    swept = 0
     for name, fn in QUERIES.items():
         problems: list[str] = []
         sdf = fn(spark, SF_DIR)
+        # Spark-side canon applies to EVERY entry — rows-only queries
+        # (no oracle) included: their schemas are what the driver's
+        # weaker rows-only check renders, so the same type bans hold
+        # (VERDICT r3 #7).
         problems += spark_schema_problems(sdf.schema)
+        swept += 1
         if name in ORACLE_SQL:
             rel = duck.sql(f"SELECT * FROM ({ORACLE_SQL[name]}) LIMIT 0")
             problems += duck_type_problems(rel.columns, rel.types)
@@ -43,6 +49,7 @@ def test_no_decimal_hugeint_or_temporal_skew_in_any_output(spark, duck):
             )
         if problems:
             bad[name] = problems
+    assert swept == len(QUERIES) == 168  # whole registry, every round
     assert not bad, "\n".join(
         f"{n}: {'; '.join(ps)}" for n, ps in sorted(bad.items())
     )
