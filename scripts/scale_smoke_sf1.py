@@ -1,0 +1,241 @@
+"""sf1 scale smoke (VERDICT r3 #2): run the bench's most expensive
+queries at 10x the sf0.1 data volume and assert ~linear scaling.
+
+The sf0.1 bench proves correctness-scale performance; this run is the
+evidence the PLANS hold when the data grows 10x: no broadcast flips to
+a shuffle join, no window spills, no quadratic candidate blow-up. A
+plan cliff (ratio >> 10x) fails the run.
+
+sf1 data is synthesized once into $SPARK_GRAFT_SF1_DIR (default
+/tmp/dwds_sf1 — scratch, nothing under /root/testdata is touched) by
+replicating each sf0.1 table 10x with STRUCTURE-PRESERVING transforms:
+
+- keys shift per replica (referential integrity intact; the event
+  user_id offset is a multiple of 70 so the %7/%10 filter classes the
+  access-log query relies on keep their selectivity);
+- document text goes through a per-replica character translation — a
+  bijection on 'a'..'j', so WITHIN a replica every shingle/ngram
+  relationship is preserved exactly (each replica is isomorphic to
+  sf0.1) while ACROSS replicas shingles differ — duplicate-pair counts
+  grow 10x, not 100x, which is what real corpus growth looks like;
+- embeddings get a per-replica circular coordinate shift — an isometry,
+  so within-replica cosine structure is exact and cross-replica
+  vectors decorrelate.
+
+Usage: python scripts/scale_smoke_sf1.py [--max-ratio 15] [--queries a,b]
+Prints one JSON line per query {query, sf01_sec, sf1_sec, ratio, pass}
+and a summary line; exit 1 on any cliff.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from dwds_livestream_spark.plans.registry import _ALL_QUERIES  # noqa: E402
+from dwds_livestream_spark.session import build_session  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+REPLICAS = 10
+# key offset per replica; multiple of 70 keeps user_id % 7 and % 10
+# residue classes (the access-log query's filters) at sf0.1 selectivity
+OFF = 70_000_000_070
+
+DEFAULT_QUERIES = [
+    "pagerank_trade",
+    "ann_index_topk",
+    "dedup_clusters",
+    "triangle_count",
+    "access_log_parse",
+    "cluster_representative",
+    "bm25_index_topk",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "decontaminate",
+]
+
+ALPHA = "abcdefghij"
+
+
+def _replicate(
+    df: DataFrame, key_cols: list[str], transform=None
+) -> DataFrame:
+    """Union of REPLICAS key-shifted copies, built as one distributed
+    crossJoin with a broadcast replica table (one pass, no loop of
+    unions in the plan)."""
+    spark = df.sparkSession
+    reps = spark.range(REPLICAS).withColumnRenamed("id", "__r")
+    out = df.crossJoin(F.broadcast(reps))
+    for k in key_cols:
+        out = out.withColumn(k, F.col(k) + F.col("__r") * F.lit(OFF))
+    if transform is not None:
+        out = transform(out)
+    return out.drop("__r")
+
+
+def _translate_text(col: str):
+    """Per-replica bijection on 'a'..'j': replica r maps ALPHA to
+    ALPHA rotated by r. Within-replica ngram structure is preserved
+    exactly; across replicas most shingles change."""
+
+    def apply(df: DataFrame) -> DataFrame:
+        expr = F.col(col)
+        out = F.col(col)
+        for r in range(1, REPLICAS):
+            rot = ALPHA[r:] + ALPHA[:r]
+            out = F.when(
+                F.col("__r") == r, F.translate(expr, ALPHA, rot)
+            ).otherwise(out)
+        return df.withColumn(col, out)
+
+    return apply
+
+
+def _rotate_vec(col: str):
+    """Per-replica circular coordinate shift — an isometry, so norms
+    and within-replica cosines are exact; cross-replica decorrelates."""
+
+    def apply(df: DataFrame) -> DataFrame:
+        n = F.size(F.col(col))
+        shifted = F.expr(
+            f"transform({col}, (x, i) -> "
+            f"element_at({col}, cast((i + __r) % size({col}) as int) + 1))"
+        )
+        return df.withColumn(
+            col, F.when(F.col("__r") == 0, F.col(col)).otherwise(shifted)
+        ).withColumn(col, F.col(col).cast("array<float>"))
+
+    return apply
+
+
+def build_sf1(spark: SparkSession, out_dir: str) -> None:
+    t0 = time.perf_counter()
+    os.makedirs(out_dir, exist_ok=True)
+
+    def src(t: str) -> DataFrame:
+        return spark.read.parquet(f"{SF01}/{t}.parquet")
+
+    def write(df: DataFrame, t: str, parts: int) -> None:
+        df.repartition(parts).write.mode("overwrite").parquet(
+            f"{out_dir}/{t}.parquet"
+        )
+
+    # dims stay fixed (TPC-H semantics: nation/region don't scale)
+    for t in ("region", "nation"):
+        write(src(t), t, 1)
+    write(_replicate(src("customer"), ["c_custkey"]), "customer", 4)
+    write(_replicate(src("supplier"), ["s_suppkey"]), "supplier", 2)
+    write(_replicate(src("part"), ["p_partkey"]), "part", 4)
+    write(
+        _replicate(src("orders"), ["o_orderkey", "o_custkey"]), "orders", 8
+    )
+    write(
+        _replicate(
+            src("lineitem"), ["l_orderkey", "l_partkey", "l_suppkey"]
+        ),
+        "lineitem",
+        16,
+    )
+    write(
+        _replicate(src("events"), ["event_id", "user_id"]), "events", 8
+    )
+    write(
+        _replicate(src("documents"), ["doc_id"], _translate_text("text")),
+        "documents",
+        8,
+    )
+    write(
+        _replicate(
+            src("embeddings"), ["vec_id"], _rotate_vec("embedding")
+        ),
+        "embeddings",
+        4,
+    )
+    print(
+        json.dumps(
+            {"built": out_dir, "sec": round(time.perf_counter() - t0, 1)}
+        )
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--max-ratio", type=float, default=15.0)
+    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument("--rebuild", action="store_true")
+    args = ap.parse_args()
+    names = [q for q in args.queries.split(",") if q]
+
+    spark = build_session(app_name="dwds-scale-smoke-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/dwds_sf1")
+    marker = os.path.join(sf1_dir, "_BUILT")
+    if args.rebuild and os.path.isdir(sf1_dir):
+        shutil.rmtree(sf1_dir)
+    if not os.path.exists(marker):
+        build_sf1(spark, sf1_dir)
+        open(marker, "w").close()
+
+    # warm both datasets' file footers so neither side bills cold I/O
+    for d in (SF01, sf1_dir):
+        spark.read.parquet(f"{d}/lineitem.parquet").count()
+        spark.read.parquet(f"{d}/documents.parquet").count()
+        spark.read.parquet(f"{d}/embeddings.parquet").count()
+
+    failures = []
+    results = []
+    for name in names:
+        fn = _ALL_QUERIES[name]
+        fn(spark, SF01).count()  # per-query warm (codegen, caches)
+        t0 = time.perf_counter()
+        n01 = fn(spark, SF01).count()
+        t01 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n1 = fn(spark, sf1_dir).count()
+        t1 = time.perf_counter() - t0
+        # guard tiny denominators: ratios below 0.5 s of sf0.1 work are
+        # all fixed overhead and say nothing about scaling
+        ratio = t1 / max(t01, 0.5)
+        ok = ratio <= args.max_ratio
+        results.append(
+            {
+                "query": name,
+                "sf01_sec": round(t01, 2),
+                "sf1_sec": round(t1, 2),
+                "rows_sf01": n01,
+                "rows_sf1": n1,
+                "ratio": round(ratio, 1),
+                "pass": ok,
+            }
+        )
+        print(json.dumps(results[-1]), flush=True)
+        if not ok:
+            failures.append(name)
+
+    print(
+        json.dumps(
+            {
+                "metric": "sf1_scale_smoke",
+                "n_queries": len(results),
+                "max_ratio_allowed": args.max_ratio,
+                "worst": max((r["ratio"] for r in results), default=0),
+                "failures": failures,
+            }
+        )
+    )
+    if failures:
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -293,3 +293,19 @@ def test_leftover_stage_is_scratch_and_requested_compaction_runs(
     assert status["gc_leaves"] == 2  # fold(1) + increment 2 swept
     assert _leaves(table, "2024-01-01") == [f"__batch={fold_batch_id(2)}"]
     assert _table(read_rollup(spark, table)) == want2
+
+
+def test_last_committed_batch_parses_commit_log_shapes(tmp_path):
+    """Commit-log listing: plain ids, compacted entries ('9.compact'),
+    and non-id files (metadata, hidden CRCs) must parse/skip right."""
+    from dwds_livestream_spark.sinks.rollup_sink import (
+        _last_committed_batch,
+    )
+
+    ck = tmp_path / "ck"
+    (ck / "commits").mkdir(parents=True)
+    assert _last_committed_batch(str(ck)) is None  # empty log
+    for name in ("0", "1", "9.compact", "10", "_metadata", ".10.crc"):
+        (ck / "commits" / name).write_text("v1")
+    assert _last_committed_batch(str(ck)) == 10
+    assert _last_committed_batch(str(tmp_path / "missing")) is None
