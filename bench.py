@@ -27,9 +27,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warmup: JVM/codegen startup and the parquet reader path (footer
-    # decode, vectorized reader classes) must not be billed to q1
+    # decode, vectorized reader classes, OS page cache) must not be
+    # billed to whichever query happens to touch a table first — a
+    # query's number should attribute to its PLAN, not to read order
+    # (the sf1 scale smoke showed warm pagerank_trade at 2.2 s vs
+    # ~10 s when it also paid the cold graph-table reads)
     spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
     timings: dict[str, float] = {}
     setup_sec: dict[str, float] = {}
