@@ -173,7 +173,10 @@ def main() -> None:
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
     ap.add_argument("--rebuild", action="store_true")
     args = ap.parse_args()
-    names = [q for q in args.queries.split(",") if q]
+    if args.queries == "all":
+        names = list(_ALL_QUERIES)
+    else:
+        names = [q for q in args.queries.split(",") if q]
 
     spark = build_session(app_name="dwds-scale-smoke-sf1")
     spark.sparkContext.setLogLevel("ERROR")
