@@ -116,7 +116,11 @@ def _cm_pos(item, d: int, width: int):
 
 
 def countmin_sketch(
-    df: DataFrame, col: str, width: int = 512, depth: int = 4
+    df: DataFrame,
+    col: str,
+    width: int = 512,
+    depth: int = 4,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-min sketch (Cormode & Muthukrishnan 2005) as a depth×width
     cell-count DataFrame — the distributed-native representation: cells
@@ -124,10 +128,18 @@ def countmin_sketch(
     map-side partial combine) merges every partition's sub-sketch;
     sketch size is depth·width rows regardless of input cardinality.
 
+    ``weight_col`` feeds pre-aggregated counts (or arbitrary positive
+    weights): cells become Σweight instead of row counts. Hashing then
+    runs once per DISTINCT item instead of once per occurrence —
+    ``df.groupBy(col).count()`` first, then sketch the counts; the
+    resulting cells are bit-identical to sketching raw occurrences
+    because cell addition commutes with the pre-aggregation.
+
     All hashing is JVM-side codegen (md5+conv) — no Python in the path.
     Output: d, pos, cnt.
     """
     item = F.col(col).cast("string")
+    w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
     cells = df.select(
         F.explode(
             F.array(
@@ -138,9 +150,10 @@ def countmin_sketch(
                     for d in range(depth)
                 ]
             )
-        ).alias("s")
-    ).select("s.d", "s.pos")
-    return cells.groupBy("d", "pos").agg(F.count("*").alias("cnt"))
+        ).alias("s"),
+        w.alias("__w"),
+    ).select("s.d", "s.pos", "__w")
+    return cells.groupBy("d", "pos").agg(F.sum("__w").alias("cnt"))
 
 
 def countmin_estimate(

@@ -1687,8 +1687,16 @@ def q_countmin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = _t(spark, sf_dir, "documents").select(
         F.explode(tokens(F.lower(F.col("text")))).alias("word")
     )
-    sk = countmin_sketch(words, "word", CM_WIDTH, CM_DEPTH)
-    est = countmin_estimate(sk, words.distinct(), "word", CM_WIDTH, CM_DEPTH)
+    # Aggregate to (word, cnt) FIRST: the map-side combine shrinks the
+    # shuffle to per-partition vocabulary, and the 4 md5 hashes run
+    # once per distinct word instead of once per occurrence (the cells
+    # are identical — addition commutes). The same vocab frame feeds
+    # the probe, replacing a second full tokenize + distinct.
+    wc = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    sk = countmin_sketch(wc, "word", CM_WIDTH, CM_DEPTH, weight_col="cnt")
+    est = countmin_estimate(
+        sk, wc.select("word"), "word", CM_WIDTH, CM_DEPTH
+    )
     return est.orderBy(F.desc("est"), "item")
 
 
