@@ -37,6 +37,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..localrel import local_df
 from .similarity import (
     _as_double,
     _assign_centroids_udf,
@@ -63,8 +64,11 @@ def ivf_index_write(
     cent_rows = [
         (int(i), [float(x) for x in cent[i]]) for i in range(len(cent))
     ]
-    spark.createDataFrame(
-        cent_rows, "cell long, centroid array<double>"
+    # local_df (Arrow LocalRelation), NOT createDataFrame(list): the
+    # pickled-RDD path made this 16-row coalesce(1) write cost ~4.7 s
+    # (32 sequential Python-worker round-trips in the single task)
+    local_df(
+        spark, cent_rows, "cell long, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
     assign = _assign_centroids_udf(cent, nprobe=1)

@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..localrel import local_df
+
 
 def day_bin_cells(
     df: DataFrame,
@@ -113,8 +115,8 @@ def range_quantiles(
         ).alias("n"),
         # exact integer identity — no third window spec needed
     ).withColumn("cum_before", F.col("cum") - F.col("cnt"))
-    q_df = hist.sparkSession.createDataFrame(
-        [(float(q),) for q in qs], "q double"
+    q_df = local_df(
+        hist.sparkSession, [(float(q),) for q in qs], "q double"
     )
     ranked = cum.join(
         F.broadcast(q_df),
@@ -195,8 +197,8 @@ def range_quantiles_by(
         F.sum("cnt").over(cum_w).alias("cum"),
         F.sum("cnt").over(tot_w).alias("n"),
     ).withColumn("cum_before", F.col("cum") - F.col("cnt"))
-    q_df = hist.sparkSession.createDataFrame(
-        [(float(q),) for q in qs], "q double"
+    q_df = local_df(
+        hist.sparkSession, [(float(q),) for q in qs], "q double"
     )
     ranked = cum.join(
         F.broadcast(q_df),

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.access_log import access_log_to_events
+from ..localrel import local_df
 from ..operators.asof import asof_join
 from ..operators.dedup_dim import argmin_dedup
 from ..operators.enrich import enrich
@@ -1975,8 +1976,8 @@ def q_regex_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("Mozilla/5.0 (X11; Linux x86_64)"))
     )
     uas = ev.select("event_id", ua.alias("user_agent"))
-    patterns = spark.createDataFrame(
-        [("Googlebot",), ("^curl/",), ("spider",)], ["pattern"]
+    patterns = local_df(
+        spark, [("Googlebot",), ("^curl/",), ("spider",)], "pattern string"
     )
     return uas.join(
         F.broadcast(patterns),

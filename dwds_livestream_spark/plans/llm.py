@@ -20,6 +20,7 @@ from ..functions.text import (
     tokens,
     winnowing_fingerprints,
 )
+from ..localrel import local_df
 from ..operators.components import connected_components
 from ..operators.curation import (
     decontaminate,
@@ -1820,7 +1821,8 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import bpe_train
 
     rules = bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(i, a, b, c) for i, (a, b, c) in enumerate(rules)],
         "step int, sym_a string, sym_b string, pair_count long",
     )
