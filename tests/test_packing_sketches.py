@@ -142,6 +142,28 @@ def test_countmin_never_undercounts(spark):
     assert any(est[k] > true[k] for k in true)
 
 
+def test_countmin_weighted_equals_raw_occurrences(spark):
+    """Sketching pre-aggregated (item, cnt) rows via weight_col yields
+    BIT-IDENTICAL cells to sketching the raw occurrence stream — the
+    optimization countmin_words relies on (cell addition commutes with
+    the pre-aggregation)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from dwds_livestream_spark.operators.sketches import countmin_sketch
+
+    rows = [Row(w=w) for w in ["a"] * 7 + ["b"] * 3 + ["c"] * 11 +
+            [f"x{i}" for i in range(20)]]
+    df = spark.createDataFrame(rows)
+    raw = countmin_sketch(df, "w", width=8, depth=4)
+    wc = df.groupBy("w").agg(F.count("*").alias("cnt"))
+    agg = countmin_sketch(wc, "w", width=8, depth=4, weight_col="cnt")
+    as_map = lambda sk: {  # noqa: E731
+        (r["d"], r["pos"]): r["cnt"] for r in sk.collect()
+    }
+    assert as_map(raw) == as_map(agg)
+
+
 def test_countmin_sketch_is_bounded(spark):
     from pyspark.sql import Row
 
