@@ -77,6 +77,13 @@ def main() -> None:
         "metric": "query_inventory_total",
         "value": total,
         "unit": "sec",
+        # Since round 4 per-query numbers are ORDER-INDEPENDENT: data
+        # pages are warmed up front and leftover .cache()s are dropped
+        # between queries, so each number attributes to its own plan.
+        # Earlier rounds' totals (e.g. r3's 155.1 s) let queries
+        # inherit another query's cached tables — not comparable
+        # query-by-query with these.
+        "measurement": "order-independent: warm pages, clearCache/query",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # per-query eager-setup seconds (subset of the query's total):
