@@ -139,7 +139,7 @@ def countmin_sketch(
     Output: d, pos, cnt.
     """
     item = F.col(col).cast("string")
-    w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
+    extra = [F.col(weight_col).alias("__w")] if weight_col else []
     cells = df.select(
         F.explode(
             F.array(
@@ -151,9 +151,10 @@ def countmin_sketch(
                 ]
             )
         ).alias("s"),
-        w.alias("__w"),
-    ).select("s.d", "s.pos", "__w")
-    return cells.groupBy("d", "pos").agg(F.sum("__w").alias("cnt"))
+        *extra,
+    ).select("s.d", "s.pos", *(["__w"] if weight_col else []))
+    agg = F.sum("__w") if weight_col else F.count("*")
+    return cells.groupBy("d", "pos").agg(agg.alias("cnt"))
 
 
 def countmin_estimate(
