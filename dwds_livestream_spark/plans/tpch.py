@@ -594,19 +594,28 @@ def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
     is_ret = F.col("l_returnflag") == "R"
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(is_ret, F.col("l_suppkey"))).alias("n_ret"),
+    # Two-level aggregate, no distinct-Expand anywhere: level 1 folds
+    # the fact table to its distinct (order, supplier) pairs with a
+    # has-returned flag (map-side combine does most of the work);
+    # level 2 is pair-sized. When n_ret == 1 the sole returner IS
+    # max(returner), so the qualifying (order, supplier) row comes
+    # straight out of the summary — no second lineitem scan, no semi
+    # join, and no countDistinct (whose Expand would push 2-3x the
+    # fact-table rows through the shuffle).
+    pairs = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(is_ret.cast("int")).alias("has_ret")
     )
-    returned = li.where(is_ret).select("l_orderkey", "l_suppkey").distinct()
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("has_ret").alias("n_ret"),
+        F.max(
+            F.when(F.col("has_ret") == 1, F.col("l_suppkey"))
+        ).alias("ret_supp"),
+    )
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        returned.join(
-            per_order.where((F.col("n_supp") > 1) & (F.col("n_ret") == 1)),
-            "l_orderkey",
-            "left_semi",
-        )
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        per_order.where((F.col("n_supp") > 1) & (F.col("n_ret") == 1))
+        .join(F.broadcast(supp), F.col("ret_supp") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
