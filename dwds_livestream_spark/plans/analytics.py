@@ -3334,11 +3334,16 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     / forecasting preprocessing step `seasonal_profile` (raw calendar
     means) doesn't provide, since it never removes trend.
 
-    All arithmetic is ROUND(·, 6)-pinned doubles at each stage so the
-    DuckDB oracle hash-matches (the decimal-AVG trick used by
-    seasonal_profile is unavailable: DuckDB AVG returns DOUBLE for
-    decimal inputs, with different scale rules than Spark's decimal
-    division).
+    Every shuffle-order-dependent sum runs in EXACT DECIMAL (addition
+    is associative there, so partition order cannot move the result);
+    doubles appear only at the output boundary, after a single
+    deterministic cast/divide/round. Double sums here flaked for real:
+    the per-dow seasonal mean of 'purchase' sits exactly on a 6th-
+    decimal rounding boundary (….9085715), and the double groupBy AVG
+    landed on either side of it depending on shuffle order — one
+    VALUE-HASH mismatch in ~3 oracle runs. AVG itself stays banned
+    (DuckDB returns DOUBLE for decimal AVG, Spark widens the scale):
+    exact SUM, then divide as doubles.
 
     Scale: daily aggregate (one map-side-combined shuffle, |days| x
     #types rows out), then every window partitions BY EVENT TYPE —
@@ -3349,23 +3354,29 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
-    ).agg(F.round(F.sum("value"), 6).alias("x"))
+    ).agg(
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("__xd")
+    )
     w7 = (
         Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
     )
     t = daily.select(
         "event_type",
         "day",
-        "x",
+        F.round(F.col("__xd").cast("double"), 6).alias("x"),
         F.when(
             F.count("*").over(w7) == 7,
-            F.round(F.sum("x").over(w7) / 7.0, 6),
+            F.round(F.sum("__xd").over(w7).cast("double") / 7.0, 6),
         ).alias("trend"),
     ).where(F.col("trend").isNotNull())
     det = t.withColumn("detrended", F.round(F.col("x") - F.col("trend"), 6))
     dow = det.withColumn("dow", F.dayofweek("day"))
     seas = dow.groupBy("event_type", "dow").agg(
-        F.round(F.avg("detrended"), 6).alias("seasonal")
+        F.round(
+            F.sum(F.col("detrended").cast("decimal(28,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("seasonal")
     )
     return (
         dow.join(seas, ["event_type", "dow"])
@@ -3384,12 +3395,14 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SEASONAL_DECOMPOSE = """
 WITH daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS day, ROUND(SUM(value), 6) AS x
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(28,6))) AS xd
   FROM events GROUP BY 1, 2),
 t AS (
-  SELECT event_type, day, x,
+  SELECT event_type, day, ROUND(CAST(xd AS DOUBLE), 6) AS x,
          CASE WHEN COUNT(*) OVER w = 7
-              THEN ROUND(SUM(x) OVER w / 7.0, 6) END AS trend
+              THEN ROUND(CAST(SUM(xd) OVER w AS DOUBLE) / 7.0, 6) END
+           AS trend
   FROM daily
   WINDOW w AS (PARTITION BY event_type ORDER BY day
                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
@@ -3399,7 +3412,9 @@ det AS (
          dayofweek(day) + 1 AS dow
   FROM t WHERE trend IS NOT NULL),
 seas AS (
-  SELECT event_type, dow, ROUND(AVG(detrended), 6) AS seasonal
+  SELECT event_type, dow,
+         ROUND(CAST(SUM(CAST(detrended AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(*), 6) AS seasonal
   FROM det GROUP BY 1, 2)
 SELECT d.event_type, d.day, d.x, d.trend, s.seasonal,
        ROUND(d.detrended - s.seasonal, 6) AS residual
