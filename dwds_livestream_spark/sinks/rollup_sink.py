@@ -202,9 +202,10 @@ def compact_rollup(
     already landed (identical content by construction). GC re-runs
     are idempotent.
 
-    Returns a status dict: ``boundary``, ``folded_days`` (fold moved
-    in this run), ``skipped_days`` (already folded at or past M),
-    ``gc_leaves`` (superseded leaf dirs removed).
+    Returns a status dict: ``boundary``, ``folded_days`` (fold landed
+    this run), ``skipped_days`` (closed days NOT folded this run —
+    already folded at/past M, or holding only uncommitted increments
+    above it), ``gc_leaves`` (superseded leaf dirs removed).
     """
     if max_batch is None and checkpoint_dir is not None:
         max_batch = _last_committed_batch(checkpoint_dir)
@@ -301,8 +302,12 @@ def compact_rollup(
             if bdir.startswith("__batch=")
         ]
         fold_bs = [fold_boundary(b) for b in bids if b <= FOLD_BASE]
-        if not fold_bs:
+        if day_dir not in folded_days:
+            # closed day this run did not fold: either already folded
+            # at/past the boundary, or it holds only increments above
+            # the boundary (uncommitted — nothing safe to fold yet)
             skipped_days.append(day_dir)
+        if not fold_bs:
             continue
         best_b = max(fold_bs)
         for bid in bids:

@@ -130,6 +130,9 @@ def test_compaction_folds_closed_days_keeps_open_day(spark, tmp_path):
         spark, table, upto_day="2024-01-01", assume_stopped=True
     )
     assert status["folded_days"] == []  # already folded at boundary
+    # ...and the status SAYS so — a maintenance job can tell its round
+    # was a no-op for this day rather than silently absorbed
+    assert status["skipped_days"] == ["day=2024-01-01"]
     assert _table(read_rollup(spark, table)) == want
 
     # no boundary source at all is a hard error, not a boundless fold
