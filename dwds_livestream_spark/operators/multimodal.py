@@ -87,9 +87,21 @@ def _image_features(payload: bytes, n_buckets: int = 16) -> tuple:
     )
 
 
+def _round6_exact(num: int, den: int) -> float:
+    """round(num/den, 6) with half-up tie-breaking done in INTEGER
+    arithmetic: floor((num*1e6)/den + 1/2) microunits. Exact rationals
+    like byte means sit on the x.xxxxxx5 grid routinely, and binary
+    doubles round such ties by representation error (the
+    seasonal_decompose lesson) — engine-independent output needs the
+    tie broken before the value ever becomes a double."""
+    return (2_000_000 * num + den) // (2 * den) / 1e6
+
+
 def _byte_features(payload: bytes, n_buckets: int = 16) -> tuple:
     """Deterministic byte-level fake 'decode': histogram over byte
-    values as the feature vector + simple statistics."""
+    values as the feature vector + simple statistics. Rationals
+    (mean, bucket probabilities) are rounded in exact integer
+    arithmetic so any engine can reproduce the output bit-for-bit."""
     import math
 
     if payload is None:
@@ -102,9 +114,15 @@ def _byte_features(payload: bytes, n_buckets: int = 16) -> tuple:
     for by in payload:
         counts[by * n_buckets // 256] += 1
         total += by
-    probs = [c / n for c in counts]
-    entropy = -sum(p * math.log2(p) for p in probs if p > 0)
-    return n, round(total / n, 6), round(entropy, 6), [round(p, 6) for p in probs]
+    entropy = -sum(
+        (c / n) * math.log2(c / n) for c in counts if c > 0
+    )
+    return (
+        n,
+        _round6_exact(total, n),
+        round(entropy, 6),
+        [_round6_exact(c, n) for c in counts],
+    )
 
 
 def extract_features(

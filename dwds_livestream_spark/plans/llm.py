@@ -422,8 +422,42 @@ FROM documents
 
 
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (murmur3 rolling hashes)."""
-    return winnowing_fingerprints(_t(spark, sf_dir, "documents"))
+    """Winnowing fingerprints with the engine-independent md5_32 k-gram
+    hash so the full algorithm (k-gram windows, window minima, distinct,
+    explode) is oracle-checkable; the murmur3 scale default keeps its
+    property tests (tests/test_text_multimodal.py)."""
+    return winnowing_fingerprints(
+        _t(spark, sf_dir, "documents"), hash_fn="md5_32"
+    )
+
+
+# Same winnowing computation in DuckDB: 5-gram md5-prefix hashes,
+# 4-wide window minima (lexicographic min == numeric min on fixed-width
+# lowercase hex), distinct per doc, exploded.
+ORACLE_WINNOW_FINGERPRINTS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) - 4 > 0
+              THEN [substr(md5(array_to_string(w[i:i+4], ' ')), 1, 8)
+                    FOR i IN range(1, len(w) - 4 + 1)]
+              ELSE []::VARCHAR[] END AS g
+  FROM toks
+),
+wm AS (
+  SELECT doc_id,
+         CASE WHEN len(g) - 3 > 0
+              THEN list_distinct([list_min(g[i:i+3])
+                                  FOR i IN range(1, len(g) - 3 + 1)])
+              ELSE []::VARCHAR[] END AS fps
+  FROM grams
+)
+SELECT doc_id, unnest(fps) AS fp FROM wm
+"""
 
 
 ORACLE_CURATION_PIPELINE = _oracle_curation()
@@ -587,11 +621,56 @@ ORACLE_MIXTURE_SAMPLE = _oracle_mixture()
 
 # -------------------------------------------------------- multimodal
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (mapInPandas byte-feature extraction; deterministic
-    fake decode — see operators/multimodal.py)."""
+    """Byte-level feature extraction over the multimodal plumbing
+    (mapInPandas, Arrow batches). The fake decode is a deterministic
+    pure function of the payload bytes with exact-integer rounding, so
+    the whole path — UTF-8 encode, byte histogram, mean, entropy — is
+    oracle-checkable in DuckDB via hex-nibble extraction."""
     return extract_features(
         documents_as_assets(_t(spark, sf_dir, "documents")), fake=True
     ).drop("feature")
+
+
+# The fake decode replicated in SQL: bytes of the UTF-8 payload come
+# from hex() nibble pairs; the 16-bucket histogram key is the HIGH
+# nibble (byte*16//256 == byte >> 4); mean uses the same exact-integer
+# half-up microunit rounding as _round6_exact.
+ORACLE_MULTIMODAL_FEATURES = r"""
+WITH b AS (
+  SELECT doc_id AS asset_id,
+         hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+nib AS (
+  SELECT asset_id, n,
+         [strpos('0123456789ABCDEF', substr(h, 2*i - 1, 1)) - 1
+          FOR i IN range(1, n + 1)] AS hi,
+         [strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1
+          FOR i IN range(1, n + 1)] AS lo
+  FROM b
+),
+agg AS (
+  SELECT asset_id, n,
+         16 * list_sum(hi) + list_sum(lo) AS total,
+         [len(list_filter(hi, x -> x = k)) FOR k IN range(0, 16)] AS counts
+  FROM nib
+)
+SELECT asset_id,
+       'image' AS modality,
+       CAST(n AS INT) AS n_bytes,
+       CASE WHEN n = 0 THEN 0.0
+            ELSE CAST((2000000 * total + n) // (2 * n) AS BIGINT) / 1000000.0
+       END AS byte_mean,
+       CASE WHEN n = 0 THEN 0.0
+            ELSE ROUND(-list_sum([
+                   CASE WHEN c > 0
+                        THEN (c * 1.0 / n) * log2(c * 1.0 / n)
+                        ELSE 0.0 END
+                   FOR c IN counts]), 6)
+       END AS byte_entropy
+FROM agg
+"""
 
 
 # ------------------------------------------------------------ tf-idf

@@ -12,8 +12,6 @@ ROWS_ONLY = {
     "dedup_simhash",
     "similarity_lsh_topk",
     "similarity_ivf_topk",
-    "winnow_fingerprints",
-    "multimodal_features",
     "misra_gries_topk",
     "approx_distinct",  # error gate: tests/test_packing_sketches.py
     "kmeans_clusters",
