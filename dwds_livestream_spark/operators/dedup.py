@@ -264,14 +264,32 @@ def minhash_lsh_pairs(
     )
 
 
+def _md5_64(t):
+    """Engine-independent 64-bit token hash: the first 16 hex chars of
+    md5 read as a big-endian integer (two 32-bit conv halves — conv of
+    the full 16 chars would overflow signed bigint; the shift wraps to
+    the same two's-complement bits the Arrow kernel views as uint64)."""
+    hi = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash over word tokens.
 
     Per token a 64-bit hash votes ±1 on each bit position; the signature
     takes the sign of each position's sum. 64 conditional sums in one
     aggregate pass (columnar, no UDF). Output: id, simhash (bigint).
+
+    ``hash_fn``: ``xxhash64`` (cheapest, Spark-specific — the scale
+    default) or ``md5_64`` (engine-independent, so signatures and the
+    near-pair set are reproducible outside Spark for verification).
+    The bit-voting and banding logic is identical either way.
     """
     # Pure projection, no shuffle: token hashes are computed JVM-side
     # into a per-doc array; an Arrow kernel unpacks each 64-bit hash
@@ -279,11 +297,17 @@ def simhash_signatures(
     # segment-sum (np.add.reduceat). The JVM alternative — explode +
     # 64 conditional sum() aggregates — shuffles |tokens| rows and pays
     # multi-second codegen compilation of a 64-column aggregate.
+    if hash_fn == "xxhash64":
+        tok_hash = lambda t: F.xxhash64(t)  # noqa: E731 (variadic builtin)
+    elif hash_fn == "md5_64":
+        tok_hash = _md5_64
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     tok_hashes = F.transform(
         F.filter(
             F.split(F.col(text_col), " "), lambda t: F.length(t) > 0
         ),
-        lambda t: F.xxhash64(t),
+        tok_hash,
     )
 
     shifts = np.arange(64, dtype=np.uint64)
@@ -325,6 +349,7 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     blocks: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs by banded bit-blocks (pigeonhole: two sigs
     within ``max_hamming`` of each other agree exactly on at least one
@@ -342,7 +367,7 @@ def simhash_near_pairs(
         )
     # both self-join sides consume the signature frame: cache so the
     # Arrow signing kernel runs once (16 bytes/doc)
-    sig = simhash_signatures(df, text_col, id_col).cache()
+    sig = simhash_signatures(df, text_col, id_col, hash_fn).cache()
     width = 64 // blocks
     block_cols = F.array(
         *[

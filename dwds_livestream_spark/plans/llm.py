@@ -90,8 +90,55 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (xxhash64 not reproducible in DuckDB)."""
-    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    """SimHash near-dup pairs with the engine-independent md5_64 token
+    hash. Because max_hamming < blocks makes the banding LOSSLESS
+    (pigeonhole), the banded result is exactly the all-pairs set with
+    hamming <= 3 — which is what the oracle computes directly, so a
+    hash match proves both the signatures and the completeness of the
+    banded candidate generation. xxhash64 stays the scale default."""
+    return simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3, hash_fn="md5_64"
+    )
+
+
+# SimHash replicated in SQL: per token, bit j of the 64-bit hash (the
+# first 16 md5 hex chars big-endian) lives in hex char 16 - j//4 at
+# within-nibble position j%4. Signature bit = majority vote
+# (2*sum(bit) > n_tokens, ties -> 0, matching the kernel's strict
+# sign test). Pairs via two 32-bit halves + xor/bit_count.
+ORACLE_DEDUP_SIMHASH = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS t
+  FROM documents
+),
+th AS (SELECT doc_id, md5(t) AS hx FROM toks),
+bits AS (
+  SELECT doc_id, j,
+         CASE WHEN 2 * SUM(
+                (strpos('0123456789abcdef', substr(hx, 16 - j // 4, 1)) - 1)
+                 // (1 << (j % 4)) % 2
+              ) > COUNT(*)
+              THEN 1 ELSE 0 END AS b
+  FROM th, unnest(range(0, 64)) AS u(j)
+  GROUP BY doc_id, j
+),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN j < 32
+                       THEN b * (CAST(1 AS BIGINT) << j)
+                       ELSE 0 END) AS BIGINT) AS lo,
+         CAST(SUM(CASE WHEN j >= 32
+                       THEN b * (CAST(1 AS BIGINT) << (j - 32))
+                       ELSE 0 END) AS BIGINT) AS hi
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT)
+         AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+"""
 
 
 def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:

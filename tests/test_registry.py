@@ -9,7 +9,6 @@ from dwds_livestream_spark.plans.registry import ORACLE_SQL, QUERIES
 
 ROWS_ONLY = {
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "similarity_lsh_topk",
     "similarity_ivf_topk",
     "misra_gries_topk",
