@@ -37,6 +37,26 @@ from pyspark.sql.types import ArrayType, LongType
 from .spread import spread
 
 
+def _splitmix(seed: int) -> int:
+    """splitmix64: the deterministic multiplier/offset sequence behind
+    the MinHash 'permutations' — module-level so verification code (the
+    dedup_minhash_lsh SQL oracle builder) derives the SAME constants."""
+    z = (seed + 0x9E3779B97F4A7C15) & ((1 << 64) - 1)
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & ((1 << 64) - 1)
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & ((1 << 64) - 1)
+    return z ^ (z >> 31)
+
+
+def minhash_permutation_constants(k: int) -> tuple[list[int], list[int]]:
+    """The (multiplier, offset) pairs for k MinHash permutations —
+    odd 32-bit multipliers and 32-bit offsets from the splitmix64
+    stream. Single source of truth for the Arrow kernel and the oracle."""
+    mask32 = (1 << 32) - 1
+    mult = [(_splitmix(2 * i) & mask32) | 1 for i in range(k)]
+    add = [_splitmix(2 * i + 1) & mask32 for i in range(k)]
+    return mult, add
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -130,6 +150,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 5,
     k: int = 128,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """k-permutation MinHash signature per document.
 
@@ -137,6 +158,12 @@ def minhash_signatures(
     (k ``min(hash(shingle, seed_i))`` aggregates) — one shuffle on the
     doc id, map-side combine, independent of k in shuffle volume.
     Output: id, sig (array<int> length k).
+
+    ``hash_fn``: ``xxhash64`` hashes the token slice directly (no
+    intermediate string — the scale default) or ``md5_64`` (md5 of the
+    space-joined shingle, engine-independent so the signatures are
+    reproducible outside Spark; the permutation mixing consumes only
+    the top 32 hash bits either way).
     """
     # Design: signature is a PURE PROJECTION — no explode, no shuffle.
     # Each shingle is hashed once JVM-side (xxhash64 over the token
@@ -151,26 +178,35 @@ def minhash_signatures(
     idx = F.sequence(
         F.lit(1), F.greatest(F.size("__toks") - (n - 1), F.lit(0))
     )
-    grams = F.transform(idx, lambda i: F.xxhash64(F.slice("__toks", i, n)))
-
-    # deterministic odd multipliers/offsets (splitmix64 sequence)
-    def _splitmix(seed: int) -> int:
-        z = (seed + 0x9E3779B97F4A7C15) & ((1 << 64) - 1)
-        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & ((1 << 64) - 1)
-        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & ((1 << 64) - 1)
-        return z ^ (z >> 31)
+    if hash_fn == "xxhash64":
+        gram_hash = lambda i: F.xxhash64(F.slice("__toks", i, n))  # noqa: E731
+    elif hash_fn == "md5_64":
+        # first 8 md5 hex chars of the joined shingle, shifted into the
+        # HIGH half so the kernel's f32 = hash >> 32 recovers exactly
+        # those bits (the wrap to negative long is the same
+        # two's-complement pattern the kernel views as uint64)
+        gram_hash = lambda i: F.shiftleft(  # noqa: E731
+            F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice("__toks", i, n), " ")), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long"),
+            32,
+        )
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    grams = F.transform(idx, gram_hash)
 
     # 32-bit universal hashing: 64-bit integer multiply is NOT
     # SIMD-vectorized (measured ~100x slower than u32 on this hardware);
     # the per-permutation loop with preallocated contiguous rows beats
     # the broadcasted outer product by the same factor again.
     mask32 = (1 << 32) - 1
-    mult = np.array(
-        [(_splitmix(2 * i) & mask32) | 1 for i in range(k)], dtype=np.uint32
-    )
-    add = np.array(
-        [_splitmix(2 * i + 1) & mask32 for i in range(k)], dtype=np.uint32
-    )
+    mult_l, add_l = minhash_permutation_constants(k)
+    mult = np.array(mult_l, dtype=np.uint32)
+    add = np.array(add_l, dtype=np.uint32)
     empty_sig = np.full(k, mask32, dtype=np.int64)
 
     @pandas_udf(ArrayType(LongType()))
@@ -210,13 +246,19 @@ def minhash_lsh_pairs(
     k: int = 128,
     bands: int = 32,
     threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + banded LSH near-dup candidates with estimated Jaccard.
 
     k/bands rows per band; two docs collide if any band matches
     (P[collide] = 1-(1-j^r)^b). Candidates meet in band buckets — the
     shuffle is O(docs·bands); estimated similarity = fraction of equal
-    signature positions. Output: doc_a, doc_b, est_jaccard.
+    signature positions (exact eq/k — a dyadic rational when k is a
+    power of two, so the value is engine-independent with no rounding
+    step). Output: doc_a, doc_b, est_jaccard.
+
+    ``hash_fn`` selects the shingle hash (see minhash_signatures) and,
+    for ``md5_64``, an engine-independent band key too.
     """
     assert k % bands == 0
     r = k // bands
@@ -224,12 +266,18 @@ def minhash_lsh_pairs(
     # the candidate re-join); cache it so the shingle+sign kernel runs
     # once. |docs| x (k+1) longs — ~1 KB/doc, the standard persisted
     # artifact of a MinHash pipeline at any scale.
-    sig = minhash_signatures(df, text_col, id_col, n=n, k=k).cache()
+    sig = minhash_signatures(df, text_col, id_col, n=n, k=k, hash_fn=hash_fn).cache()
+    if hash_fn == "md5_64":
+        band_key = lambda sl: F.md5(  # noqa: E731
+            F.array_join(F.transform(sl, lambda x: x.cast("string")), ",")
+        )
+    else:
+        band_key = F.hash
     band_cols = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.hash(F.slice("sig", b * r + 1, r)).alias("key"),
+                band_key(F.slice("sig", b * r + 1, r)).alias("key"),
             )
             for b in range(bands)
         ]
@@ -259,7 +307,11 @@ def minhash_lsh_pairs(
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+        # no round step: eq/k is exactly representable (k a power of
+        # two in every configuration used), and round(x, 6) on the
+        # x.xxxxxx5 grid eq/128 lands on is tie-broken differently per
+        # engine — the seasonal_decompose class of bug
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
         .where(F.col("est_jaccard") >= threshold)
     )
 

@@ -82,11 +82,90 @@ WHERE ROUND(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.8
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (murmur3 seeds not reproducible in DuckDB); recall vs
-    exact Jaccard asserted in tests."""
+    """MinHash+LSH near-dup pairs with the engine-independent md5_64
+    shingle hash: signatures, band keys, candidate generation and the
+    eq/k estimate are all deterministic integer functions, replicated
+    exactly by the generated SQL oracle (the LSH banding stays lossy vs
+    TRUE Jaccard — recall is asserted separately in tests — but the
+    banded OUTPUT itself is exact). xxhash64 stays the scale default."""
     return minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), n=5, k=128, bands=32, threshold=0.5
+        _t(spark, sf_dir, "documents"),
+        n=5,
+        k=128,
+        bands=32,
+        threshold=0.5,
+        hash_fn="md5_64",
     )
+
+
+def _oracle_minhash_lsh(n: int = 5, k: int = 128, bands: int = 32) -> str:
+    """Generate the DuckDB replica of minhash_lsh_pairs(md5_64): the
+    128 multiply-add permutation constants come from the SAME splitmix64
+    stream as the Arrow kernel (single source of truth)."""
+    from ..operators.dedup import minhash_permutation_constants
+
+    mult, add = minhash_permutation_constants(k)
+    r = k // bands
+    perm_rows = ",\n          ".join(
+        f"({j}, {m}::HUGEINT, {a}::HUGEINT)"
+        for j, (m, a) in enumerate(zip(mult, add))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {n}
+),
+grams AS (
+  SELECT doc_id,
+         unnest([substr(md5(array_to_string(w[i:i+{n - 1}], ' ')), 1, 8)
+                 FOR i IN range(1, len(w) - {n - 1} + 1)]) AS h8
+  FROM toks
+),
+f32 AS (
+  SELECT doc_id,
+         list_sum([(strpos('0123456789abcdef', substr(h8, c, 1)) - 1)
+                    * (CAST(1 AS BIGINT) << (4 * (8 - c)))
+                   FOR c IN range(1, 9)]) AS f
+  FROM grams
+),
+perm(j, m, a) AS (
+  VALUES {perm_rows}
+),
+mins AS (
+  SELECT doc_id, j,
+         min((CAST(f AS HUGEINT) * m + a) % 4294967296) AS v
+  FROM f32, perm
+  GROUP BY doc_id, j
+),
+sig AS (
+  SELECT doc_id, list(CAST(v AS BIGINT) ORDER BY j) AS s
+  FROM mins GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, b,
+         md5(array_to_string(s[b*{r}+1 : b*{r}+{r}], ',')) AS key
+  FROM sig, unnest(range(0, {bands})) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
+  WHERE x.doc_id < y.doc_id
+),
+est AS (
+  SELECT doc_a, doc_b,
+         CAST(list_sum([CASE WHEN sa.s[i] = sb.s[i] THEN 1 ELSE 0 END
+                        FOR i IN range(1, {k} + 1)]) AS BIGINT)
+           / {k}.0 AS est_jaccard
+  FROM cand
+  JOIN sig sa ON sa.doc_id = doc_a
+  JOIN sig sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+"""
+
+
+ORACLE_DEDUP_MINHASH_LSH = _oracle_minhash_lsh()
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -8,7 +8,6 @@ from __future__ import annotations
 from dwds_livestream_spark.plans.registry import ORACLE_SQL, QUERIES
 
 ROWS_ONLY = {
-    "dedup_minhash_lsh",
     "similarity_lsh_topk",
     "similarity_ivf_topk",
     "misra_gries_topk",
