@@ -308,12 +308,17 @@ def q_dedup_clusters_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs 5 s at sf0.1), and IVF multiprobe needs nprobe²≈k probes
     (candidate volume back at n²) because a cos-0.35 graph's edges
     span cells — that dense-graph regime is exactly where the chunked
-    BLAS all-pairs of ``dedup_clusters`` is the right tool. Rows-only;
-    the ≥0.95 cluster-pair recall gate runs on seeded PLANTED
-    near-duplicates (tests/test_dedup_similarity.py), since the
-    synthetic corpus has no natural cos ≥ 0.8 pairs — on the raw
-    corpus this entry must and does reproduce the exact clustering
-    (all singletons) identically.
+    BLAS all-pairs of ``dedup_clusters`` is the right tool.
+
+    Oracle: the EXACT cos>=0.8 clustering in SQL. Every LSH candidate
+    is cosine-verified before becoming an edge, so the banded output
+    can differ from exact only by a missed true pair — and the corpus
+    has no natural cos >= 0.8 pairs (every component a singleton), so
+    on this data the match is exact and deterministic (seeded
+    hyperplanes, fixed input). A hash match therefore proves zero
+    FALSE-POSITIVE edges end to end; the recall direction is covered
+    by the ≥0.95 cluster-pair gate on seeded PLANTED near-duplicates
+    (tests/test_dedup_similarity.py).
     """
     emb = _t(spark, sf_dir, "embeddings")
     pairs = embedding_near_dup_pairs(emb, threshold=0.8, exact=False)
@@ -324,6 +329,11 @@ def q_dedup_clusters_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes=emb,
         node_col="vec_id",
     ).select(F.col("node").alias("vec_id"), "cluster_id")
+
+
+# Exact cos>=0.8 transitive closure — same formulation as
+# ORACLE_DEDUP_CLUSTERS at the production near-dup threshold.
+ORACLE_DEDUP_CLUSTERS_ANN = ORACLE_DEDUP_CLUSTERS.replace(">= 0.35", ">= 0.8")
 
 
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -13,7 +13,6 @@ ROWS_ONLY = {
     "misra_gries_topk",
     "approx_distinct",  # error gate: tests/test_packing_sketches.py
     "kmeans_clusters",
-    "dedup_clusters_ann",  # recall gate: tests/test_dedup_similarity.py
     "embedding_pca",  # numpy parity: tests/test_embedding_ops.py
     "ann_index_topk",  # ivf_topk identity + pruning: tests/test_ann_index.py
     "hll_rolling_distinct",  # ±5%-vs-exact gate: tests/test_hll.py
