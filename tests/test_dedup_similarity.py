@@ -40,7 +40,11 @@ def test_exact_dedup_counts(spark, documents):
     assert out.agg(F.sum("n_dups")).collect()[0][0] == documents.count()
 
 
-def test_minhash_lsh_recall_against_exact_jaccard(spark, documents):
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "md5_64"])
+def test_minhash_lsh_recall_against_exact_jaccard(spark, documents, hash_fn):
+    # both the scale default and the oracle-checkable md5 variant must
+    # clear the same recall bar — universality of the shingle hash is
+    # what the LSH guarantee rests on, whichever hash is plugged in
     exact = {
         (r.doc_a, r.doc_b)
         for r in ngram_jaccard_pairs(documents, n=5, threshold=0.8).collect()
@@ -49,7 +53,7 @@ def test_minhash_lsh_recall_against_exact_jaccard(spark, documents):
     approx = {
         (r.doc_a, r.doc_b)
         for r in minhash_lsh_pairs(
-            documents, n=5, k=128, bands=32, threshold=0.5
+            documents, n=5, k=128, bands=32, threshold=0.5, hash_fn=hash_fn
         ).collect()
     }
     recall = len(exact & approx) / len(exact)
@@ -70,7 +74,8 @@ def test_minhash_estimate_tracks_exact(spark, documents):
     assert errs and max(errs) < 0.15  # k=128 -> se ~ sqrt(j(1-j)/128) ~ 0.035
 
 
-def test_simhash_finds_near_duplicates(spark, documents):
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "md5_64"])
+def test_simhash_finds_near_duplicates(spark, documents, hash_fn):
     exact = {
         (r.doc_a, r.doc_b)
         for r in ngram_jaccard_pairs(documents, n=5, threshold=0.9).collect()
@@ -80,7 +85,7 @@ def test_simhash_finds_near_duplicates(spark, documents):
         # blocks must exceed max_hamming (pigeonhole guarantee) and
         # divide 64 evenly: 16 x 4-bit blocks
         for r in simhash_near_pairs(
-            documents, max_hamming=8, blocks=16
+            documents, max_hamming=8, blocks=16, hash_fn=hash_fn
         ).collect()
     }
     if exact:
