@@ -334,6 +334,10 @@ def q_dedup_clusters_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact cos>=0.8 transitive closure — same formulation as
 # ORACLE_DEDUP_CLUSTERS at the production near-dup threshold.
 ORACLE_DEDUP_CLUSTERS_ANN = ORACLE_DEDUP_CLUSTERS.replace(">= 0.35", ">= 0.8")
+# a reformatted parent threshold would make the replace a silent no-op
+# and this oracle a wrong-threshold clustering — fail at import instead
+assert ">= 0.8" in ORACLE_DEDUP_CLUSTERS_ANN
+assert ">= 0.35" not in ORACLE_DEDUP_CLUSTERS_ANN
 
 
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
