@@ -88,6 +88,41 @@ def test_winnowing_overlap_detects_shared_run(spark):
     assert (1, 3) not in overlaps and (2, 3) not in overlaps
 
 
+def test_winnowing_md5_variant_matches_python_reference(spark):
+    # the oracle-checkable md5_32 variant must implement EXACTLY the
+    # Schleimer windowed-minimum selection — verified against a direct
+    # Python transcription (k-gram md5 prefixes, 4-window minima,
+    # distinct), independent of both Spark and DuckDB
+    import hashlib
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog again and again",
+        2: "a b c d e",  # exactly one gram, one window
+        3: "too short",  # no grams
+        4: "x " * 40,  # all-identical grams
+    }
+    k, w = 5, 4
+
+    def ref(text):
+        toks = [t for t in text.split() if t]
+        grams = [
+            hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[:8]
+            for i in range(len(toks) - k + 1)
+        ]
+        return {
+            min(grams[i : i + w]) for i in range(len(grams) - w + 1)
+        }
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in texts.items()]
+    )
+    got = {}
+    for r in winnowing_fingerprints(df, k=k, window=w, hash_fn="md5_32").collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    for i, t in texts.items():
+        assert got.get(i, set()) == ref(t), f"doc {i}"
+
+
 def test_multimodal_features_deterministic(spark):
     assets = spark.createDataFrame(
         [
