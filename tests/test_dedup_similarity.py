@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from dwds_livestream_spark.operators.dedup import (
@@ -91,6 +92,117 @@ def test_simhash_finds_near_duplicates(spark, documents, hash_fn):
     if exact:
         recall = len(exact & near) / len(exact)
         assert recall >= 0.7, f"simhash recall {recall} on {len(exact)} pairs"
+
+
+def _md5_64_int(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
+
+
+def test_simhash_md5_variant_matches_python_reference(spark):
+    # triangulate the oracle-checkable variant: Spark kernel, DuckDB
+    # oracle, and this plain-Python transcription must agree exactly
+    # 200 tokens with one changed: the vote margins are wide enough
+    # that the single differing token flips only 1 signature bit
+    # (deterministic — md5 is fixed), landing inside the radius
+    base = ("tok%d " * 200) % tuple(range(200))
+    texts = {
+        1: base.strip(),
+        2: base.replace("tok7 ", "tok7x ").strip(),  # one token changed
+        3: ("z%d " * 200 % tuple(range(1000, 1200))).strip(),  # unrelated
+    }
+
+    def sig(text):
+        toks = [t for t in text.split(" ") if t]
+        votes = [0] * 64
+        for t in toks:
+            h = _md5_64_int(t)
+            for j in range(64):
+                votes[j] += 1 if (h >> j) & 1 else -1
+        return sum((1 << j) for j in range(64) if votes[j] > 0)
+
+    sigs = {i: sig(t) for i, t in texts.items()}
+    expected = {}
+    for a in sigs:
+        for b in sigs:
+            if a < b:
+                ham = bin(sigs[a] ^ sigs[b]).count("1")
+                if ham <= 3:
+                    expected[(a, b)] = ham
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in texts.items()]
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_near_pairs(
+            df, max_hamming=3, blocks=4, hash_fn="md5_64"
+        ).collect()
+    }
+    assert expected, "planted near-identical docs should land within radius"
+    assert got == expected
+
+
+def test_minhash_md5_variant_matches_python_reference(spark):
+    from dwds_livestream_spark.operators.dedup import (
+        minhash_permutation_constants,
+    )
+
+    n, k, bands = 5, 128, 32
+    r = k // bands
+    mult, add = minhash_permutation_constants(k)
+    base = ("w%d " * 30) % tuple(range(30))
+    texts = {
+        1: base.strip(),
+        2: base.replace("w29 ", "w29x ").strip(),  # near-duplicate
+        3: ("q%d " * 30 % tuple(range(100, 130))).strip(),
+    }
+
+    def signature(text):
+        toks = text.split(" ")  # matches the operator: empties kept
+        f32s = [
+            _md5_64_int(" ".join(toks[i : i + n])) >> 32
+            for i in range(len(toks) - n + 1)
+        ]
+        return [
+            min((f * mult[j] + add[j]) % (1 << 32) for f in f32s)
+            for j in range(k)
+        ]
+
+    import hashlib
+
+    sigs = {i: signature(t) for i, t in texts.items() if len(t.split(" ")) >= n}
+    cand = set()
+    for a in sigs:
+        for b in sigs:
+            if a < b:
+                for bi in range(bands):
+                    ka = ",".join(map(str, sigs[a][bi * r : bi * r + r]))
+                    kb = ",".join(map(str, sigs[b][bi * r : bi * r + r]))
+                    if hashlib.md5(ka.encode()).hexdigest() == hashlib.md5(
+                        kb.encode()
+                    ).hexdigest():
+                        cand.add((a, b))
+                        break
+    expected = {}
+    for a, b in cand:
+        eq = sum(x == y for x, y in zip(sigs[a], sigs[b]))
+        est = eq / k
+        if est >= 0.5:
+            expected[(a, b)] = est
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in texts.items()]
+    )
+    got = {
+        (r_.doc_a, r_.doc_b): r_.est_jaccard
+        for r_ in minhash_lsh_pairs(
+            df, n=n, k=k, bands=bands, threshold=0.5, hash_fn="md5_64"
+        ).collect()
+    }
+    assert expected, "planted near-duplicate should collide in some band"
+    assert got == expected  # exact floats: eq/128 is dyadic
 
 
 def test_cosine_topk_shape_and_order(spark, embeddings):
