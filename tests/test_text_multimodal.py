@@ -88,6 +88,27 @@ def test_winnowing_overlap_detects_shared_run(spark):
     assert (1, 3) not in overlaps and (2, 3) not in overlaps
 
 
+def test_round6_exact_half_up_at_the_microunit_tie():
+    # the exact case binary-double round() gets wrong: a rational
+    # sitting exactly on the x.xxxxxx5 grid must round half-UP on every
+    # engine. 1/2e6 = 0.0000005 -> 0.000001 (float round() gives 0.0
+    # here because the double below 5e-7 is nearest).
+    from dwds_livestream_spark.operators.multimodal import _round6_exact
+
+    assert _round6_exact(1, 2_000_000) == 1e-6
+    assert _round6_exact(3, 2_000_000) == 2e-6  # 1.5e-6 -> up
+    assert _round6_exact(1, 3) == 0.333333  # plain truncation case
+    assert _round6_exact(2, 3) == 0.666667  # rounds up past the grid
+    assert _round6_exact(5, 4) == 1.25  # exact value unchanged
+    from fractions import Fraction
+
+    for num in range(0, 50):
+        for den in range(1, 20):
+            micro = Fraction(num, den) * 10**6
+            want = (micro + Fraction(1, 2)).__floor__() / 1e6
+            assert _round6_exact(num, den) == want, (num, den)
+
+
 def test_winnowing_md5_variant_matches_python_reference(spark):
     # the oracle-checkable md5_32 variant must implement EXACTLY the
     # Schleimer windowed-minimum selection — verified against a direct
