@@ -1,0 +1,101 @@
+"""Runtime shuffle-volume measurement from the SQL metrics store.
+
+Complements the plan-shape gates (tests/test_plan_sweep.py): a plan can
+BE a BroadcastHashJoin and still move more than intended elsewhere —
+these helpers read what every Exchange actually wrote after execution,
+so scale claims ("the fact scan never shuffles", "partial agg folds the
+scan to group rows") are assertable numbers, not prose. Used by
+scripts/shuffle_audit.py (the SHUFFLE.md report) and
+tests/test_shuffle_volume.py (the regression gates).
+
+Reads the JVM SQLAppStatusStore via py4j — works with the UI disabled
+and in local mode; the same store backs the Spark UI's SQL tab on a
+real cluster.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_SIZES = {"B": 1, "KiB": 1 << 10, "MiB": 1 << 20, "GiB": 1 << 30, "TiB": 1 << 40}
+
+
+def parse_metric_bytes(metric_value: str) -> int:
+    """SQL size metrics render as 'total (min, med, max (...))' with
+    humanized units; take the leading total."""
+    head = metric_value.strip().splitlines()[-1].split("(")[0].strip()
+    m = re.match(r"([\d.]+)\s*(B|KiB|MiB|GiB|TiB)", head)
+    if not m:
+        return 0
+    return int(float(m.group(1)) * _SIZES[m.group(2)])
+
+
+def parse_metric_count(metric_value: str) -> int:
+    head = metric_value.strip().splitlines()[-1].split("(")[0].strip()
+    m = re.match(r"([\d,.]+)", head)
+    return int(m.group(1).replace(",", "").split(".")[0]) if m else 0
+
+
+def execution_count(spark: SparkSession) -> int:
+    return spark._jsparkSession.sharedState().statusStore().executionsCount()
+
+
+def metrics_since(spark: SparkSession, first_ex_idx: int) -> list[tuple]:
+    """(node_name, metric_name, value) across EVERY SQL execution from
+    index ``first_ex_idx`` on — iterative queries (k-means seeds, rank
+    bounds, pagerank loops) run actions while the plan is being BUILT,
+    so a single-execution read would miss their shuffles."""
+    st = spark._jsparkSession.sharedState().statusStore()
+    exes = st.executionsList()
+    out: list[tuple] = []
+    for e in range(first_ex_idx, exes.size()):
+        ex_id = exes.apply(e).executionId()
+        mv = st.executionMetrics(ex_id)
+        g = st.planGraph(ex_id)
+        nodes = g.allNodes()
+        for i in range(nodes.size()):
+            node = nodes.apply(i)
+            ms = node.metrics()
+            for j in range(ms.size()):
+                m = ms.apply(j)
+                val = mv.get(m.accumulatorId())
+                if val.isDefined():
+                    out.append((node.name(), m.name(), val.get()))
+    return out
+
+
+def summarize(metrics: list[tuple]) -> dict:
+    return {
+        "scan_rows": sum(
+            parse_metric_count(v)
+            for n, m, v in metrics
+            if n.startswith("Scan") and m == "number of output rows"
+        ),
+        "shuffle_records": sum(
+            parse_metric_count(v)
+            for n, m, v in metrics
+            if m == "shuffle records written"
+        ),
+        "shuffle_bytes": sum(
+            parse_metric_bytes(v)
+            for n, m, v in metrics
+            if m == "shuffle bytes written"
+        ),
+        "broadcast_bytes": sum(
+            parse_metric_bytes(v)
+            for n, m, v in metrics
+            if n == "BroadcastExchange" and m == "data size"
+        ),
+    }
+
+
+def measure_execution(spark: SparkSession, build_df) -> dict:
+    """Build a DataFrame via ``build_df()``, execute it through a noop
+    sink (full plan, no driver-side result transfer), and return the
+    summed shuffle/scan/broadcast volumes of every execution involved."""
+    before = execution_count(spark)
+    df: DataFrame = build_df()
+    df.write.format("noop").mode("overwrite").save()
+    return summarize(metrics_since(spark, before))

@@ -1,0 +1,57 @@
+"""Shuffle-VOLUME regression gates: the plan-shape sweeps pin what the
+plan looks like; these pin what it actually moved (SQL metrics store,
+summed over every Exchange). Invariants are scale-free ratios or exact
+zeros, so they hold at sf0.001 the same as at sf0.1 (SHUFFLE.md holds
+the measured sf0.1 numbers)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dwds_livestream_spark.plans.registry import QUERIES
+from dwds_livestream_spark.shuffle_metrics import measure_execution
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _measure(spark, name):
+    spark.catalog.clearCache()
+    return measure_execution(spark, lambda: QUERIES[name](spark, SF_DIR))
+
+
+def test_broadcast_enrich_join_shuffles_zero_rows(spark):
+    r = _measure(spark, "events_enrich")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] == 0, r
+    assert r["broadcast_bytes"] > 0, "dimension must move by broadcast"
+
+
+def test_q1_partial_agg_folds_scan_to_group_rows(spark):
+    r = _measure(spark, "q1_pricing_summary")
+    # shuffle rows = groups x map partitions — orders of magnitude
+    # under the scan; a broken partial agg would shuffle ~scan rows
+    assert r["scan_rows"] > 1000
+    assert r["shuffle_records"] < r["scan_rows"] * 0.05, r
+
+
+def test_decontaminate_corpus_scan_is_map_only(spark):
+    r = _measure(spark, "decontaminate")
+    # only benchmark shingles + per-doc overlap counts may shuffle
+    assert r["shuffle_records"] < max(200, r["scan_rows"]), r
+
+
+def test_distributed_rank_shuffles_each_row_about_once(spark):
+    r = _measure(spark, "spend_gini")
+    # equi-depth bucketing: bounded small multiple of the input, never
+    # a blow-up (and never a single-partition global sort, which the
+    # plan sweep asserts separately)
+    assert r["shuffle_records"] < r["scan_rows"] * 1.5, r
+
+
+@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_simhash"])
+def test_banded_dedup_never_shuffles_corpus_text(spark, name):
+    r = _measure(spark, name)
+    # bucket keys + candidates are rows; the corpus text column would
+    # be kilobytes per row — assert the per-row shuffle cost stays tiny
+    if r["shuffle_records"]:
+        assert r["shuffle_bytes"] / r["shuffle_records"] < 256, r
