@@ -38,20 +38,32 @@ def parse_metric_count(metric_value: str) -> int:
     return int(m.group(1).replace(",", "").split(".")[0]) if m else 0
 
 
-def execution_count(spark: SparkSession) -> int:
-    return spark._jsparkSession.sharedState().statusStore().executionsCount()
+def last_execution_id(spark: SparkSession) -> int:
+    """Highest execution id currently in the store (-1 when empty).
+    IDs, not list indices: the store trims old entries past
+    spark.sql.ui.retainedExecutions, so index arithmetic against
+    executionsCount() silently reads an empty window in long sessions
+    (the full test suite crosses the limit)."""
+    st = spark._jsparkSession.sharedState().statusStore()
+    exes = st.executionsList()
+    mx = -1
+    for e in range(exes.size()):
+        mx = max(mx, exes.apply(e).executionId())
+    return mx
 
 
-def metrics_since(spark: SparkSession, first_ex_idx: int) -> list[tuple]:
-    """(node_name, metric_name, value) across EVERY SQL execution from
-    index ``first_ex_idx`` on — iterative queries (k-means seeds, rank
-    bounds, pagerank loops) run actions while the plan is being BUILT,
-    so a single-execution read would miss their shuffles."""
+def metrics_since(spark: SparkSession, after_ex_id: int) -> list[tuple]:
+    """(node_name, metric_name, value) across EVERY SQL execution with
+    id greater than ``after_ex_id`` — iterative queries (k-means seeds,
+    rank bounds, pagerank loops) run actions while the plan is being
+    BUILT, so a single-execution read would miss their shuffles."""
     st = spark._jsparkSession.sharedState().statusStore()
     exes = st.executionsList()
     out: list[tuple] = []
-    for e in range(first_ex_idx, exes.size()):
+    for e in range(exes.size()):
         ex_id = exes.apply(e).executionId()
+        if ex_id <= after_ex_id:
+            continue
         mv = st.executionMetrics(ex_id)
         g = st.planGraph(ex_id)
         nodes = g.allNodes()
@@ -95,7 +107,13 @@ def measure_execution(spark: SparkSession, build_df) -> dict:
     """Build a DataFrame via ``build_df()``, execute it through a noop
     sink (full plan, no driver-side result transfer), and return the
     summed shuffle/scan/broadcast volumes of every execution involved."""
-    before = execution_count(spark)
+    before = last_execution_id(spark)
     df: DataFrame = build_df()
     df.write.format("noop").mode("overwrite").save()
+    # metric updates post through the async listener bus; drain it so
+    # the read is deterministic (same call Spark's own tests use)
+    try:
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(10000)
+    except Exception:
+        pass  # private API moved — metrics are best-effort then
     return summarize(metrics_since(spark, before))
