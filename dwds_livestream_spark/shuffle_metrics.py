@@ -100,6 +100,11 @@ def summarize(metrics: list[tuple]) -> dict:
             for n, m, v in metrics
             if n == "BroadcastExchange" and m == "data size"
         ),
+        # any aggregate/sort/join that outgrew its memory reports here;
+        # a well-sized plan spills nothing at its working scale
+        "spill_bytes": sum(
+            parse_metric_bytes(v) for n, m, v in metrics if m == "spill size"
+        ),
     }
 
 

@@ -55,3 +55,15 @@ def test_banded_dedup_never_shuffles_corpus_text(spark, name):
     # be kilobytes per row — assert the per-row shuffle cost stays tiny
     if r["shuffle_records"]:
         assert r["shuffle_bytes"] / r["shuffle_records"] < 256, r
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["events_enrich", "q1_pricing_summary", "spend_gini", "decontaminate"],
+)
+def test_no_spill_at_working_scale(spark, name):
+    # the brief's spill-aware bullet, measured: every aggregate/sort/
+    # join in these plans must fit its memory budget at test scale —
+    # a plan that spills here is mis-sized long before 100 TB
+    r = _measure(spark, name)
+    assert r["spill_bytes"] == 0, r
