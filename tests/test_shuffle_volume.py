@@ -14,6 +14,26 @@ from dwds_livestream_spark.shuffle_metrics import measure_execution
 SF_DIR = "/root/testdata/sf0.001"
 
 
+def test_metric_string_parsers():
+    from dwds_livestream_spark.shuffle_metrics import (
+        parse_metric_bytes,
+        parse_metric_count,
+    )
+
+    # the store renders totals in humanized units, sometimes with a
+    # leading newline and a (min, med, max (stageId: taskId)) tail
+    assert parse_metric_bytes("59.3 KiB (14.8 KiB, 14.8 KiB, 14.9 KiB)") == int(
+        59.3 * 1024
+    )
+    assert parse_metric_bytes("\ntotal (min, med, max (stageId: taskId))\n"
+                              "63.2 MiB (1.9 MiB, 2.0 MiB, 2.1 MiB (12: 3))"
+                              ) == int(63.2 * (1 << 20))
+    assert parse_metric_bytes("0.0 B (0.0 B, 0.0 B, 0.0 B)") == 0
+    assert parse_metric_count("1,040,695") == 1040695
+    assert parse_metric_count("400 (100, 100, 100)") == 400
+    assert parse_metric_count("") == 0
+
+
 def _measure(spark, name):
     spark.catalog.clearCache()
     return measure_execution(spark, lambda: QUERIES[name](spark, SF_DIR))
