@@ -22,19 +22,24 @@ from pyspark.sql import DataFrame, SparkSession
 _SIZES = {"B": 1, "KiB": 1 << 10, "MiB": 1 << 20, "GiB": 1 << 30, "TiB": 1 << 40}
 
 
+def _value_line(metric_value: str) -> str:
+    """The store may prefix a header line ('total (min, med, max ...)');
+    the value itself is the last non-empty line. Empty input -> ''."""
+    lines = metric_value.strip().splitlines()
+    return lines[-1].split("(")[0].strip() if lines else ""
+
+
 def parse_metric_bytes(metric_value: str) -> int:
     """SQL size metrics render as 'total (min, med, max (...))' with
     humanized units; take the leading total."""
-    head = metric_value.strip().splitlines()[-1].split("(")[0].strip()
-    m = re.match(r"([\d.]+)\s*(B|KiB|MiB|GiB|TiB)", head)
+    m = re.match(r"([\d.]+)\s*(B|KiB|MiB|GiB|TiB)", _value_line(metric_value))
     if not m:
         return 0
     return int(float(m.group(1)) * _SIZES[m.group(2)])
 
 
 def parse_metric_count(metric_value: str) -> int:
-    head = metric_value.strip().splitlines()[-1].split("(")[0].strip()
-    m = re.match(r"([\d,.]+)", head)
+    m = re.match(r"([\d,.]+)", _value_line(metric_value))
     return int(m.group(1).replace(",", "").split(".")[0]) if m else 0
 
 
