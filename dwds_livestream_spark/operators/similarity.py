@@ -99,32 +99,77 @@ def _cosine_matrix(ma: np.ndarray, mb: np.ndarray) -> np.ndarray:
     return np.round((ma @ mb.T) / np.outer(na, nb), 6)
 
 
+def _mix64(table: int, p: int, d: int) -> int:
+    """splitmix64-style finalizer over a (table, plane, dim) counter —
+    the single deterministic stream behind BOTH hyperplane variants
+    (float for the scale path, 16-bit int for the oracle-exact path)
+    and the generated DuckDB oracle SQL in plans/llm.py."""
+    mask = (1 << 64) - 1
+    z = ((table * 1_000_003 + p * 8191 + d) * 0x9E3779B97F4A7C15) & mask
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
+    return z ^ (z >> 31)
+
+
 def _hyperplanes(dim: int, n_planes: int, table: int) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes (splitmix64-style mix
     mapped to [-1, 1]) — no RNG state, reproducible across runs/engines."""
     out = np.empty((n_planes, dim))
-    mask = (1 << 64) - 1
     for p in range(n_planes):
         for d in range(dim):
-            z = ((table * 1_000_003 + p * 8191 + d) * 0x9E3779B97F4A7C15) & mask
-            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask
-            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
-            z ^= z >> 31
-            out[p, d] = (z / float(1 << 63)) - 1.0
+            out[p, d] = (_mix64(table, p, d) / float(1 << 63)) - 1.0
     return out
 
 
-def _make_lsh_keys_udf(dim: int, n_planes: int, n_tables: int):
-    planes = np.concatenate(
-        [_hyperplanes(dim, n_planes, t) for t in range(n_tables)], axis=0
-    )  # (tables*planes, dim)
+def lsh_plane_int_constants(
+    dim: int, n_planes: int, n_tables: int
+) -> list[list[list[int]]]:
+    """16-bit integer hyperplane weights ((mix >> 48) - 2^15, i.e. the
+    top 16 bits of the same splitmix64 stream _hyperplanes draws from,
+    recentred to [-32768, 32767]). Used by the oracle-exact LSH bit
+    path: with embeddings quantized to round(v * 1e6) the projection
+    sum fits int64 (|w| < 2^15, |vq| <= ~1e8, dim 64 -> < 2^62), so the
+    sign — hence the bucket key — is EXACT integer arithmetic, order-
+    free and engine-independent. The generated DuckDB oracle inlines
+    these same constants (plans/llm.py _oracle_similarity_lsh_topk).
+    Returns [table][plane][dim] ints."""
+    return [
+        [
+            [(_mix64(t, p, d) >> 48) - 32768 for d in range(dim)]
+            for p in range(n_planes)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+def _make_lsh_keys_udf(
+    dim: int, n_planes: int, n_tables: int, exact_bits: bool = False
+):
+    """Bucket-key kernel. exact_bits=False (scale default): float
+    hyperplanes, one GEMM per batch. exact_bits=True (oracle-parity
+    variant): integer 16-bit weights against round(v*1e6)-quantized
+    vectors — every op (the *1e6 multiply, +0.5, floor, int64 matmul)
+    is a single IEEE/integer operation with no reduction-order freedom,
+    so the resulting keys are bit-identical across engines and
+    partitionings (the seasonal_decompose lesson: never let a sign/
+    round decision ride on a float SUM that crosses engines)."""
+    if exact_bits:
+        planes = np.array(
+            lsh_plane_int_constants(dim, n_planes, n_tables), dtype=np.int64
+        ).reshape(n_tables * n_planes, dim)
+    else:
+        planes = np.concatenate(
+            [_hyperplanes(dim, n_planes, t) for t in range(n_tables)], axis=0
+        )  # (tables*planes, dim)
     weights = (1 << np.arange(n_planes, dtype=np.int64))
 
     @pandas_udf(ArrayType(LongType()))
     def lsh_keys(vec: pd.Series) -> pd.Series:
         if len(vec) == 0:
             return pd.Series([], dtype="object")
-        m = np.stack(vec.to_numpy())  # (batch, dim)
+        m = np.stack(vec.to_numpy())  # (batch, dim) float64
+        if exact_bits:
+            m = np.floor(m * 1e6 + 0.5).astype(np.int64)
         proj = m @ planes.T  # (batch, tables*planes)
         bits = (proj >= 0).astype(np.int64).reshape(len(vec), n_tables, n_planes)
         keys = bits @ weights  # (batch, tables)
@@ -142,9 +187,10 @@ def _with_buckets(
     n_planes: int,
     n_tables: int,
     keep_vec: bool = True,
+    exact_bits: bool = False,
 ) -> DataFrame:
     """(id, vec) -> exploded (id, [vec,] table, bucket) bucket keys."""
-    keys_udf = _make_lsh_keys_udf(dim, n_planes, n_tables)
+    keys_udf = _make_lsh_keys_udf(dim, n_planes, n_tables, exact_bits)
     base = df.select(
         F.col(id_col).alias(id_out),
         _as_double(vec_col).alias(f"{id_out}_vec"),
@@ -218,20 +264,27 @@ def lsh_topk(
     dim: int = 64,
     n_planes: int = 10,
     n_tables: int = 4,
+    exact_bits: bool = False,
 ) -> DataFrame:
     """Approximate top-k: only corpus vectors sharing an LSH bucket with
     the query (any table) are scored. Same output shape as cosine_topk;
-    recall < 1 by construction — tests measure it against the exact op."""
+    recall < 1 by construction — tests measure it against the exact op.
+
+    exact_bits=True switches the bucket-bit decision to exact integer
+    arithmetic (16-bit weights from the same splitmix64 stream, vectors
+    quantized to round(v*1e6)); the candidate set — hence the OUTPUT —
+    is then a deterministic integer function replicable by the DuckDB
+    oracle (plans/llm.py). The float path stays the scale default."""
     # bucket KEYS only through the join and the candidate dedup
     # shuffle (3 longs/row); vectors re-attach afterwards — queries by
     # broadcast, corpus by one keyed join
     qk = _with_buckets(
         queries, "query_id", id_col, vec_col, dim, n_planes, n_tables,
-        keep_vec=False,
+        keep_vec=False, exact_bits=exact_bits,
     )
     ck = _with_buckets(
         corpus, "neighbor_id", id_col, vec_col, dim, n_planes, n_tables,
-        keep_vec=False,
+        keep_vec=False, exact_bits=exact_bits,
     )
     cand = (
         ck.join(F.broadcast(qk), ["table", "bucket"])

@@ -434,12 +434,95 @@ FROM dots WHERE ROUND(dot / (sqrt(aa) * sqrt(bb)), 6) >= 0.3
 
 
 def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (LSH is approximate by construction); recall vs exact
-    top-k asserted in tests."""
+    """Full-oracle as of round 5 (previously rows-only): exact_bits=True
+    makes every bucket-bit decision exact integer arithmetic — 16-bit
+    hyperplane weights from the shared splitmix64 stream
+    (operators/similarity.py lsh_plane_int_constants) against
+    round(v*1e6)-quantized vectors — so the banded candidate set is a
+    deterministic integer function and the generated DuckDB oracle
+    (_oracle_similarity_lsh_topk, same inlined constants) replicates
+    the OUTPUT exactly. LSH stays approximate vs TRUE top-k — recall
+    against cosine_topk is asserted separately in tests, for BOTH the
+    float scale path and this oracle-parity path."""
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_topk(
-        emb, emb.where(F.col("vec_id") < 10), k=10, n_planes=6, n_tables=8
+        emb, emb.where(F.col("vec_id") < 10), k=10, n_planes=6, n_tables=8,
+        exact_bits=True,
     )
+
+
+def _oracle_similarity_lsh_topk(
+    dim: int = 64, n_planes: int = 6, n_tables: int = 8, k: int = 10
+) -> str:
+    """DuckDB replica of q_similarity_lsh_topk: the 48 integer
+    hyperplanes are inlined from lsh_plane_int_constants — the SAME
+    splitmix64 stream the Arrow kernel uses (single source of truth,
+    like minhash_permutation_constants above). Quantization mirrors the
+    kernel op-for-op: CAST(x AS DOUBLE)*1000000 + 0.5 then FLOOR are
+    each single IEEE ops (no reduction order), and the projection sum
+    is pure BIGINT — bit-identical across engines."""
+    from ..operators.similarity import lsh_plane_int_constants
+
+    planes = lsh_plane_int_constants(dim, n_planes, n_tables)
+    plane_rows = ",\n         ".join(
+        f"({t}, {p}, {planes[t][p]})"
+        for t in range(n_tables)
+        for p in range(n_planes)
+    )
+    return f"""
+WITH vq AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS q
+  FROM embeddings
+),
+planes(t, p, w) AS (
+  VALUES {plane_rows}
+),
+bits AS (
+  SELECT v.vec_id, pl.t, pl.p,
+         CASE WHEN list_sum([v.q[i] * pl.w[i] FOR i IN range(1, {dim} + 1)]) >= 0
+              THEN CAST(1 AS BIGINT) << pl.p ELSE 0 END AS bit
+  FROM vq v, planes pl
+),
+keys AS (
+  SELECT vec_id, t, SUM(bit) AS bucket FROM bits GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM keys q JOIN keys c ON q.t = c.t AND q.bucket = c.bucket
+  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+),
+un AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         unnest(a.embedding) AS x, unnest(b.embedding) AS y
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.query_id
+  JOIN embeddings b ON b.vec_id = cand.neighbor_id
+),
+dots AS (
+  SELECT query_id, neighbor_id,
+         SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+         SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS qq,
+         SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS cc
+  FROM un GROUP BY query_id, neighbor_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(dot / (sqrt(qq) * sqrt(cc)), 6) AS cosine
+  FROM dots
+),
+r AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= {k}
+"""
+
+
+ORACLE_SIMILARITY_LSH_TOPK = _oracle_similarity_lsh_topk()
 
 
 def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

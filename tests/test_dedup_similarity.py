@@ -237,6 +237,51 @@ def test_lsh_topk_recall_at_1(spark, embeddings):
     assert hits / len(exact1) >= 0.5, f"LSH recall@1 = {hits}/{len(exact1)}"
 
 
+def test_lsh_topk_exact_bits_recall_and_determinism(spark, embeddings):
+    """The oracle-parity path (exact integer bucket bits, round 5) must
+    (a) keep useful recall vs exact top-1 — it's a different but equally
+    valid hash family, not a degradation — and (b) be bit-stable across
+    shuffle-partition settings (its whole point)."""
+    queries = embeddings.where(F.col("vec_id") < 20)
+    exact1 = {
+        r.query_id: r.neighbor_id
+        for r in cosine_topk(embeddings, queries, k=1).collect()
+    }
+    approx = lsh_topk(
+        embeddings, queries, k=5, n_planes=4, n_tables=8, exact_bits=True
+    ).collect()
+    got1 = {r.query_id: r.neighbor_id for r in approx if r.rank == 1}
+    hits = sum(1 for q, n in exact1.items() if got1.get(q) == n)
+    assert hits / len(exact1) >= 0.5, f"int-LSH recall@1 = {hits}/{len(exact1)}"
+
+    key = lambda rows: sorted((r.query_id, r.rank, r.neighbor_id, r.cosine)
+                              for r in rows)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        again = lsh_topk(
+            embeddings, queries, k=5, n_planes=4, n_tables=8, exact_bits=True
+        ).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert key(approx) == key(again)
+
+
+def test_lsh_int_plane_constants_shape_and_range(spark):
+    from dwds_livestream_spark.operators.similarity import (
+        lsh_plane_int_constants,
+    )
+
+    planes = lsh_plane_int_constants(8, 3, 2)
+    assert len(planes) == 2 and len(planes[0]) == 3 and len(planes[0][0]) == 8
+    flat = [w for t in planes for p in t for w in p]
+    assert all(-32768 <= w <= 32767 for w in flat)
+    # the stream is not degenerate: both signs present
+    assert min(flat) < 0 < max(flat)
+    # deterministic: same constants on every call (no RNG state)
+    assert planes == lsh_plane_int_constants(8, 3, 2)
+
+
 def test_embedding_near_dup_exact_vs_lsh(spark, embeddings):
     exact = {
         (r.id_a, r.id_b): r.cosine

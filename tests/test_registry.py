@@ -8,7 +8,8 @@ from __future__ import annotations
 from dwds_livestream_spark.plans.registry import ORACLE_SQL, QUERIES
 
 ROWS_ONLY = {
-    "similarity_lsh_topk",
+    # similarity_lsh_topk left this list in round 5: exact-integer LSH
+    # bits made the banded output deterministic and fully oracled.
     "similarity_ivf_topk",
     "misra_gries_topk",
     "approx_distinct",  # error gate: tests/test_packing_sketches.py
