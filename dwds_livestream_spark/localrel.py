@@ -36,4 +36,19 @@ def local_df(
         pdf = pd.DataFrame(list(rows))
         return spark.createDataFrame(pdf, schema)
     except Exception:
+        # The fallback exists for data Arrow/pandas can't represent
+        # (e.g. mixed None patterns in nested types), but it silently
+        # reintroduces the multi-second pickled-RDD scan tax the
+        # callers were specifically moved off of — and it would also
+        # mask genuine schema/data bugs behind a working-but-slow path.
+        # Surface it: warn with the cause, then fall back.
+        import warnings  # noqa: PLC0415
+
+        warnings.warn(
+            "localrel.local_df: Arrow LocalRelation conversion failed; "
+            "falling back to the pickled-RDD createDataFrame path "
+            f"(slow at scan time). schema={schema!r}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return spark.createDataFrame(rows, schema)

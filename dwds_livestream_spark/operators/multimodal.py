@@ -72,18 +72,22 @@ def _image_features(payload: bytes, n_buckets: int = 16) -> tuple:
     n_px = sum(hist)
     if n_px == 0:
         return len(payload), 0.0, 0.0, [0.0] * n_buckets
-    mean = sum(v * c for v, c in enumerate(hist)) / n_px
     buckets = [
         sum(hist[b * 256 // n_buckets : (b + 1) * 256 // n_buckets])
         for b in range(n_buckets)
     ]
-    probs = [c / n_px for c in buckets]
-    entropy = -sum(p * math.log2(p) for p in probs if p > 0)
+    entropy = -sum(
+        (c / n_px) * math.log2(c / n_px) for c in buckets if c > 0
+    )
+    # mean = sum(v*c)/n_px and bucket probs are exact integer rationals:
+    # round them with _round6_exact like the fake path, so both paths
+    # share tie-break semantics and a future oracle/cross-engine check
+    # can't flake on the x.xxxxxx5 grid (the seasonal_decompose class).
     return (
         len(payload),
-        round(mean, 6),
+        _round6_exact(sum(v * c for v, c in enumerate(hist)), n_px),
         round(entropy, 6),
-        [round(p, 6) for p in probs],
+        [_round6_exact(c, n_px) for c in buckets],
     )
 
 
