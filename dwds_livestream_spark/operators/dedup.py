@@ -238,6 +238,43 @@ def minhash_signatures(
     )
 
 
+def _minhash_band_candidates(
+    sig: DataFrame, id_col: str, k: int, bands: int, hash_fn: str
+) -> DataFrame:
+    """Banded-LSH candidate pairs (doc_a < doc_b, deduplicated) from a
+    signature frame. The bucket self-join moves only (id, band, key)
+    rows — never the k-int signatures (that would shuffle |docs·bands|
+    kB-sized rows); consumers re-attach whatever payload they need
+    (signatures, text) to the far fewer candidate pairs afterwards."""
+    r = k // bands
+    if hash_fn == "md5_64":
+        band_key = lambda sl: F.md5(  # noqa: E731
+            F.array_join(F.transform(sl, lambda x: x.cast("string")), ",")
+        )
+    else:
+        band_key = F.hash
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                band_key(F.slice("sig", b * r + 1, r)).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(id_col, F.explode(band_cols).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = buckets.select(F.col(id_col).alias("doc_a"), "band", "key")
+    b = buckets.select(F.col(id_col).alias("doc_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -261,41 +298,12 @@ def minhash_lsh_pairs(
     for ``md5_64``, an engine-independent band key too.
     """
     assert k % bands == 0
-    r = k // bands
     # the signature frame feeds three consumers (two self-join sides +
     # the candidate re-join); cache it so the shingle+sign kernel runs
     # once. |docs| x (k+1) longs — ~1 KB/doc, the standard persisted
     # artifact of a MinHash pipeline at any scale.
     sig = minhash_signatures(df, text_col, id_col, n=n, k=k, hash_fn=hash_fn).cache()
-    if hash_fn == "md5_64":
-        band_key = lambda sl: F.md5(  # noqa: E731
-            F.array_join(F.transform(sl, lambda x: x.cast("string")), ",")
-        )
-    else:
-        band_key = F.hash
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                band_key(F.slice("sig", b * r + 1, r)).alias("key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    # The bucket self-join moves only (id, band, key) rows — never the
-    # k-int signatures (that would shuffle |docs·bands| kB-sized rows).
-    # Signatures are re-attached to the (far fewer) candidate pairs.
-    buckets = sig.select(id_col, F.explode(band_cols).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
-    a = buckets.select(F.col(id_col).alias("doc_a"), "band", "key")
-    b = buckets.select(F.col(id_col).alias("doc_b"), "band", "key")
-    cand = (
-        a.join(b, ["band", "key"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    cand = _minhash_band_candidates(sig, id_col, k, bands, hash_fn)
     sa = sig.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"))
     eq = F.size(
@@ -518,6 +526,59 @@ def levenshtein_near_pairs(
         .select("doc_a", "doc_b", dist.alias("edit_dist"))
         # thresholded levenshtein returns -1 when the distance exceeds
         # the threshold — exclude those, not just > max_dist
+        .where((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
+    )
+
+
+def minhash_levenshtein_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    k: int = 128,
+    bands: int = 32,
+    max_dist: int = 60,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """THE at-scale edit-distance composition: MinHash banded-LSH
+    candidates -> exact thresholded Levenshtein as the VERIFIER.
+    Output: doc_a, doc_b, edit_dist (<= max_dist; doc_a < doc_b).
+
+    ``levenshtein_near_pairs`` is the oracle baseline — exact recall,
+    but its length-band blocking bounds candidates only by the length
+    distribution, so near-uniform corpora degrade toward all-pairs
+    (measured 42x at 10x data, SCALE_SF1.md). This composition bounds
+    candidates by CONTENT: the O(docs·bands) banded join proposes
+    pairs, and the O(candidates) dynamic program verifies them — both
+    stages linear-ish in the corpus at fixed near-dup density, the
+    standard fuzzy-dedup shape at 100 TB. Recall: banding is lossy vs
+    the exact formulation by construction (a pair qualifies only if
+    some band of the MinHash signatures agrees) — asserted against
+    levenshtein_near_pairs in tests; the banded OUTPUT itself is a
+    deterministic function with ``hash_fn='md5_64'`` and replicated
+    exactly by the generated DuckDB oracle (plans/llm.py).
+
+    Docs with fewer than ``n`` tokens have no shingles and drop out
+    (minhash_signatures semantics), exactly as in the oracle's toks CTE.
+    """
+    sig = minhash_signatures(df, text_col, id_col, n=n, k=k, hash_fn=hash_fn)
+    cand = _minhash_band_candidates(sig, id_col, k, bands, hash_fn)
+    # re-attach TEXT to candidate pairs only; spread the pair frame so
+    # the per-pair dynamic programs don't serialize in one task (the
+    # same measured 10x as levenshtein_near_pairs' probe side)
+    ta = df.select(
+        F.col(id_col).alias("doc_a"), F.col(text_col).alias("__ta")
+    )
+    tb = df.select(
+        F.col(id_col).alias("doc_b"), F.col(text_col).alias("__tb")
+    )
+    dist = F.levenshtein("__ta", "__tb", max_dist + 1)
+    return (
+        spread(cand)
+        .join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", dist.alias("edit_dist"))
+        # thresholded levenshtein returns -1 past the threshold
         .where((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
     )
 

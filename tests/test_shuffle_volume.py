@@ -77,9 +77,49 @@ def test_banded_dedup_never_shuffles_corpus_text(spark, name):
         assert r["shuffle_bytes"] / r["shuffle_records"] < 256, r
 
 
+def test_q21_pair_fold_bounds_shuffle_near_scan(spark):
+    r = _measure(spark, "q21_sole_returner")
+    # r4 rewrite: lineitem folds to distinct (order,supp) pairs BEFORE
+    # any join, so total exchange volume stays a small multiple of the
+    # fact scan (measured 1.07x sf0.001 / 1.7x sf0.1, SHUFFLE.md); the
+    # old countDistinct/Expand formulation shuffled 2-3x and regressing
+    # to it trips this bound
+    assert r["scan_rows"] > 1000
+    assert r["shuffle_records"] < r["scan_rows"] * 2.2, r
+
+
+def test_pagerank_iterations_reshuffle_ranks_not_edges(spark):
+    r = _measure(spark, "pagerank_trade")
+    # adjacency is hash-partitioned + cached once; each of the 3
+    # iterations shuffles only node-sized rank/contribution tables, so
+    # the total stays under the edge-build scan itself (measured 0.51x;
+    # an uncached adjacency re-shuffles edges per iteration and blows
+    # past 1x immediately)
+    assert r["scan_rows"] > 1000
+    assert r["shuffle_records"] < r["scan_rows"] * 1.0, r
+
+
+def test_triangle_count_orientation_caps_wedges(spark):
+    r = _measure(spark, "triangle_count")
+    # degree-ordered orientation: wedges are generated from the
+    # lower-degree endpoint only, keeping candidate rows well under the
+    # lineitem scan (measured 0.26x; losing the orientation squares the
+    # per-node wedge fan-out)
+    assert r["scan_rows"] > 1000
+    assert r["shuffle_records"] < r["scan_rows"] * 0.75, r
+
+
 @pytest.mark.parametrize(
     "name",
-    ["events_enrich", "q1_pricing_summary", "spend_gini", "decontaminate"],
+    [
+        "events_enrich",
+        "q1_pricing_summary",
+        "spend_gini",
+        "decontaminate",
+        "q21_sole_returner",
+        "pagerank_trade",
+        "triangle_count",
+    ],
 )
 def test_no_spill_at_working_scale(spark, name):
     # the brief's spill-aware bullet, measured: every aggregate/sort/
