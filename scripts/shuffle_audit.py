@@ -88,6 +88,36 @@ AUDITS: dict[str, str] = {
         "degree-oriented wedges: edges shuffle as (lo, hi) pairs; "
         "orientation caps wedge fan-out before the join"
     ),
+    "dedup_minhash_levenshtein": (
+        "at-scale edit-distance composition: banded-LSH candidates "
+        "shuffle as (id, band, key) rows, then only the candidate "
+        "pairs re-join the corpus text for the Levenshtein verify - "
+        "candidates stay linear in the corpus at fixed near-dup "
+        "density (1.9x time at 10x data vs the length-banded "
+        "baseline's 42x, SCALE_SF1.md)"
+    ),
+    # the Expand class (r4 q21 lesson): rollup/cube/grouping-sets and
+    # countDistinct plan an Expand that multiplies rows BEFORE the
+    # exchange - but partial aggregation runs under it, so a healthy
+    # plan still folds the scan first. These four measure that the
+    # multiplier never reaches the exchange.
+    "rollup_revenue": (
+        "Expand class: rollup's 3 grouping sets expand rows map-side, "
+        "but partial agg folds them to group rows before the exchange "
+        "(measured ~0.03x the scan)"
+    ),
+    "cube_activity": (
+        "Expand class: cube's 4 grouping sets, same partial-agg fold "
+        "(~0.05x the scan)"
+    ),
+    "grouping_sets": (
+        "Expand class: explicit GROUPING SETS, partial-agg fold "
+        "(~0.2x the scan)"
+    ),
+    "q16_supplier_part_count": (
+        "Expand class: countDistinct over a filtered part-supplier "
+        "join - distinct folds map-side, exchanges stay ~0.4x the scan"
+    ),
 }
 
 def audit_one(spark, name: str, sf_dir: str) -> dict:
