@@ -564,8 +564,11 @@ def minhash_levenshtein_pairs(
     sig = minhash_signatures(df, text_col, id_col, n=n, k=k, hash_fn=hash_fn)
     cand = _minhash_band_candidates(sig, id_col, k, bands, hash_fn)
     # re-attach TEXT to candidate pairs only; spread the pair frame so
-    # the per-pair dynamic programs don't serialize in one task (the
-    # same measured 10x as levenshtein_near_pairs' probe side)
+    # the per-pair dynamic programs don't serialize in one
+    # AQE-coalesced task (the same measured 10x as
+    # levenshtein_near_pairs' probe side). force=True: cand is a
+    # post-shuffle frame, and the partition-count probe would
+    # materialize the whole candidate join at plan time under AQE
     ta = df.select(
         F.col(id_col).alias("doc_a"), F.col(text_col).alias("__ta")
     )
@@ -574,7 +577,7 @@ def minhash_levenshtein_pairs(
     )
     dist = F.levenshtein("__ta", "__tb", max_dist + 1)
     return (
-        spread(cand)
+        spread(cand, force=True)
         .join(ta, "doc_a")
         .join(tb, "doc_b")
         .select("doc_a", "doc_b", dist.alias("edit_dist"))

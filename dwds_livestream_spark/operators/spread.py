@@ -27,16 +27,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def spread(df: DataFrame, min_fraction: float = 1.0) -> DataFrame:
+def spread(
+    df: DataFrame, min_fraction: float = 1.0, force: bool = False
+) -> DataFrame:
     """Ensure at least ``min_fraction * defaultParallelism`` partitions.
 
-    Plan-time check only (``rdd.getNumPartitions`` plans, runs nothing).
+    ``force=False`` probes ``rdd.getNumPartitions`` and skips the
+    repartition when the plan already has enough splits. That probe is
+    free ONLY on scan-side plans (projection/explode over a source):
+    under AQE, ``df.rdd`` MATERIALIZES every shuffle stage in the plan
+    to finalize partitioning — on a post-shuffle frame the whole
+    upstream computation runs at plan-build time and again at query
+    time (measured: the minhash-levenshtein candidate join billed 8.3s
+    of bench "setup" this way). Pass ``force=True`` for post-shuffle
+    frames: one unconditional exchange of (usually tiny) rows, which
+    also deliberately overrides AQE's small-output coalescing right
+    before a CPU-dense per-row stage — the exact case spread exists
+    for.
     """
     target = int(
         df.sparkSession.sparkContext.defaultParallelism * min_fraction
     )
     if target <= 1:
         return df
-    if df.rdd.getNumPartitions() >= target:
+    if not force and df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
