@@ -129,6 +129,52 @@ def decontaminate(
     )
 
 
+def contamination_matrix(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    bench_group_col: str = "source",
+) -> DataFrame:
+    """``decontaminate`` generalized to curation telemetry: for every
+    (corpus source, benchmark source) pair, how many corpus documents
+    share at least one word n-gram with that benchmark slice, and how
+    many (doc, distinct-shingle) overlap hits there are in total.
+    Output: source, bench_source, n_docs, n_overlap.
+
+    Same scale shape as decontaminate: the benchmark (shingle,
+    bench_source) pairs are DISTINCT'd and broadcast (eval sets are
+    MBs against a 100 TB corpus), the corpus scan stays shuffle-free,
+    and the probe-join output folds map-side twice — first to
+    (doc, bench_source) rows, then to the |sources x bench_sources|
+    matrix — so no countDistinct Expand ever touches fact-scale rows.
+    """
+    bench_shingles = (
+        _with_shingle_hashes(benchmark, text_col, n)
+        .select(
+            F.explode("__shh").alias("s"),
+            F.col(bench_group_col).alias("bench_source"),
+        )
+        .distinct()
+    )
+    doc_shingles = _with_shingle_hashes(docs, text_col, n).select(
+        F.col(id_col),
+        F.col(group_col).alias("source"),
+        F.explode("__shh").alias("s"),
+    )
+    per_doc = (
+        doc_shingles.join(F.broadcast(bench_shingles), "s")
+        .groupBy(id_col, "source", "bench_source")
+        .agg(F.count("*").alias("hits"))
+    )
+    return per_doc.groupBy("source", "bench_source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("hits").alias("n_overlap"),
+    )
+
+
 def stratified_split(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -586,6 +586,55 @@ def minhash_levenshtein_pairs(
     )
 
 
+def incremental_dedup_replay(
+    df: DataFrame,
+    key_col: str = "fingerprint",
+    id_col: str = "doc_id",
+    batch_col: str = "batch_id",
+    batch_values: list | None = None,
+) -> DataFrame:
+    """Incremental dedup-ledger replay as ONE batch-checkable plan
+    (ROADMAP r6 candidate): batches arrive in ``batch_values`` order;
+    each batch's per-key min-id candidates anti-join the accumulated
+    keeper ledger, survivors append to it. Output: (id, batch, the
+    ledger keeper for its key) for every input row — i.e. what an
+    incremental pipeline would have assigned, computed by actually
+    replaying the increments.
+
+    Equivalence: replay keeper == global min (batch, id) per key, which
+    is what the DuckDB oracle computes with one window — a hash match
+    proves the incremental path loses/overwrites nothing at any batch
+    boundary (same argument the rollup-compaction redesign made for
+    fold boundaries).
+
+    Scale: the ledger is (key, keeper) — distinct keys, not corpus
+    rows; localCheckpoint stands in for the persisted ledger table an
+    incremental pipeline keeps between runs (bounds lineage so replay
+    length can't deepen the plan). Each step is one keyed partial agg
+    + one anti-join against the ledger; the corpus never re-shuffles
+    across steps. ``batch_values`` is explicit — batch inventories are
+    driver-sized metadata by construction.
+    """
+    if batch_values is None:
+        batch_values = [
+            r[0]
+            for r in df.select(batch_col).distinct().orderBy(batch_col).collect()
+        ]
+    ledger: DataFrame | None = None
+    for b in batch_values:
+        batch = df.where(F.col(batch_col) == b)
+        cand = batch.groupBy(key_col).agg(F.min(id_col).alias("keeper_id"))
+        new = (
+            cand
+            if ledger is None
+            else cand.join(ledger.select(key_col), key_col, "left_anti")
+        )
+        step = new.select(key_col, "keeper_id")
+        ledger = step if ledger is None else ledger.unionByName(step)
+        ledger = ledger.localCheckpoint()
+    return df.join(ledger, key_col).select(id_col, batch_col, "keeper_id")
+
+
 def paragraph_dedup(
     df: DataFrame,
     text_col: str = "text",

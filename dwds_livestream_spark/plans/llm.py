@@ -23,6 +23,7 @@ from ..functions.text import (
 from ..localrel import local_df
 from ..operators.components import connected_components
 from ..operators.curation import (
+    contamination_matrix,
     decontaminate,
     mixture_sample,
     pii_redact,
@@ -33,13 +34,19 @@ from ..operators.curation import (
 )
 from ..operators.dedup import (
     exact_dedup,
+    incremental_dedup_replay,
     levenshtein_near_pairs,
     minhash_levenshtein_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
-from ..operators.multimodal import documents_as_assets, extract_features
+from ..operators.multimodal import (
+    documents_as_assets,
+    extract_features,
+    frame_sample_plan,
+    resize_images,
+)
 from ..operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
@@ -695,6 +702,37 @@ FROM documents
 """
 
 
+def q_dedup_ledger_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup-ledger replay (ROADMAP r6 candidate, landed
+    early): documents keyed by the bag-of-words fingerprint arrive in
+    4 batches (doc_id % 4); the ledger replays them in order
+    (operators/dedup.py::incremental_dedup_replay). The oracle
+    computes the SAME keeper with one global window — a hash match
+    proves the incremental path equals the batch recompute at every
+    batch boundary."""
+    docs = _t(spark, sf_dir, "documents")
+    keyed = fingerprint(docs).withColumn(
+        "batch_id", F.pmod(F.col("doc_id"), F.lit(4))
+    )
+    return incremental_dedup_replay(
+        keyed, key_col="fingerprint", batch_values=[0, 1, 2, 3]
+    )
+
+
+ORACLE_DEDUP_LEDGER_REPLAY = r"""
+WITH h AS (
+  SELECT doc_id, doc_id % 4 AS batch_id,
+         md5(array_to_string(list_sort(list_distinct(
+           list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))),
+           ' ')) AS fp
+  FROM documents)
+SELECT doc_id, batch_id,
+       first_value(doc_id) OVER (
+         PARTITION BY fp ORDER BY batch_id, doc_id) AS keeper_id
+FROM h
+"""
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints with the engine-independent md5_32 k-gram
     hash so the full algorithm (k-gram windows, window minima, distinct,
@@ -761,6 +799,40 @@ ov AS (SELECT doc_id, count(*) AS n_overlap FROM sh JOIN bench USING (s) GROUP B
 SELECT ov.doc_id, n_overlap, n_shingles,
        ROUND(n_overlap * 1.0 / greatest(n_shingles, 1), 6) AS contamination
 FROM ov JOIN sizes USING (doc_id)
+"""
+
+
+def q_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source x benchmark-source contamination telemetry (ROADMAP r6
+    candidate, landed early): per (corpus source, benchmark source),
+    contaminated-doc count + total (doc, distinct-shingle) hits
+    against the deterministic pseudo-benchmark (doc_id % 97 == 0).
+    Benchmark pairs broadcast; corpus scan map-only; two-level fold —
+    no countDistinct Expand on fact-scale rows."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return contamination_matrix(docs, bench, n=5)
+
+
+ORACLE_CONTAMINATION_MATRIX = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+  FROM documents
+),
+sh AS (SELECT DISTINCT doc_id, source, array_to_string(w[i:i+4], ' ') AS s
+       FROM toks, unnest(range(1, greatest(len(w)-4, 0)+1)) AS t(i)),
+bench AS (SELECT DISTINCT s, source AS bench_source
+          FROM sh WHERE doc_id % 97 = 0),
+per_doc AS (
+  SELECT doc_id, sh.source, bench_source, count(*) AS hits
+  FROM sh JOIN bench USING (s)
+  GROUP BY 1, 2, 3
+)
+SELECT source, bench_source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(hits) AS BIGINT) AS n_overlap
+FROM per_doc GROUP BY 1, 2
 """
 
 
@@ -944,6 +1016,92 @@ SELECT asset_id,
                    FOR c IN counts]), 6)
        END AS byte_entropy
 FROM agg
+"""
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing over mapInPandas (ROADMAP r6 candidate,
+    landed early): the deterministic byte-fake nearest-neighbor-samples
+    each payload to an 8x8 byte grid (operators/multimodal.py::
+    resize_images; real Pillow resize behind the same schema when
+    importable). The binary output is projected to an int array
+    JVM-side (hex pair -> conv) so the oracle can rebuild the exact
+    sampled bytes from hex nibbles — same technique as
+    multimodal_features."""
+    resized = resize_images(
+        documents_as_assets(_t(spark, sf_dir, "documents")),
+        width=8,
+        height=8,
+        fake=True,
+    )
+    return resized.select(
+        "asset_id",
+        "width",
+        "height",
+        F.expr(
+            "transform(sequence(1, 64), i -> "
+            "cast(conv(substring(hex(payload), 2*i - 1, 2), 16, 10) as int))"
+        ).alias("bytes"),
+    )
+
+
+# The fake resize replicated in SQL: byte j of the output samples input
+# byte floor(j * max(n/64, 1e-9)) clamped to n-1 (Python int() on a
+# non-negative double == floor; both engines do one IEEE double
+# multiply, so the index math is bit-identical). Bytes come from hex
+# nibble pairs as in ORACLE_MULTIMODAL_FEATURES; empty payloads resize
+# to 64 zero bytes.
+ORACLE_MULTIMODAL_RESIZE = r"""
+WITH b AS (
+  SELECT doc_id AS asset_id,
+         hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+nib AS (
+  SELECT asset_id, n,
+         [(strpos('0123456789ABCDEF', substr(h, 2*i - 1, 1)) - 1) * 16
+          + strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1
+          FOR i IN range(1, n + 1)] AS ba
+  FROM b
+)
+SELECT asset_id,
+       8 AS width,
+       8 AS height,
+       [CASE WHEN n = 0 THEN 0
+             ELSE ba[least(CAST(floor(j * greatest(n / 64.0, 0.000000001))
+                                AS BIGINT), n - 1) + 1]
+        END
+        FOR j IN range(0, 64)] AS bytes
+FROM nib
+"""
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan over typed video metadata (ROADMAP r6
+    candidate, landed early): documents masquerade as video assets
+    with duration_ms = n_chars; the operator computes the frame
+    timestamps to decode (every 100 ms) purely columnar — explode over
+    an in-row sequence, no UDF, no shuffle
+    (operators/multimodal.py::frame_sample_plan)."""
+    docs = _t(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video").alias("modality"),
+        F.col("n_chars").alias("duration_ms"),
+    )
+    return frame_sample_plan(assets, every_ms=100)
+
+
+# n_frames truncates duration/every toward zero (Spark double->int
+# cast == floor for non-negative); a sub-interval duration still emits
+# frame 0 (greatest(n-1, 0)), matching the operator.
+ORACLE_FRAME_SAMPLE = r"""
+SELECT doc_id AS asset_id,
+       CAST(unnest(range(0,
+              greatest(CAST(floor(n_chars / 100.0) AS BIGINT) - 1, 0) + 1))
+            * 100 AS INT) AS frame_ts_ms
+FROM documents
 """
 
 

@@ -9,6 +9,7 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from dwds_livestream_spark.operators.curation import (
+    contamination_matrix,
     decontaminate,
     pii_redact,
     repetition_stats,
@@ -40,6 +41,56 @@ def test_decontaminate_flags_overlap(docs):
     assert by_id[1].contamination == 1.0
     assert by_id[2].n_overlap == 1
     assert 0 < by_id[2].contamination < 1
+
+
+def test_contamination_matrix_counts(spark):
+    """Matrix cells are (contaminated-doc count, total per-doc distinct
+    shingle hits) per (corpus source, bench source) — hand-checkable on
+    a corpus where every overlap is planted."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="web", text="a b c d e f g h"),
+            Row(doc_id=2, source="web", text="a b c d e x y z"),
+            Row(doc_id=3, source="book", text="a b c d e p q r"),
+            Row(doc_id=4, source="book", text="m n o p q r s t"),
+        ]
+    )
+    bench = spark.createDataFrame(
+        [Row(doc_id=9, source="eval", text="a b c d e")]
+    )
+    out = {
+        (r.source, r.bench_source): (r.n_docs, r.n_overlap)
+        for r in contamination_matrix(docs, bench, n=5).collect()
+    }
+    # docs 1-3 each share exactly the one bench 5-gram; doc 4 is clean
+    assert out == {("web", "eval"): (2, 2), ("book", "eval"): (1, 1)}
+
+
+def test_contamination_matrix_sums_match_decontaminate(spark):
+    """With a single-source benchmark, the matrix marginals must equal
+    decontaminate's per-doc output aggregated by corpus source — the
+    matrix is telemetry over the same join, not a new definition."""
+    from dwds_livestream_spark.plans.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0).withColumn(
+        "source", F.lit("eval")
+    )
+    per_doc = decontaminate(docs, bench, n=5)
+    want = {
+        (r.source, "eval"): (r.n_docs, r.n_overlap)
+        for r in per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"), F.sum("n_overlap").alias("n_overlap")
+        )
+        .collect()
+    }
+    got = {
+        (r.source, r.bench_source): (r.n_docs, r.n_overlap)
+        for r in contamination_matrix(docs, bench, n=5).collect()
+    }
+    assert got == want and got
 
 
 def test_stratified_split_deterministic_and_total(docs, spark):

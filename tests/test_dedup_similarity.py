@@ -403,6 +403,56 @@ def test_minhash_levenshtein_composition(spark, documents, hash_fn):
     assert recall >= 0.95, f"composition recall {recall} on {len(want)}"
 
 
+def test_incremental_dedup_replay_keeps_earliest_batch(spark):
+    """The load-bearing ledger semantic: once a key enters the ledger,
+    LATER batches cannot replace its keeper — even with a smaller id.
+    Keeper must be min (batch, id), never global min id."""
+    from dwds_livestream_spark.operators.dedup import (
+        incremental_dedup_replay,
+    )
+
+    rows = [
+        # key k1: batch 1 holds ids 50/60 -> keeper 50; batch 2's id 10
+        # is SMALLER but arrives later and must NOT take over
+        (50, 1, "k1"),
+        (60, 1, "k1"),
+        (10, 2, "k1"),
+        # key k2: only in batch 0
+        (7, 0, "k2"),
+        # key k3: appears in batches 0 and 2
+        (99, 0, "k3"),
+        (3, 2, "k3"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "batch_id", "fingerprint"])
+    got = {
+        r.doc_id: (r.batch_id, r.keeper_id)
+        for r in incremental_dedup_replay(
+            df, key_col="fingerprint", batch_values=[0, 1, 2]
+        ).collect()
+    }
+    assert got == {
+        50: (1, 50),
+        60: (1, 50),
+        10: (2, 50),
+        7: (0, 7),
+        99: (0, 99),
+        3: (2, 99),
+    }
+
+
+def test_incremental_dedup_replay_infers_batches(spark):
+    # batch_values=None discovers the ordered batch inventory itself
+    from dwds_livestream_spark.operators.dedup import (
+        incremental_dedup_replay,
+    )
+
+    df = spark.createDataFrame(
+        [(5, 1, "a"), (4, 0, "a")], ["doc_id", "batch_id", "fingerprint"]
+    )
+    out = incremental_dedup_replay(df, key_col="fingerprint").collect()
+    assert {r.keeper_id for r in out} == {4}
+
+
 def _cluster_pairs(df, id_col="vec_id"):
     from itertools import combinations
 
