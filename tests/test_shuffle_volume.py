@@ -68,7 +68,34 @@ def test_distributed_rank_shuffles_each_row_about_once(spark):
     assert r["shuffle_records"] < r["scan_rows"] * 1.5, r
 
 
-@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_simhash"])
+@pytest.mark.parametrize("name", ["multimodal_resize", "frame_sample"])
+def test_multimodal_plumbing_is_map_only(spark, name):
+    # decode/resize/frame-plan are pure per-row transforms: any
+    # exchange here is a plan regression, not a semantic need
+    r = _measure(spark, name)
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] == 0, r
+
+
+def test_contamination_matrix_folds_before_exchange(spark):
+    r = _measure(spark, "contamination_matrix")
+    # bench shingles broadcast; only per-doc hit rows + the
+    # |sources x bench_sources| matrix cross an exchange
+    assert r["broadcast_bytes"] > 0
+    assert r["shuffle_records"] < max(500, r["scan_rows"]), r
+
+
+def test_ledger_replay_shuffles_keys_not_corpus(spark):
+    r = _measure(spark, "dedup_ledger_replay")
+    # each replay step exchanges (key, keeper) candidate rows only;
+    # the corpus crosses once for the final keeper join
+    assert r["shuffle_records"] < r["scan_rows"], r
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_minhash_lsh", "dedup_simhash", "dedup_minhash_levenshtein"],
+)
 def test_banded_dedup_never_shuffles_corpus_text(spark, name):
     r = _measure(spark, name)
     # bucket keys + candidates are rows; the corpus text column would
