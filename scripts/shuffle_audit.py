@@ -96,6 +96,24 @@ AUDITS: dict[str, str] = {
         "density (1.9x time at 10x data vs the length-banded "
         "baseline's 42x, SCALE_SF1.md)"
     ),
+    "contamination_matrix": (
+        "source x bench-source telemetry: bench (shingle, source) "
+        "pairs broadcast; only per-doc hit rows + the matrix cells "
+        "cross an exchange - the corpus scan never shuffles"
+    ),
+    "dedup_ledger_replay": (
+        "incremental keeper-ledger replay: each batch step exchanges "
+        "(key, keeper) candidates only; the corpus crosses one "
+        "exchange for the final keeper join"
+    ),
+    "multimodal_resize": (
+        "mapInPandas resize is a pure per-row transform: ZERO rows "
+        "shuffled off the asset scan"
+    ),
+    "frame_sample": (
+        "columnar frame-timestamp plan (explode over an in-row "
+        "sequence): ZERO rows shuffled"
+    ),
     # the Expand class (r4 q21 lesson): rollup/cube/grouping-sets and
     # countDistinct plan an Expand that multiplies rows BEFORE the
     # exchange - but partial aggregation runs under it, so a healthy
