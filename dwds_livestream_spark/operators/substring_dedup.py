@@ -55,6 +55,7 @@ def duplicate_spans(
     id_col: str = "doc_id",
     broadcast_dups: bool = True,
     hash_grams: bool = True,
+    min_docs: int | None = None,
 ) -> DataFrame:
     """Maximal duplicated token spans per document.
 
@@ -62,6 +63,15 @@ def duplicate_spans(
     (exclusive), span_tokens = span_end - span_start (>= ``length``).
     ``hash_grams=False`` keys grams by their text (collision-free; the
     oracle formulation) instead of xxhash64.
+
+    ``min_docs`` switches to CROSS-DOCUMENT mode: a gram qualifies only
+    when it occurs in >= ``min_docs`` DISTINCT documents (``min_count``
+    is ignored), so a phrase repeated many times inside one boilerplate
+    document no longer marks that document — only corpus-level template
+    text does. The distinct-doc count is pre-folded to distinct
+    (gram, doc) pairs BEFORE the count (the q21 lesson: no
+    countDistinct/Expand over the exploded window set — the second
+    aggregate sees at most one row per gram per document).
     """
     toks = tokens(F.col(text_col))
     key = (
@@ -79,12 +89,22 @@ def duplicate_spans(
             F.posexplode(grams).alias("pos", "gram"),
         )
     )
-    dups = (
-        win.groupBy("gram")
-        .agg(F.count("*").alias("n"))
-        .where(F.col("n") >= min_count)
-        .select("gram")
-    )
+    if min_docs is not None:
+        dups = (
+            win.select("gram", "doc_id")
+            .distinct()
+            .groupBy("gram")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") >= min_docs)
+            .select("gram")
+        )
+    else:
+        dups = (
+            win.groupBy("gram")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") >= min_count)
+            .select("gram")
+        )
     if broadcast_dups:
         dups = F.broadcast(dups)
     hits = win.join(dups, "gram").select("doc_id", "pos")

@@ -1512,6 +1512,59 @@ FROM sp GROUP BY doc_id, span_id
 """
 
 
+CROSS_DOC_SPAN_LENGTH = 4
+CROSS_DOC_MIN_DOCS = 3
+
+
+def q_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span coverage (ROADMAP r6 candidate):
+    duplicate_spans in min_docs mode — a 4-token gram qualifies only
+    when it appears in >= 3 DISTINCT documents, so single-document
+    boilerplate repetition never marks spans; only corpus-level
+    template text does. The distinct-doc count is pre-folded to
+    distinct (gram, doc) pairs before counting (no countDistinct
+    Expand over the exploded window set)."""
+    from ..operators.substring_dedup import duplicate_spans
+
+    return duplicate_spans(
+        _t(spark, sf_dir, "documents"),
+        length=CROSS_DOC_SPAN_LENGTH,
+        min_docs=CROSS_DOC_MIN_DOCS,
+    )
+
+
+ORACLE_CROSS_DOC_SPANS = rf"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+  FROM documents),
+w AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         array_to_string(toks[i : i + {CROSS_DOC_SPAN_LENGTH} - 1], ' ') AS gram
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - {CROSS_DOC_SPAN_LENGTH} + 1)) AS i
+        FROM d WHERE len(toks) >= {CROSS_DOC_SPAN_LENGTH})),
+dup AS (
+  SELECT gram
+  FROM (SELECT DISTINCT gram, doc_id FROM w)
+  GROUP BY gram HAVING count(*) >= {CROSS_DOC_MIN_DOCS}),
+hits AS (SELECT doc_id, pos FROM w JOIN dup USING (gram)),
+s AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER dw IS NULL
+                OR pos - lag(pos) OVER dw > {CROSS_DOC_SPAN_LENGTH}
+              THEN 1 ELSE 0 END AS ns
+  FROM hits WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+sp AS (SELECT doc_id, pos,
+              sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+       FROM s)
+SELECT doc_id, min(pos) AS span_start,
+       CAST(max(pos) + {CROSS_DOC_SPAN_LENGTH} AS INT) AS span_end,
+       CAST(max(pos) + {CROSS_DOC_SPAN_LENGTH} - min(pos) AS INT) AS span_tokens
+FROM sp GROUP BY doc_id, span_id
+"""
+
+
 # ------------------------------------------ data selection / tokenizer
 DSIR_TARGET = ["src0", "src1", "src2"]
 

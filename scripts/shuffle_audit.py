@@ -136,6 +136,12 @@ AUDITS: dict[str, str] = {
         "Expand class: countDistinct over a filtered part-supplier "
         "join - distinct folds map-side, exchanges stay ~0.4x the scan"
     ),
+    "cross_doc_spans": (
+        "cross-document span dedup: exchanges carry (gram-hash, doc, "
+        "pos) triples and the distinct (gram, doc) pre-fold - the "
+        "8-byte xxhash64 key rides the wide shuffle, never the gram "
+        "text, and the dup-gram set broadcasts back"
+    ),
 }
 
 def audit_one(spark, name: str, sf_dir: str) -> dict:

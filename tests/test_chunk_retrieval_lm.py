@@ -147,6 +147,52 @@ def test_duplicate_spans_merges_overlapping_coverage(spark):
     assert [(r.span_start, r.span_end) for r in d3] == [(0, 6)]
 
 
+def test_cross_doc_spans_ignores_single_doc_repetition(spark):
+    boiler = " ".join(f"b{i}" for i in range(4))  # 4-token phrase
+    shared = " ".join(f"s{i}" for i in range(6))  # cross-doc 6-token run
+    docs = _docs(
+        spark,
+        [
+            # boiler repeats TWICE inside doc 1 only: plain
+            # duplicate_spans marks it, cross-doc mode must not
+            (1, boiler + " " + boiler + " " + shared),
+            (2, "v1 v2 " + shared + " v3"),
+        ],
+    )
+    plain = duplicate_spans(docs, length=4).collect()
+    cross = duplicate_spans(docs, length=4, min_docs=2).collect()
+    plain_d1 = sorted((r.span_start, r.span_end) for r in plain if r.doc_id == 1)
+    cross_d1 = sorted((r.span_start, r.span_end) for r in cross if r.doc_id == 1)
+    # plain: boiler coverage [0,8) merges with shared [8,14) -> [0,14)
+    assert plain_d1 == [(0, 14)]
+    # cross-doc: only the shared run, at offsets [8,14) in doc 1
+    assert cross_d1 == [(8, 14)]
+    assert sorted((r.span_start, r.span_end) for r in cross if r.doc_id == 2) == [
+        (2, 8)
+    ]
+
+
+def test_cross_doc_spans_hash_equals_text_keys(spark):
+    shared = " ".join(f"s{i}" for i in range(9))
+    docs = _docs(
+        spark,
+        [(i, f"p{i} {shared} q{i}") for i in range(5)],
+    )
+    a = sorted(
+        map(
+            tuple,
+            duplicate_spans(docs, length=8, min_docs=2, hash_grams=True).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            duplicate_spans(docs, length=8, min_docs=2, hash_grams=False).collect(),
+        )
+    )
+    assert a == b and len(a) == 5
+
+
 def test_duplicate_spans_hash_equals_text_keys(spark):
     docs = _docs(
         spark,

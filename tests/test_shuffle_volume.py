@@ -104,6 +104,15 @@ def test_banded_dedup_never_shuffles_corpus_text(spark, name):
         assert r["shuffle_bytes"] / r["shuffle_records"] < 256, r
 
 
+@pytest.mark.parametrize("name", ["duplicate_spans", "cross_doc_spans"])
+def test_span_dedup_shuffles_hashes_not_gram_text(spark, name):
+    r = _measure(spark, name)
+    # the wide exchange carries (xxhash64, doc_id, pos) triples — an
+    # 8-token gram TEXT key would multiply the per-row cost several-fold
+    assert r["shuffle_records"] > 0, r
+    assert r["shuffle_bytes"] / r["shuffle_records"] < 256, r
+
+
 def test_q21_pair_fold_bounds_shuffle_near_scan(spark):
     r = _measure(spark, "q21_sole_returner")
     # r4 rewrite: lineitem folds to distinct (order,supp) pairs BEFORE
