@@ -148,13 +148,31 @@ def test_triangle_count_orientation_caps_wedges(spark):
 @pytest.mark.parametrize(
     "name",
     [
+        # the full shuffle-audited set (scripts/shuffle_audit.py
+        # AUDITS): every plan whose exchange volume SHUFFLE.md pins
+        # must also spill zero bytes at test scale
         "events_enrich",
         "q1_pricing_summary",
+        "events_per_hour",
         "spend_gini",
         "decontaminate",
         "q21_sole_returner",
         "pagerank_trade",
         "triangle_count",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_minhash_levenshtein",
+        "asof_latest_order",
+        "embedding_covariance",
+        "contamination_matrix",
+        "dedup_ledger_replay",
+        "multimodal_resize",
+        "frame_sample",
+        "rollup_revenue",
+        "cube_activity",
+        "grouping_sets",
+        "q16_supplier_part_count",
+        "cross_doc_spans",
     ],
 )
 def test_no_spill_at_working_scale(spark, name):
