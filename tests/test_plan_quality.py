@@ -294,3 +294,16 @@ def test_topk_windows_get_group_limit_pushdown(spark, sf_dir):
     for q in (A.q_top_parts_per_brand, A.q_trending_topk):
         plan = _plan(q(spark, sf_dir))
         assert "WindowGroupLimit" in plan, q.__name__
+
+
+def test_cross_doc_spans_prefolds_distinct_no_expand(spark, sf_dir):
+    """cross_doc_spans' distinct-doc count must come from a distinct
+    (gram, doc) pre-fold (two plain hash aggregates), never a
+    countDistinct Expand over the exploded window set — Expand would
+    multiply the widest shuffle of the plan (the q21 lesson)."""
+    from dwds_livestream_spark.plans import llm as L
+
+    plan = _plan(L.q_cross_doc_spans(spark, sf_dir))
+    assert "Expand" not in plan
+    # the dup-gram set must broadcast back onto the window frame
+    assert "BroadcastHashJoin" in plan
