@@ -86,11 +86,21 @@ def main() -> None:
     for name in [n for n, t in timings.items() if t > SPIKE_SEC]:
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).count()
+        df = QUERIES[name](spark, sf_dir)
+        t1 = time.perf_counter()
+        df.count()
         t2 = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
         retried[name] = [timings[name], t2]
-        timings[name] = min(timings[name], t2)
+        if t2 < timings[name]:
+            # the retry becomes the reported run, so its setup must be
+            # the reported setup too — otherwise setup_sec can exceed
+            # the query total and break the "subset of the total"
+            # contract consumers rely on for build-vs-query attribution
+            timings[name] = t2
+            setup_sec.pop(name, None)
+            if t1 - t0 > 0.25:
+                setup_sec[name] = round(t1 - t0, 3)
 
     total = round(sum(timings.values()), 3)
     result = {

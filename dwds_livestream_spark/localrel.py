@@ -35,7 +35,7 @@ def local_df(
 
         pdf = pd.DataFrame(list(rows))
         return spark.createDataFrame(pdf, schema)
-    except Exception:
+    except Exception as exc:
         # The fallback exists for data Arrow/pandas can't represent
         # (e.g. mixed None patterns in nested types), but it silently
         # reintroduces the multi-second pickled-RDD scan tax the
@@ -47,7 +47,8 @@ def local_df(
         warnings.warn(
             "localrel.local_df: Arrow LocalRelation conversion failed; "
             "falling back to the pickled-RDD createDataFrame path "
-            f"(slow at scan time). schema={schema!r}",
+            f"(slow at scan time). schema={schema!r} "
+            f"cause={type(exc).__name__}: {exc}",
             RuntimeWarning,
             stacklevel=2,
         )

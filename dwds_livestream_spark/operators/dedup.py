@@ -246,6 +246,10 @@ def _minhash_band_candidates(
     rows — never the k-int signatures (that would shuffle |docs·bands|
     kB-sized rows); consumers re-attach whatever payload they need
     (signatures, text) to the far fewer candidate pairs afterwards."""
+    # guard here (not only in minhash_lsh_pairs) so every consumer —
+    # minhash_levenshtein_pairs included — fails fast instead of
+    # silently truncating the signature to bands*(k//bands) positions
+    assert k % bands == 0
     r = k // bands
     if hash_fn == "md5_64":
         band_key = lambda sl: F.md5(  # noqa: E731
@@ -597,9 +601,13 @@ def incremental_dedup_replay(
     (ROADMAP r6 candidate): batches arrive in ``batch_values`` order;
     each batch's per-key min-id candidates anti-join the accumulated
     keeper ledger, survivors append to it. Output: (id, batch, the
-    ledger keeper for its key) for every input row — i.e. what an
-    incremental pipeline would have assigned, computed by actually
-    replaying the increments.
+    ledger keeper for its key) for every row of the REPLAYED batches —
+    i.e. what an incremental pipeline would have assigned, computed by
+    actually replaying the increments. Rows from batches outside
+    ``batch_values`` are not part of the replay and are excluded
+    explicitly (a key seen only there has no ledger entry — joining
+    them would silently drop or misassign, so the output universe is
+    pinned to the replayed batches).
 
     Equivalence: replay keeper == global min (batch, id) per key, which
     is what the DuckDB oracle computes with one window — a hash match
@@ -620,6 +628,11 @@ def incremental_dedup_replay(
             r[0]
             for r in df.select(batch_col).distinct().orderBy(batch_col).collect()
         ]
+    if not batch_values:
+        raise ValueError(
+            "incremental_dedup_replay needs at least one batch to "
+            "replay (batch_values is empty)"
+        )
     ledger: DataFrame | None = None
     for b in batch_values:
         batch = df.where(F.col(batch_col) == b)
@@ -632,7 +645,10 @@ def incremental_dedup_replay(
         step = new.select(key_col, "keeper_id")
         ledger = step if ledger is None else ledger.unionByName(step)
         ledger = ledger.localCheckpoint()
-    return df.join(ledger, key_col).select(id_col, batch_col, "keeper_id")
+    replayed = df.where(F.col(batch_col).isin(batch_values))
+    return replayed.join(ledger, key_col).select(
+        id_col, batch_col, "keeper_id"
+    )
 
 
 def paragraph_dedup(

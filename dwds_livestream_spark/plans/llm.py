@@ -580,6 +580,16 @@ SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= {k}
 """
 
 
+# Precision note (review finding, round 5): the bucket BITS are exact
+# integers cross-engine, but the final rank rides ROUND(cosine, 6) —
+# numpy GEMM accumulation on the Spark side vs sequential SUM in
+# DuckDB. Measured: embedding components are full-precision floats
+# (no decimal grid), so a 6dp boundary hit needs the true cosine
+# within ~1e-14 of a 5e-7 grid point — ~1e-8 per candidate pair,
+# ~1e-5 per driver run; not the structured-boundary class that made
+# seasonal_decompose flake. Accepted as-is; if it ever trips, the fix
+# is fixed-point cosine rank (scaled-int dot products), not a wider
+# ROUND.
 ORACLE_SIMILARITY_LSH_TOPK = _oracle_similarity_lsh_topk()
 
 
@@ -1053,9 +1063,11 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to 64 zero bytes.
 ORACLE_MULTIMODAL_RESIZE = r"""
 WITH b AS (
+  -- coalesce matches the operator's bytes(payload or b''): a NULL
+  -- text resizes to 64 zero bytes, not 64 NULLs
   SELECT doc_id AS asset_id,
-         hex(encode(text)) AS h,
-         octet_length(encode(text)) AS n
+         hex(encode(coalesce(text, ''))) AS h,
+         octet_length(encode(coalesce(text, ''))) AS n
   FROM documents
 ),
 nib AS (
@@ -1483,33 +1495,44 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(_t(spark, sf_dir, "documents"), length=SPAN_LENGTH)
 
 
-ORACLE_DUPLICATE_SPANS = rf"""
+def _span_oracle(length: int, dup_cte: str) -> str:
+    """Shared generator for the span-dedup oracles: tokenization,
+    window-gram build, coverage-merge window and span aggregation are
+    identical for every qualification rule; only the dup-gram CTE
+    differs. One body, so a fix to the merge logic cannot diverge
+    between the plain and cross-document variants."""
+    return rf"""
 WITH d AS (
   SELECT doc_id,
          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
   FROM documents),
 w AS (
   SELECT doc_id, CAST(i - 1 AS INT) AS pos,
-         array_to_string(toks[i : i + {SPAN_LENGTH} - 1], ' ') AS gram
+         array_to_string(toks[i : i + {length} - 1], ' ') AS gram
   FROM (SELECT doc_id, toks,
-               unnest(generate_series(1, len(toks) - {SPAN_LENGTH} + 1)) AS i
-        FROM d WHERE len(toks) >= {SPAN_LENGTH})),
-dup AS (SELECT gram FROM w GROUP BY gram HAVING count(*) >= 2),
+               unnest(generate_series(1, len(toks) - {length} + 1)) AS i
+        FROM d WHERE len(toks) >= {length})),
+dup AS ({dup_cte}),
 hits AS (SELECT doc_id, pos FROM w JOIN dup USING (gram)),
 s AS (
   SELECT doc_id, pos,
          CASE WHEN lag(pos) OVER dw IS NULL
-                OR pos - lag(pos) OVER dw > {SPAN_LENGTH}
+                OR pos - lag(pos) OVER dw > {length}
               THEN 1 ELSE 0 END AS ns
   FROM hits WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
 sp AS (SELECT doc_id, pos,
               sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
        FROM s)
 SELECT doc_id, min(pos) AS span_start,
-       CAST(max(pos) + {SPAN_LENGTH} AS INT) AS span_end,
-       CAST(max(pos) + {SPAN_LENGTH} - min(pos) AS INT) AS span_tokens
+       CAST(max(pos) + {length} AS INT) AS span_end,
+       CAST(max(pos) + {length} - min(pos) AS INT) AS span_tokens
 FROM sp GROUP BY doc_id, span_id
 """
+
+
+ORACLE_DUPLICATE_SPANS = _span_oracle(
+    SPAN_LENGTH, "SELECT gram FROM w GROUP BY gram HAVING count(*) >= 2"
+)
 
 
 CROSS_DOC_SPAN_LENGTH = 4
@@ -1533,36 +1556,11 @@ def q_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_CROSS_DOC_SPANS = rf"""
-WITH d AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
-  FROM documents),
-w AS (
-  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
-         array_to_string(toks[i : i + {CROSS_DOC_SPAN_LENGTH} - 1], ' ') AS gram
-  FROM (SELECT doc_id, toks,
-               unnest(generate_series(1, len(toks) - {CROSS_DOC_SPAN_LENGTH} + 1)) AS i
-        FROM d WHERE len(toks) >= {CROSS_DOC_SPAN_LENGTH})),
-dup AS (
-  SELECT gram
-  FROM (SELECT DISTINCT gram, doc_id FROM w)
-  GROUP BY gram HAVING count(*) >= {CROSS_DOC_MIN_DOCS}),
-hits AS (SELECT doc_id, pos FROM w JOIN dup USING (gram)),
-s AS (
-  SELECT doc_id, pos,
-         CASE WHEN lag(pos) OVER dw IS NULL
-                OR pos - lag(pos) OVER dw > {CROSS_DOC_SPAN_LENGTH}
-              THEN 1 ELSE 0 END AS ns
-  FROM hits WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
-sp AS (SELECT doc_id, pos,
-              sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
-       FROM s)
-SELECT doc_id, min(pos) AS span_start,
-       CAST(max(pos) + {CROSS_DOC_SPAN_LENGTH} AS INT) AS span_end,
-       CAST(max(pos) + {CROSS_DOC_SPAN_LENGTH} - min(pos) AS INT) AS span_tokens
-FROM sp GROUP BY doc_id, span_id
-"""
+ORACLE_CROSS_DOC_SPANS = _span_oracle(
+    CROSS_DOC_SPAN_LENGTH,
+    "SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM w) "
+    f"GROUP BY gram HAVING count(*) >= {CROSS_DOC_MIN_DOCS}",
+)
 
 
 # ------------------------------------------ data selection / tokenizer
