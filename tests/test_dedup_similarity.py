@@ -453,6 +453,56 @@ def test_incremental_dedup_replay_infers_batches(spark):
     assert {r.keeper_id for r in out} == {4}
 
 
+def test_incremental_dedup_replay_pins_output_to_replayed_batches(spark):
+    """Partial replay: rows from batches outside batch_values are not
+    part of the replay and must be EXCLUDED — before the fix, a key
+    seen only outside the replayed batches silently vanished from the
+    output via the inner ledger join, while its batch-mates with
+    replayed keys got (mis)assigned."""
+    from dwds_livestream_spark.operators.dedup import (
+        incremental_dedup_replay,
+    )
+
+    rows = [
+        (1, 0, "a"),
+        (2, 1, "a"),  # same key in an unreplayed batch
+        (3, 1, "b"),  # key ONLY in the unreplayed batch
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "batch_id", "fingerprint"])
+    got = {
+        r.doc_id: r.keeper_id
+        for r in incremental_dedup_replay(
+            df, key_col="fingerprint", batch_values=[0]
+        ).collect()
+    }
+    assert got == {1: 1}  # batch-1 rows excluded wholesale, not mixed
+
+
+def test_incremental_dedup_replay_rejects_empty_batch_list(spark):
+    from dwds_livestream_spark.operators.dedup import (
+        incremental_dedup_replay,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0, "a")], ["doc_id", "batch_id", "fingerprint"]
+    )
+    with pytest.raises(ValueError, match="at least one batch"):
+        incremental_dedup_replay(df, key_col="fingerprint", batch_values=[])
+
+
+def test_banded_candidates_reject_nondivisible_bands(spark, documents):
+    # both banded consumers must fail fast on k % bands != 0 rather
+    # than silently truncating the signature (recall loss)
+    from dwds_livestream_spark.operators.dedup import (
+        minhash_levenshtein_pairs,
+        minhash_lsh_pairs,
+    )
+
+    for fn in (minhash_lsh_pairs, minhash_levenshtein_pairs):
+        with pytest.raises(AssertionError):
+            fn(documents, k=128, bands=30).collect()
+
+
 def _cluster_pairs(df, id_col="vec_id"):
     from itertools import combinations
 
