@@ -142,6 +142,21 @@ AUDITS: dict[str, str] = {
         "8-byte xxhash64 key rides the wide shuffle, never the gram "
         "text, and the dup-gram set broadcasts back"
     ),
+    "lineitem_unpivot": (
+        "Expand class: unpivot IS a 4x Expand but purely map-side - a "
+        "projection with no aggregate or join behind it, so NOTHING "
+        "shuffles; the date filter prunes the scan first"
+    ),
+    "events_profile": (
+        "Expand class: the 5-column multi-countDistinct compiles to "
+        "one 6-way Expand, but per-column distinct folds map-side - "
+        "the exchange carries distinct partials, not 6x the scan"
+    ),
+    "trending_topk": (
+        "Expand class: the 4x sliding-window assignment expands "
+        "map-side BEFORE partial agg - the exchange carries (window, "
+        "type) count rows, and top-3 runs under WindowGroupLimit"
+    ),
 }
 
 def audit_one(spark, name: str, sf_dir: str) -> dict:

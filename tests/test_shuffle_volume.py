@@ -113,6 +113,41 @@ def test_span_dedup_shuffles_hashes_not_gram_text(spark, name):
     assert r["shuffle_bytes"] / r["shuffle_records"] < 256, r
 
 
+def test_unpivot_expand_is_map_only(spark):
+    r = _measure(spark, "lineitem_unpivot")
+    # unpivot IS a 4x Expand, but a pure projection: nothing may shuffle
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] == 0, r
+
+
+def test_events_profile_distinct_partials_fold_below_expand_factor(spark):
+    r = _measure(spark, "events_profile")
+    # the 6-way multi-countDistinct Expand must fold map-side: the
+    # exchange carries per-column distinct partials (~sum of column
+    # cardinalities, measured 2.2x at sf0.1), never the 6x Expand blowup
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] < r["scan_rows"] * 3.5, r
+
+
+def test_trending_topk_window_expand_folds_to_group_rows(spark):
+    from pyspark.sql import functions as F
+
+    r = _measure(spark, "trending_topk")
+    # the 4x sliding-window Expand happens before partial agg; what
+    # crosses the exchanges is (window, type) GROUP rows (partial-agg
+    # output + the rank window's re-shuffle of the same rows), never
+    # the 4x expanded fact rows. At tiny sf the group count exceeds the
+    # scan, so the bound is per-group, not per-scan-row.
+    groups = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .count()
+        .count()
+    )
+    assert r["scan_rows"] > 0 and groups > 0
+    assert r["shuffle_records"] < groups * 2.5, (r, groups)
+
+
 def test_q21_pair_fold_bounds_shuffle_near_scan(spark):
     r = _measure(spark, "q21_sole_returner")
     # r4 rewrite: lineitem folds to distinct (order,supp) pairs BEFORE
@@ -173,6 +208,9 @@ def test_triangle_count_orientation_caps_wedges(spark):
         "grouping_sets",
         "q16_supplier_part_count",
         "cross_doc_spans",
+        "lineitem_unpivot",
+        "events_profile",
+        "trending_topk",
     ],
 )
 def test_no_spill_at_working_scale(spark, name):
