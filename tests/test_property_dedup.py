@@ -1,6 +1,7 @@
-"""Property-based semantics check (hypothesis): duplicate_spans in
-both modes (corpus-occurrence min_count and cross-document min_docs)
-against a brute-force Python reference on random tiny corpora.
+"""Property-based semantics checks (hypothesis) for the dedup
+family: duplicate_spans in both modes (corpus-occurrence min_count
+and cross-document min_docs) and the incremental ledger replay,
+each against a brute-force Python reference on random inputs.
 
 A 3-token alphabet makes repeated grams common, so random cases hit
 the interesting shapes: overlapping coverage merges, adjacent-window
@@ -56,6 +57,54 @@ def _ref_spans(docs, length, min_count=None, min_docs=None):
         if start is not None:
             out.add((d, start, prev + length))
     return out
+
+
+replay_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=99),  # doc_id
+        st.integers(min_value=0, max_value=3),  # batch_id
+        st.sampled_from(["f0", "f1", "f2"]),  # fingerprint
+    ),
+    min_size=1,
+    max_size=20,
+    unique_by=lambda r: r[0],
+)
+replay_batches = st.lists(
+    st.sampled_from([0, 1, 2, 3]), min_size=1, max_size=4, unique=True
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(replay_rows, replay_batches)
+def test_replay_matches_min_batch_id_bruteforce(spark, rows, batches):
+    """The ledger-replay equivalence claim, randomized: for every row
+    of the replayed batches the keeper is min (batch, id) over its key
+    within those batches — replay order must equal the one-window
+    formulation the DuckDB oracle uses; rows outside the replayed
+    batches never appear."""
+    from dwds_livestream_spark.operators.dedup import (
+        incremental_dedup_replay,
+    )
+
+    df = spark.createDataFrame(rows, ["doc_id", "batch_id", "fingerprint"])
+    got = {
+        r.doc_id: r.keeper_id
+        for r in incremental_dedup_replay(
+            df, key_col="fingerprint", batch_values=sorted(batches)
+        ).collect()
+    }
+    replayed = [r for r in rows if r[1] in batches]
+    keeper = {}
+    for doc_id, batch_id, key in replayed:
+        cur = keeper.get(key)
+        if cur is None or (batch_id, doc_id) < cur:
+            keeper[key] = (batch_id, doc_id)
+    want = {doc_id: keeper[key][1] for doc_id, _, key in replayed}
+    assert got == want, (rows, batches, got, want)
 
 
 @settings(
