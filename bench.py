@@ -257,19 +257,23 @@ def _stream_latency_at_reference_rate() -> dict | None:
     # previous run's GC/page-cache wake, not the pipeline. On a miss,
     # settle and measure again (up to 3 attempts); report the better
     # run but record EVERY p95 so the retries are visible.
-    attempts: list[dict] = []
-    for _ in range(3):
+    attempts: list[dict | None] = []
+    for i in range(3):
+        if i:
+            time.sleep(5)
         r = once()
-        if r is not None:
-            attempts.append(r)
-            if r["pass"]:
-                break
-        time.sleep(5)
-    if not attempts:
+        attempts.append(r)
+        if r is not None and r["pass"]:
+            break
+    parsed = [r for r in attempts if r is not None]
+    if not parsed:
         return None
-    best = min(attempts, key=lambda r: r["p95_latency_s"])
+    best = min(parsed, key=lambda r: r["p95_latency_s"])
     if len(attempts) > 1:
-        best["p95_attempts"] = [r["p95_latency_s"] for r in attempts]
+        # every try stays visible, including unparseable ones (None)
+        best["p95_attempts"] = [
+            r["p95_latency_s"] if r is not None else None for r in attempts
+        ]
     return best
 
 

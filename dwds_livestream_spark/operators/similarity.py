@@ -356,7 +356,13 @@ def _assign_centroids_udf(centroids: np.ndarray, nprobe: int = 1):
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         scores = m @ centroids.T
         take = min(nprobe, centroids.shape[0])
-        idx = np.argsort(-scores, axis=1)[:, :take].astype(np.int64)
+        # kind="stable": exact score ties resolve to the lower cell id
+        # deterministically (default introsort guarantees no tie order),
+        # so cell probing is reproducible and matches a
+        # score-DESC-then-cell-ASC ordering in any other engine
+        idx = np.argsort(-scores, axis=1, kind="stable")[:, :take].astype(
+            np.int64
+        )
         return pd.Series(list(idx))
 
     return nearest

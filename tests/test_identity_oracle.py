@@ -89,7 +89,8 @@ def test_ivf_index_query_rederived_by_duckdb_from_index_files(
 
     con = duckdb.connect()
     # cell ranking: normalized-query dot centroids, score desc then
-    # cell asc (numpy argsort is stable over index order on ties);
+    # cell asc (_assign_centroids_udf uses a STABLE argsort, so exact
+    # ties resolve to the lower cell id — same as this ORDER BY);
     # dividing by the positive query norm never changes the order, so
     # the SQL ranks the raw dot product
     want = con.execute(
