@@ -2970,7 +2970,10 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed snapshot diff (operators/diff.py): customer vs a derived
     'next version' (every 97th key dropped, every 11th acctbal bumped,
     a shifted clone block added) — one full-outer join, |delta|-sized
-    output with per-row changed-column lists."""
+    output with per-row changed-column lists. The registry view joins
+    the (already array_sort-canonical) changed_cols array to a
+    comma-separated string — array-typed output columns kill the
+    driver's pandas canonicalizer (VERDICT r5 #3)."""
     from ..operators.diff import snapshot_diff
 
     cust = _t(spark, sf_dir, "customer").select(
@@ -2993,7 +2996,12 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return snapshot_diff(cust, new, keys=["c_custkey"]).orderBy("c_custkey")
+    d = snapshot_diff(cust, new, keys=["c_custkey"])
+    return d.select(
+        "c_custkey",
+        "change",
+        F.concat_ws(",", "changed_cols").alias("changed_cols"),
+    ).orderBy("c_custkey")
 
 
 ORACLE_SNAPSHOT_DIFF = """
@@ -3021,7 +3029,8 @@ WITH old_s AS (
 SELECT c_custkey,
        CASE WHEN added THEN 'added' WHEN removed THEN 'removed'
             WHEN len(diffs) > 0 THEN 'changed' END AS change,
-       CASE WHEN added OR removed THEN [] ELSE diffs END AS changed_cols
+       CASE WHEN added OR removed THEN ''
+            ELSE array_to_string(diffs, ',') END AS changed_cols
 FROM j
 WHERE added OR removed OR len(diffs) > 0
 ORDER BY c_custkey

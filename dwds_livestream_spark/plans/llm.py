@@ -1037,7 +1037,10 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     importable). The binary output is projected to an int array
     JVM-side (hex pair -> conv) so the oracle can rebuild the exact
     sampled bytes from hex nibbles — same technique as
-    multimodal_features."""
+    multimodal_features. posexploded to (asset_id, width, height, pos,
+    byte) rows: array-typed output columns crash the driver
+    canonicalizer (VERDICT r5 #1; caught by the canon gate BEFORE this
+    entry's first driver slot)."""
     resized = resize_images(
         documents_as_assets(_t(spark, sf_dir, "documents")),
         width=8,
@@ -1048,10 +1051,12 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id",
         "width",
         "height",
-        F.expr(
-            "transform(sequence(1, 64), i -> "
-            "cast(conv(substring(hex(payload), 2*i - 1, 2), 16, 10) as int))"
-        ).alias("bytes"),
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, 64), i -> "
+                "cast(conv(substring(hex(payload), 2*i - 1, 2), 16, 10) as int))"
+            )
+        ).alias("pos", "byte"),
     )
 
 
@@ -1080,12 +1085,13 @@ nib AS (
 SELECT asset_id,
        8 AS width,
        8 AS height,
-       [CASE WHEN n = 0 THEN 0
-             ELSE ba[least(CAST(floor(j * greatest(n / 64.0, 0.000000001))
-                                AS BIGINT), n - 1) + 1]
-        END
-        FOR j IN range(0, 64)] AS bytes
-FROM nib
+       CAST(t.range AS INT) AS pos,
+       CAST(CASE WHEN n = 0 THEN 0
+                 ELSE ba[least(CAST(floor(t.range * greatest(n / 64.0,
+                                                             0.000000001))
+                                    AS BIGINT), n - 1) + 1]
+            END AS INT) AS byte
+FROM nib, range(0, 64) t
 """
 
 
@@ -2018,12 +2024,18 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-style per-dimension affine quantization of the embedding
     corpus (operators/embedding_ops.quantize_embeddings): d-row bounds
     broadcast back as arrays, quantize as an in-row F.transform —
-    whole-stage codegen, zero corpus-side shuffle. The oracle mirrors
-    the exact floor/clamp arithmetic per (vec, dim) and re-assembles
-    arrays with list(... ORDER BY dim)."""
+    whole-stage codegen, zero corpus-side shuffle. The registry view
+    posexplodes the qvec array to (vec_id, dim, qv) rows — the driver
+    canon bans array-typed output columns (pandas sort_values dies on
+    list cells; VERDICT r5 #1) — mirroring how q_embedding_covariance
+    shapes its d² output. The oracle mirrors the exact floor/clamp
+    arithmetic per (vec, dim)."""
     from ..operators.embedding_ops import quantize_embeddings
 
-    return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    q = quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id", F.posexplode("qvec").alias("dim", "qv")
+    )
 
 
 ORACLE_EMBEDDING_QUANTIZE = """
@@ -2031,13 +2043,12 @@ WITH ex AS (
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
          CAST(unnest(embedding) AS DOUBLE) AS x
   FROM embeddings),
-b AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY dim),
-q AS (SELECT vec_id, e.dim,
-        CASE WHEN mx = mn THEN 0
-             ELSE LEAST(255, GREATEST(0,
-                  CAST(FLOOR((x - mn) / ((mx - mn) / 255)) AS INT))) END AS qv
-      FROM ex e JOIN b ON e.dim = b.dim)
-SELECT vec_id, list(qv ORDER BY dim) AS qvec FROM q GROUP BY vec_id
+b AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY dim)
+SELECT vec_id, e.dim,
+       CASE WHEN mx = mn THEN 0
+            ELSE LEAST(255, GREATEST(0,
+                 CAST(FLOOR((x - mn) / ((mx - mn) / 255)) AS INT))) END AS qv
+FROM ex e JOIN b ON e.dim = b.dim
 """
 
 
@@ -2072,7 +2083,10 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/embedding_ops.embedding_pca): distributed covariance →
     driver-side d×d eigh (sign-fixed) → broadcast-matmul projection.
     Rows-only (eigenvectors aren't SQL); numpy full-PCA parity is
-    asserted in tests/test_embedding_ops.py."""
+    asserted in tests/test_embedding_ops.py. The registry view
+    posexplodes the pc array to (vec_id, label, component, value) rows
+    — array-typed output columns kill the driver's pandas
+    canonicalizer even on the rows-only path (VERDICT r5 #2)."""
     from ..operators.embedding_ops import embedding_pca
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -2080,7 +2094,9 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id",
         "label",
-        F.transform("pc", lambda x: F.round(x, 6)).alias("pc"),
+        F.posexplode(
+            F.transform("pc", lambda x: F.round(x, 6))
+        ).alias("component", "value"),
     )
 
 

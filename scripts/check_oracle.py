@@ -81,6 +81,26 @@ def value_hash(rows: list[tuple], col_order: list[int], norm=norm_cell) -> str:
     return h.hexdigest()
 
 
+def driver_canon_ok(rows, cols, name: str, side: str) -> bool:
+    """Replicate the driver's canonicalization step FAITHFULLY: the
+    driver sorts RAW cells via pandas ``sort_values`` before hashing,
+    which raises on unhashable cells (lists/dicts from array- or
+    map-typed output columns). Round 5 lost three driver slots to
+    queries that were 'replica-green' only because norm_cell
+    stringifies list cells BEFORE sorting (VERDICT r5 gap #1). Runs on
+    rows-only entries too — the driver's weaker rows-only path dies on
+    the same cells (embedding_pca, r5)."""
+    import pandas as pd
+
+    try:
+        pdf = pd.DataFrame(rows, columns=list(cols))
+        pdf.sort_values(by=sorted(cols), kind="mergesort")
+        return True
+    except Exception as e:  # noqa: BLE001 — any raise here kills the driver
+        print(f"{name:28s} DRIVER-CANON [{side}]: {type(e).__name__}: {e}")
+        return False
+
+
 def type_canon_problems(sdf, drel) -> list[str]:
     """Output-type canon gate (stricter than any plausible driver): no
     DECIMAL in the Spark schema, no DECIMAL/HUGEINT in the DuckDB
@@ -121,12 +141,19 @@ def main() -> int:
         srows = [tuple(r) for r in sdf.collect()]
         scols = sdf.columns
         if name not in oracles:
-            print(f"{name:28s} rows-only: {len(srows)} rows")
+            if driver_canon_ok(srows, scols, name, "spark"):
+                print(f"{name:28s} rows-only: {len(srows)} rows")
+            else:
+                failures += 1
             continue
         drel = con.sql(oracles[name])
         drows = drel.fetchall()
         dcols = drel.columns
         ok = True
+        if not driver_canon_ok(srows, scols, name, "spark"):
+            ok = False
+        if not driver_canon_ok(drows, dcols, name, "duck"):
+            ok = False
         for p in type_canon_problems(sdf, drel):
             print(f"{name:28s} TYPE-CANON: {p}")
             ok = False
