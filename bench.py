@@ -22,6 +22,68 @@ from dwds_livestream_spark.plans import QUERIES  # noqa: E402
 from dwds_livestream_spark.session import build_session  # noqa: E402
 
 
+class _Heartbeat:
+    """Host-stall telemetry (VERDICT r5 #4): a daemon thread sleeps
+    INTERVAL and records every monotonic-clock overshoot >= MIN_STALL.
+    A host-level scheduling stall freezes this thread and the Spark
+    driver alike, so the artifact can distinguish "noisy box" from
+    "slower plan" — r5's 1.9x aggregate slowdown on unchanged code had
+    no independent stall evidence and stayed unprovable. The bench
+    main thread spends its time blocked on the py4j socket (GIL
+    released), so heartbeat overshoots measure the HOST, not bench
+    work. Events are (monotonic_ts, overshoot_s)."""
+
+    INTERVAL = 0.05
+    MIN_STALL = 0.25
+
+    def __init__(self) -> None:
+        import threading
+
+        self.events: list[tuple[float, float]] = []
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def start(self) -> "_Heartbeat":
+        self._thread.start()
+        return self
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            t0 = time.monotonic()
+            self._stop.wait(self.INTERVAL)
+            over = time.monotonic() - t0 - self.INTERVAL
+            if over >= self.MIN_STALL:
+                self.events.append((time.monotonic(), round(over, 3)))
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=2)
+
+    def max_stall_in(self, t0: float, t1: float) -> float:
+        return max((o for ts, o in self.events if t0 <= ts <= t1),
+                   default=0.0)
+
+
+def _historical_timings(sf) -> dict[str, float]:
+    """Per-query timings from the previous committed BENCH.out.json —
+    the spike-retry baseline (ADVICE r5: don't re-run every
+    legitimately-slow query on every invocation; retry only when a run
+    exceeds its own history by a stall-sized margin). Only a SAME-sf
+    history is a baseline — comparing an sf0.1 run against an sf0.01
+    artifact would mark every query a spike."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH.out.json"
+    )
+    try:
+        with open(path) as fh:
+            prior = json.load(fh)
+        if prior.get("sf") != sf:
+            return {}
+        return dict(prior.get("queries") or {})
+    except Exception:
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
@@ -48,14 +110,18 @@ def main() -> None:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         df.agg(*[F.count(F.col(c)) for c in df.columns]).collect()
 
+    hb = _Heartbeat().start()
     timings: dict[str, float] = {}
     setup_sec: dict[str, float] = {}
+    windows: dict[str, tuple[float, float]] = {}
     for name, fn in QUERIES.items():
+        m0 = time.monotonic()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         t1 = time.perf_counter()
         df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        windows[name] = (m0, time.monotonic())
         # Spark's CacheManager matches cached plans structurally, so a
         # query that .cache()s a table silently accelerates every LATER
         # query reading the same path — per-query numbers then depend
@@ -75,16 +141,33 @@ def main() -> None:
     # Spike retry: this box shows rare multi-second host stalls that
     # land on an arbitrary query (measured: a 2.3 s query took 15.1 s
     # on a WARM second pass in the same session — not plan, not cache,
-    # not GC-attributable to the query). Re-measure every query that
-    # exceeded SPIKE_SEC once from the same cache-cold state and take
-    # the min, recording BOTH timings in the artifact so the retry is
-    # visible, never silent. Queries rebuild their artifacts per call
+    # not GC-attributable to the query). A query over SPIKE_SEC is
+    # re-measured once from the same cache-cold state (min of 2, both
+    # recorded) ONLY when its first run also exceeded its own number
+    # from the previous artifact by a stall-sized margin (1.5x) OR the
+    # heartbeat saw a stall overlap its window — a query that is
+    # legitimately ~that slow every round no longer re-runs on every
+    # invocation (ADVICE r5). Queries rebuild their artifacts per call
     # (fresh mkdtemp — see q_ann_index_topk), so a retry re-does full
     # work; the min only sheds first-run JIT and transient stalls.
     SPIKE_SEC = 3.0
+    hist = _historical_timings(
+        float(sf) if sf.replace(".", "").isdigit() else sf
+    )
     retried: dict[str, list[float]] = {}
-    for name in [n for n, t in timings.items() if t > SPIKE_SEC]:
+
+    def retry_worthy(name: str) -> bool:
+        t = timings[name]
+        if t <= SPIKE_SEC:
+            return False
+        if hb.max_stall_in(*windows[name]) > 0:
+            return True
+        h = hist.get(name)
+        return h is None or t > 1.5 * h
+
+    for name in [n for n in timings if retry_worthy(n)]:
         spark.catalog.clearCache()
+        m0 = time.monotonic()
         t0 = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
         t1 = time.perf_counter()
@@ -93,6 +176,7 @@ def main() -> None:
         spark.catalog.clearCache()
         retried[name] = [timings[name], t2]
         if t2 < timings[name]:
+            windows[name] = (m0, time.monotonic())
             # the retry becomes the reported run, so its setup must be
             # the reported setup too — otherwise setup_sec can exceed
             # the query total and break the "subset of the total"
@@ -103,6 +187,14 @@ def main() -> None:
                 setup_sec[name] = round(t1 - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # per-query stall attribution: max heartbeat overshoot overlapping
+    # each REPORTED run's window — a nonzero entry means that number
+    # includes host noise, not plan time
+    stalled_queries = {
+        n: s
+        for n in timings
+        if (s := round(hb.max_stall_in(*windows[n]), 3)) > 0
+    }
     result = {
         "metric": "query_inventory_total",
         "value": total,
@@ -114,8 +206,11 @@ def main() -> None:
         # inherit another query's cached tables — not comparable
         # query-by-query with these.
         "measurement": (
-            "order-independent: warm pages, clearCache/query; "
-            ">3s queries re-measured once (min of 2, both recorded)"
+            "order-independent: warm pages, clearCache/query; >3s "
+            "queries re-measured once (min of 2, both recorded) only "
+            "when a stall overlapped or the run exceeded 1.5x its "
+            "prior-artifact number; 50ms heartbeat records host "
+            "stalls >=0.25s"
         ),
         "queries": timings,
         # spike-retry evidence: {query: [first_sec, retry_sec]} for
@@ -125,9 +220,32 @@ def main() -> None:
         # per-query eager-setup seconds (subset of the query's total):
         # build-vs-query attribution for artifact-backed queries
         "setup_sec": setup_sec,
+        # host-stall telemetry: every heartbeat overshoot >=0.25s as
+        # [seconds_into_bench, overshoot_s], plus per-query attribution
+        "stalls": None,  # filled after the streaming runs
+        "stalled_queries": stalled_queries,
     }
-    result["streaming"] = _stream_throughput()
+    # Latency at the reference rate runs FIRST (VERDICT r5 #4): in r5
+    # it ran right after the 120x-overload throughput run and missed
+    # its 1 s p95 budget on GC/page-cache wake; order now matches what
+    # the number claims to measure — a quiet pipeline at 100 ev/s.
+    m0 = time.monotonic()
     result["streaming_latency"] = _stream_latency_at_reference_rate()
+    if result["streaming_latency"] is not None:
+        result["streaming_latency"]["max_host_stall_s"] = round(
+            hb.max_stall_in(m0, time.monotonic()), 3
+        )
+    m0 = time.monotonic()
+    result["streaming"] = _stream_throughput()
+    if result["streaming"] is not None:
+        result["streaming"]["max_host_stall_s"] = round(
+            hb.max_stall_in(m0, time.monotonic()), 3
+        )
+    hb.stop()
+    bench_start = windows[next(iter(windows))][0] if windows else 0.0
+    result["stalls"] = [
+        [round(ts - bench_start, 1), o] for ts, o in hb.events
+    ]
 
     # Full result to a file (the driver's stdout capture truncated the
     # 133-query line in round 1 — BENCH_r01.json "parsed": null); the
@@ -151,13 +269,20 @@ def main() -> None:
     compact["retried"] = dict(
         sorted(retried.items(), key=lambda kv: -kv[1][0])[:10]
     )
+    compact["stalls"] = (result["stalls"] or [])[:10]
+    compact["stalled_queries"] = dict(
+        sorted(stalled_queries.items(), key=lambda kv: -kv[1])[:10]
+    )
     compact["n_queries"] = len(timings)
     compact["full_results"] = "BENCH.out.json"
     line = json.dumps(compact)
     # Belt-and-braces: never emit a stdout line the driver can't
     # capture, whatever future keys get added to the dict.
     if len(line) > 6000:
-        for key in ("retried", "setup_sec", "p95_attempts", "queries"):
+        for key in (
+            "stalls", "stalled_queries", "retried", "setup_sec",
+            "p95_attempts", "queries",
+        ):
             compact.pop(key, None)
             line = json.dumps(compact)
             if len(line) <= 6000:
@@ -250,13 +375,14 @@ def _stream_latency_at_reference_rate() -> dict | None:
             return None
         return None
 
-    # This measurement runs right after the 120x-overload throughput
-    # run on a machine with documented external load (rare multi-second
-    # host stalls — see the query spike retry above): a marginal miss
-    # (p95 just over the 1 s trigger budget) is usually a stall or the
-    # previous run's GC/page-cache wake, not the pipeline. On a miss,
-    # settle and measure again (up to 3 attempts); report the better
-    # run but record EVERY p95 so the retries are visible.
+    # Since round 6 this measurement runs BEFORE the 120x-overload
+    # throughput run (VERDICT r5 #4), so the only legitimate reason
+    # for a marginal miss is a host stall (rare multi-second stalls
+    # are documented on this box — see the query spike retry above).
+    # On a miss, settle and measure again (up to 3 attempts); report
+    # the better run, record EVERY p95, and FLAG a pass that needed a
+    # retry — a gate that only passes on attempt 2+ is evidence of a
+    # marginal pipeline unless a stall is recorded alongside.
     attempts: list[dict | None] = []
     for i in range(3):
         if i:
@@ -274,6 +400,7 @@ def _stream_latency_at_reference_rate() -> dict | None:
         best["p95_attempts"] = [
             r["p95_latency_s"] if r is not None else None for r in attempts
         ]
+        best["passed_on_retry"] = bool(best["pass"])
     return best
 
 

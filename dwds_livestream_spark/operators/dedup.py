@@ -249,7 +249,9 @@ def _minhash_band_candidates(
     # guard here (not only in minhash_lsh_pairs) so every consumer —
     # minhash_levenshtein_pairs included — fails fast instead of
     # silently truncating the signature to bands*(k//bands) positions
-    assert k % bands == 0
+    # (a ValueError, not assert: asserts vanish under python -O)
+    if k % bands != 0:
+        raise ValueError(f"k ({k}) must be divisible by bands ({bands})")
     r = k // bands
     if hash_fn == "md5_64":
         band_key = lambda sl: F.md5(  # noqa: E731
@@ -301,7 +303,8 @@ def minhash_lsh_pairs(
     ``hash_fn`` selects the shingle hash (see minhash_signatures) and,
     for ``md5_64``, an engine-independent band key too.
     """
-    assert k % bands == 0
+    if k % bands != 0:
+        raise ValueError(f"k ({k}) must be divisible by bands ({bands})")
     # the signature frame feeds three consumers (two self-join sides +
     # the candidate re-join); cache it so the shingle+sign kernel runs
     # once. |docs| x (k+1) longs — ~1 KB/doc, the standard persisted
@@ -609,11 +612,16 @@ def incremental_dedup_replay(
     them would silently drop or misassign, so the output universe is
     pinned to the replayed batches).
 
-    Equivalence: replay keeper == global min (batch, id) per key, which
-    is what the DuckDB oracle computes with one window — a hash match
-    proves the incremental path loses/overwrites nothing at any batch
-    boundary (same argument the rollup-compaction redesign made for
-    fold boundaries).
+    Equivalence: when ``batch_values`` is ASCENDING, replay keeper ==
+    global min (batch, id) per key, which is what the DuckDB oracle
+    computes with one window — a hash match proves the incremental
+    path loses/overwrites nothing at any batch boundary (same argument
+    the rollup-compaction redesign made for fold boundaries). An
+    unsorted ``batch_values`` is still a valid replay — it answers
+    "what would the ledger hold if batches arrived in THIS order" —
+    but its keeper is the first-arrived, not the min-(batch,id), so
+    sort before passing when oracle equivalence is intended (the
+    default path sorts; the property test does too).
 
     Scale: the ledger is (key, keeper) — distinct keys, not corpus
     rows; localCheckpoint stands in for the persisted ledger table an

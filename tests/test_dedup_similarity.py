@@ -492,14 +492,15 @@ def test_incremental_dedup_replay_rejects_empty_batch_list(spark):
 
 def test_banded_candidates_reject_nondivisible_bands(spark, documents):
     # both banded consumers must fail fast on k % bands != 0 rather
-    # than silently truncating the signature (recall loss)
+    # than silently truncating the signature (recall loss); ValueError,
+    # not assert — asserts vanish under python -O (ADVICE r5)
     from dwds_livestream_spark.operators.dedup import (
         minhash_levenshtein_pairs,
         minhash_lsh_pairs,
     )
 
     for fn in (minhash_lsh_pairs, minhash_levenshtein_pairs):
-        with pytest.raises(AssertionError):
+        with pytest.raises(ValueError, match="divisible"):
             fn(documents, k=128, bands=30).collect()
 
 
