@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["distributed_rank", "ntile_from_rank"]
+__all__ = ["distributed_rank", "ntile_from_rank", "weighted_median"]
 
 
 def distributed_rank(
@@ -156,4 +156,43 @@ def ntile_from_rank(rn: Column, n: Column, k: int) -> Column:
         F.when(rn <= big, F.ceil(rn / (q + 1)))
         .otherwise(r + F.ceil((rn - big) / q))
         .cast("int")
+    )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col,
+    out_col: str = "weighted_median",
+) -> DataFrame:
+    """Exact per-group weighted median: the smallest value v with
+    cumulative weight(x <= v) >= total_weight / 2 — equivalently, the
+    value at 1-based rank ceil(total/2) of the weight-unrolled sorted
+    multiset (which is what the independent DuckDB oracle computes by
+    actually unrolling).
+
+    Scale: never unrolls and never sorts corpus rows. One hash
+    aggregate folds the corpus to the DISTINCT-value histogram
+    (group, value, sum weight) — shuffle is distinct-value-sized —
+    then the cumulative sum runs over histogram rows within each
+    group. Weights must be integral (cast upstream): integer-valued
+    cumulative sums are order-exact, so both engines agree bit-for-bit
+    where floating cumsums would not. The 2*cum >= total comparison
+    stays in integer space for the same reason. For groups whose
+    distinct-value histogram is itself huge, compose with
+    distributed_rank's split-point bucketing; the registry query's
+    per-group histograms are value-domain-bounded.
+    """
+    hist = df.groupBy(*group_cols, value_col).agg(
+        F.sum(weight_col).alias("__w")
+    )
+    wv = Window.partitionBy(*group_cols).orderBy(value_col)
+    wg = Window.partitionBy(*group_cols)
+    return (
+        hist.withColumn("__cum", F.sum("__w").over(wv))
+        .withColumn("__tot", F.sum("__w").over(wg))
+        .where(2 * F.col("__cum") >= F.col("__tot"))
+        .groupBy(*group_cols)
+        .agg(F.min(value_col).alias(out_col))
     )

@@ -3631,3 +3631,289 @@ SELECT digit, n,
          AS deviation
 FROM c ORDER BY digit
 """
+
+
+# ---------------------------------------------------------------------
+# round-6 registry growth (ROADMAP r6 sizing rule: land with oracle +
+# determinism + sf1 smoke + shuffle gate BEFORE the window freezes)
+
+
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history build (operators/scd2.py): init from the
+    customer snapshot at T0, ONE merge of a derived T1 snapshot (the
+    same derivation q_snapshot_diff uses — every 97th key dropped,
+    every 11th acctbal bumped, a shifted clone block added), output
+    the full version history with [valid_from, valid_to) intervals.
+    The reference swaps whole dimension snapshots and loses history
+    (wbdb.clj:39-49); SCD2 keeps every version. One full-outer join on
+    the business key + union with closed history; shuffle is
+    |dimension|-sized, independent of fact volume."""
+    from ..operators.scd2 import scd2_init, scd2_merge
+
+    t0, t1 = "2024-01-01 00:00:00", "2024-06-01 00:00:00"
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    new = (
+        cust.where(F.col("c_custkey") % 97 != 0)
+        .withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey") % 11 == 0, F.col("c_acctbal") + 100
+            ).otherwise(F.col("c_acctbal")),
+        )
+        .unionByName(
+            cust.where(F.col("c_custkey") % 13 == 0).select(
+                (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                "c_name",
+                "c_acctbal",
+            )
+        )
+    )
+    hist = scd2_merge(
+        scd2_init(cust, t0),
+        new,
+        keys=["c_custkey"],
+        attrs=["c_name", "c_acctbal"],
+        ts=t1,
+    )
+    return hist.orderBy("c_custkey", "valid_from")
+
+
+ORACLE_SCD2_BUILD = """
+WITH old_s AS (
+  SELECT c_custkey, c_name, c_acctbal FROM customer
+), new_s AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 100
+              ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey % 97 != 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name, c_acctbal
+  FROM customer WHERE c_custkey % 13 = 0
+), cls AS (
+  SELECT coalesce(o.c_custkey, n.c_custkey) AS k,
+         o.c_custkey IS NOT NULL AS in_o,
+         n.c_custkey IS NOT NULL AS in_n,
+         o.c_name AS o_name, o.c_acctbal AS o_bal,
+         n.c_name AS n_name, n.c_acctbal AS n_bal,
+         (o.c_name IS NOT DISTINCT FROM n.c_name
+          AND o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal) AS same
+  FROM old_s o FULL OUTER JOIN new_s n ON o.c_custkey = n.c_custkey
+)
+SELECT k AS c_custkey, o_name AS c_name, o_bal AS c_acctbal,
+       TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+       CASE WHEN in_n AND same THEN NULL
+            ELSE TIMESTAMP '2024-06-01 00:00:00' END AS valid_to
+FROM cls WHERE in_o
+UNION ALL
+SELECT k, n_name, n_bal, TIMESTAMP '2024-06-01 00:00:00', NULL
+FROM cls WHERE in_n AND (NOT in_o OR NOT same)
+"""
+
+
+def q_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming watermark late-drop semantics as a batch plan
+    (operators/stream_twins.watermark_late_drop): arrival order is
+    event_id, event time is a deterministically skewed 'device time'
+    (ts - (event_id*997 mod 3600) seconds — integer arithmetic, so
+    both engines derive identical instants), watermark delay 10 min.
+    ~66% of rows at sf0.01 are genuinely late under this skew, so the
+    oracle discriminates in both directions. No single-partition sort:
+    bucketed prefix-max (see the operator docstring)."""
+    from ..operators.stream_twins import watermark_late_drop
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr(
+            "ts - make_interval(0, 0, 0, 0, 0, 0, (event_id * 997) % 3600)"
+        ).alias("device_ts"),
+    )
+    return watermark_late_drop(
+        ev, "event_id", "device_ts", delay="10 minutes"
+    ).orderBy("event_id")
+
+
+ORACLE_WATERMARK_LATE_DROP = """
+WITH d AS (
+  SELECT event_id, user_id, event_type,
+         ts - ((event_id * 997) % 3600) * INTERVAL 1 SECOND AS device_ts
+  FROM events
+), w AS (
+  SELECT *, MAX(device_ts) OVER (
+           ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen
+  FROM d
+)
+SELECT event_id, user_id, event_type, device_ts
+FROM w
+WHERE seen IS NULL OR device_ts >= seen - INTERVAL 10 MINUTE
+ORDER BY event_id
+"""
+
+
+def q_emit_on_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emit-on-change / deduplicate-consecutive as a batch plan
+    (operators/stream_twins.emit_on_change): per user in (ts,
+    event_id) order, keep a row only when its event_type differs from
+    the previous row's — run-length compression of a keyed change
+    stream (the batch twin of a stateful streaming dedup). One
+    hash-partitioned window, no global sort."""
+    from ..operators.stream_twins import emit_on_change
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    return emit_on_change(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        value_cols=["event_type"],
+    ).orderBy("event_id")
+
+
+ORACLE_EMIT_ON_CHANGE = """
+WITH w AS (
+  SELECT event_id, user_id, ts, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT event_id, user_id, ts, event_type
+FROM w WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+ORDER BY event_id
+"""
+
+
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline over part (operators/skyline.pareto_frontier):
+    the parts no other part beats on BOTH price (minimize) and size
+    (maximize). The oracle is the definitional O(n²) NOT EXISTS
+    anti-join; the Spark plan is the sort-free distinct-value
+    decomposition (histogram -> bucketed exclusive prefix -> join
+    back), shuffles distinct-value-sized."""
+    from ..operators.skyline import pareto_frontier
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    return pareto_frontier(
+        part, minimize_col="p_retailprice", maximize_col="p_size"
+    ).select("p_partkey", "p_retailprice", "p_size").orderBy("p_partkey")
+
+
+ORACLE_PARETO_FRONTIER = """
+SELECT p_partkey, p_retailprice, p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+ORDER BY p_partkey
+"""
+
+
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity coverage (operators/intervals.py): each event
+    spans [ts, ts + round(value*60000) ms); the union length of those
+    (overlapping) spans and the merged-island count per user.
+    Gaps-and-islands per key — hash-partitioned windows, two map-side-
+    combined keyed aggregates, no global sort. Epoch-microsecond
+    integer arithmetic end to end, so both engines agree exactly."""
+    from ..operators.intervals import interval_coverage
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("start_us"),
+        (
+            F.unix_micros("ts")
+            + F.round(F.col("value") * 60000).cast("bigint") * 1000
+        ).alias("end_us"),
+    )
+    out = interval_coverage(
+        ev, key_cols=["user_id"], start_col="start_us", end_col="end_us"
+    )
+    return out.select(
+        "user_id",
+        F.col("covered").alias("covered_us"),
+        "n_islands",
+    ).orderBy("user_id")
+
+
+ORACLE_INTERVAL_COVERAGE = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(round(value * 60000) AS BIGINT) * 1000 AS e
+  FROM events
+), w AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_e
+  FROM iv
+), isl AS (
+  SELECT user_id, s, e,
+         SUM(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM w
+), m AS (
+  SELECT user_id, island, MIN(s) AS s, MAX(e) AS e
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(SUM(GREATEST(e - s, 0)) AS BIGINT) AS covered_us,
+       COUNT(*) AS n_islands
+FROM m GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median of l_extendedprice weighted by l_quantity
+    per (returnflag, linestatus) (operators/ranking.weighted_median):
+    the Spark plan folds to the distinct-value histogram and takes a
+    cumulative-weight threshold (integer cumsums — order-exact); the
+    oracle UNROLLS the weights with range() and picks the value at
+    rank ceil(n/2) — an independent formulation of the same
+    definition."""
+    from ..operators.ranking import weighted_median
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_extendedprice",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    return weighted_median(
+        li,
+        group_cols=["l_returnflag", "l_linestatus"],
+        value_col="l_extendedprice",
+        weight_col="qty",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+ORACLE_WEIGHTED_MEDIAN = """
+-- weights unrolled against a constant 1..50 ladder (DuckDB range()
+-- takes no lateral args; TPC-H fixes l_quantity in [1, 50] and the
+-- testdata generator follows — a domain change would hash-mismatch
+-- against Spark's full-weight path, so the bound is self-checking)
+WITH n AS (SELECT range + 1 AS i FROM range(50)),
+u AS (
+  SELECT l_returnflag, l_linestatus, l_extendedprice AS v
+  FROM lineitem JOIN n ON n.i <= CAST(l_quantity AS BIGINT)
+), r AS (
+  SELECT l_returnflag, l_linestatus, v,
+         row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+                            ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag, l_linestatus) AS n
+  FROM u
+)
+SELECT l_returnflag, l_linestatus, v AS weighted_median
+FROM r WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+ORDER BY l_returnflag, l_linestatus
+"""

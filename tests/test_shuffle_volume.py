@@ -219,3 +219,62 @@ def test_no_spill_at_working_scale(spark, name):
     # a plan that spills here is mis-sized long before 100 TB
     r = _measure(spark, name)
     assert r["spill_bytes"] == 0, r
+
+
+# round-6 additions: each new registry entry's scale invariant, gated
+# the round it lands (ROADMAP sizing rule)
+
+
+def test_watermark_shuffle_is_row_bounded_no_global_sort(spark):
+    # bucketed prefix-max: rows shuffle ~once into bucket windows plus
+    # the tiny bucket summary twice — never a blow-up, and the plan
+    # sweep's no-single-partition-window rule keeps the global sort out
+    r = _measure(spark, "watermark_late_drop")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] < r["scan_rows"] * 1.5 + 300, r
+
+
+def test_pareto_frontier_shuffles_distinct_values_not_rows(spark):
+    # histogram fold: everything after the first aggregate is
+    # distinct-value-sized; total shuffle stays within a small
+    # multiple of the scan (histogram + bucket summary + join-back)
+    r = _measure(spark, "pareto_frontier")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] < r["scan_rows"] * 2 + 300, r
+
+
+def test_interval_coverage_two_keyed_aggregates(spark):
+    # per-key windows + two map-side-combined aggregates: bounded by
+    # a small multiple of the event rows
+    r = _measure(spark, "interval_coverage")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] < r["scan_rows"] * 2.5, r
+
+
+def test_weighted_median_histogram_fold(spark):
+    # the corpus folds to (group, value, weight) partials before the
+    # exchange; the per-group cumsum then re-shuffles HISTOGRAM rows
+    # only — so total <= ~2x distinct values. At test scale prices are
+    # nearly unique (distinct ~= scan), making 2x the honest bound;
+    # at real scale distinct << corpus and the same 2x-of-distinct
+    # invariant is far below the scan
+    r = _measure(spark, "weighted_median")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] < r["scan_rows"] * 2.2 + 300, r
+
+
+def test_scd2_merge_single_dimension_shuffle(spark):
+    # one full-outer join on the business key over dimension-sized
+    # inputs (plus the derived-snapshot union): |dimension|-scaled,
+    # fact volume never appears
+    r = _measure(spark, "scd2_build")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] < r["scan_rows"] * 3.5, r
+
+
+def test_emit_on_change_single_keyed_window(spark):
+    # one keyed window shuffle (= scan rows) plus the registry view's
+    # output-sized final orderBy exchange (kept rows <= scan)
+    r = _measure(spark, "emit_on_change")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] < r["scan_rows"] * 2.2 + 100, r

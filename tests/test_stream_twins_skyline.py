@@ -1,0 +1,237 @@
+"""Unit + reference tests for the round-6 operators: batch stream
+twins (watermark late-drop, emit-on-change), 2-D skyline, interval
+coverage, weighted median. Each operator is checked against a naive
+single-machine Python reference on small frames with the edge cases
+the distributed decomposition could get wrong (bucket boundaries,
+ties, nulls, empty/degenerate inputs)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dwds_livestream_spark.operators.intervals import interval_coverage
+from dwds_livestream_spark.operators.ranking import weighted_median
+from dwds_livestream_spark.operators.skyline import pareto_frontier
+from dwds_livestream_spark.operators.stream_twins import (
+    emit_on_change,
+    watermark_late_drop,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(s: float) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=s)
+
+
+# ---------------------------------------------------------------- watermark
+
+
+def _naive_watermark(rows, delay_s):
+    kept, seen = [], None
+    for arr, ts in sorted(rows):
+        if seen is None or ts >= seen - dt.timedelta(seconds=delay_s):
+            kept.append(arr)
+        seen = ts if seen is None else max(seen, ts)
+    return kept
+
+
+@pytest.mark.parametrize("n_buckets", [1, 3, 64])
+def test_watermark_matches_naive_reference(spark, n_buckets):
+    # jittered event times: late rows appear whenever the jitter jumps
+    # past the 100 s delay; includes exact-boundary rows (ts == wm is
+    # KEPT — streaming drops strictly-older only)
+    rows = [(i, _ts(i * 60 - (i * 997) % 300)) for i in range(50)]
+    df = spark.createDataFrame(rows, "arr long, ts timestamp")
+    got = watermark_late_drop(
+        df, "arr", "ts", delay="100 seconds", n_buckets=n_buckets
+    )
+    assert sorted(r.arr for r in got.collect()) == _naive_watermark(
+        rows, 100
+    )
+
+
+def test_watermark_boundary_row_is_kept(spark):
+    # ts exactly equal to (max seen - delay) survives
+    rows = [(0, _ts(1000)), (1, _ts(900)), (2, _ts(899))]
+    df = spark.createDataFrame(rows, "arr long, ts timestamp")
+    kept = sorted(
+        r.arr
+        for r in watermark_late_drop(
+            df, "arr", "ts", delay="100 seconds"
+        ).collect()
+    )
+    assert kept == [0, 1]
+
+
+def test_watermark_empty_and_single(spark):
+    empty = spark.createDataFrame([], "arr long, ts timestamp")
+    assert watermark_late_drop(empty, "arr", "ts").count() == 0
+    one = spark.createDataFrame([(7, _ts(0))], "arr long, ts timestamp")
+    assert watermark_late_drop(one, "arr", "ts").count() == 1
+
+
+def test_watermark_bucket_boundary_lateness(spark):
+    # the late row's watermark evidence sits entirely in a PREVIOUS
+    # bucket (row 9 in bucket 0 sets the max; row 10 opens bucket 1
+    # with nothing before it in-bucket) — only the cross-bucket prefix
+    # can catch it
+    rows = [(i, _ts(i * 10)) for i in range(10)] + [(10, _ts(0))]
+    df = spark.createDataFrame(rows, "arr long, ts timestamp")
+    kept = sorted(
+        r.arr
+        for r in watermark_late_drop(
+            df, "arr", "ts", delay="50 seconds", n_buckets=2
+        ).collect()
+    )
+    assert kept == list(range(10))  # arr=10 is 90 s late, dropped
+
+
+# ------------------------------------------------------------ emit-on-change
+
+
+def test_emit_on_change_basic_and_nulls(spark):
+    rows = [
+        Row(k="a", o=1, v="x"),
+        Row(k="a", o=2, v="x"),  # suppressed
+        Row(k="a", o=3, v=None),  # null is a change
+        Row(k="a", o=4, v=None),  # null -> null suppressed
+        Row(k="a", o=5, v="x"),  # re-emit after null
+        Row(k="b", o=1, v=None),  # first row of key kept even if null
+    ]
+    df = spark.createDataFrame(rows)
+    got = sorted(
+        (r.k, r.o)
+        for r in emit_on_change(df, ["k"], ["o"], ["v"]).collect()
+    )
+    assert got == [("a", 1), ("a", 3), ("a", 5), ("b", 1)]
+
+
+def test_emit_on_change_multi_value_cols(spark):
+    rows = [
+        Row(k="a", o=1, v=1, w=1),
+        Row(k="a", o=2, v=1, w=2),  # w changed -> kept
+        Row(k="a", o=3, v=1, w=2),  # suppressed
+    ]
+    df = spark.createDataFrame(rows)
+    got = sorted(
+        r.o for r in emit_on_change(df, ["k"], ["o"], ["v", "w"]).collect()
+    )
+    assert got == [1, 2]
+
+
+# ----------------------------------------------------------------- skyline
+
+
+def _naive_skyline(pts):
+    out = []
+    for i, (p, s) in enumerate(pts):
+        dominated = any(
+            (q <= p and t >= s and (q < p or t > s)) for q, t in pts
+        )
+        if not dominated:
+            out.append(i)
+    return out
+
+
+@pytest.mark.parametrize("n_buckets", [1, 4, 64])
+def test_skyline_matches_brute_force(spark, n_buckets):
+    pts = [
+        ((i * 7919) % 97 / 10.0, (i * 104729) % 53) for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        [(i, p, s) for i, (p, s) in enumerate(pts)],
+        "id long, price double, size long",
+    )
+    got = sorted(
+        r.id
+        for r in pareto_frontier(
+            df, "price", "size", n_buckets=n_buckets
+        ).collect()
+    )
+    assert got == _naive_skyline(pts)
+
+
+def test_skyline_ties_survive_together(spark):
+    # two identical points: neither dominates, both stay; a same-price
+    # smaller-size point is dominated
+    df = spark.createDataFrame(
+        [(1, 1.0, 10), (2, 1.0, 10), (3, 1.0, 9)],
+        "id long, price double, size long",
+    )
+    got = sorted(r.id for r in pareto_frontier(df, "price", "size").collect())
+    assert got == [1, 2]
+
+
+def test_skyline_empty(spark):
+    df = spark.createDataFrame([], "id long, price double, size long")
+    assert pareto_frontier(df, "price", "size").count() == 0
+
+
+# ---------------------------------------------------------- interval cover
+
+
+def test_interval_coverage_merge_touch_nest(spark):
+    rows = [
+        ("u", 0, 10),
+        ("u", 10, 20),  # touching: merges into [0, 20)
+        ("u", 5, 7),  # nested: no effect
+        ("u", 30, 40),  # separate island
+        ("v", 0, 0),  # zero-length: counts as an island, adds 0
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = {
+        r.k: (r.covered, r.n_islands)
+        for r in interval_coverage(df, ["k"], "s", "e").collect()
+    }
+    assert got == {"u": (30, 2), "v": (0, 1)}
+
+
+def test_interval_coverage_order_invariance(spark):
+    # equal starts with different ends, inserted in adversarial order
+    rows = [("u", 0, 3), ("u", 0, 9), ("u", 4, 5), ("u", 12, 13)]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = interval_coverage(df, ["k"], "s", "e").first()
+    assert (got.covered, got.n_islands) == (10, 2)
+
+
+# --------------------------------------------------------- weighted median
+
+
+def _naive_wmedian(pairs):
+    unrolled = sorted(v for v, w in pairs for _ in range(w))
+    return unrolled[(len(unrolled) + 1) // 2 - 1]
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        [(1.0, 1), (2.0, 1), (3.0, 1)],  # odd total
+        [(1.0, 1), (2.0, 1), (3.0, 1), (4.0, 1)],  # even: lower middle
+        [(1.0, 9), (100.0, 1)],  # weight-dominated
+        [(5.0, 2), (5.0, 3), (1.0, 4)],  # duplicate values fold
+        [(2.5, 7)],  # single value
+    ],
+)
+def test_weighted_median_matches_unrolled(spark, pairs):
+    df = spark.createDataFrame(
+        [("g", v, w) for v, w in pairs], "g string, v double, w long"
+    )
+    got = weighted_median(df, ["g"], "v", "w").first()
+    assert got.weighted_median == _naive_wmedian(pairs)
+
+
+def test_weighted_median_groups_independent(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0, 1), ("a", 9.0, 2), ("b", 4.0, 5)],
+        "g string, v double, w long",
+    )
+    got = {
+        r.g: r.weighted_median
+        for r in weighted_median(df, ["g"], "v", "w").collect()
+    }
+    assert got == {"a": 9.0, "b": 4.0}
