@@ -157,6 +157,33 @@ AUDITS: dict[str, str] = {
         "map-side BEFORE partial agg - the exchange carries (window, "
         "type) count rows, and top-3 runs under WindowGroupLimit"
     ),
+    # round-6 additions (landed with their shuffle gates, ROADMAP rule)
+    "watermark_late_drop": (
+        "bucketed prefix-max watermark: rows shuffle once into bucket "
+        "windows plus a bucket-count-sized summary - the naive global "
+        "running max would be a single-partition sort"
+    ),
+    "emit_on_change": (
+        "one keyed window exchange (= scan) plus the output-sized "
+        "final sort; no global ordering"
+    ),
+    "scd2_build": (
+        "SCD2 merge: one full-outer join on the business key over "
+        "dimension-sized inputs - fact volume never appears"
+    ),
+    "pareto_frontier": (
+        "skyline via distinct-value histogram: everything after the "
+        "first aggregate is distinct-value- or bucket-summary-sized"
+    ),
+    "interval_coverage": (
+        "gaps-and-islands per key: hash-partitioned windows + two "
+        "map-side-combined keyed aggregates"
+    ),
+    "weighted_median": (
+        "distinct-value histogram fold: the corpus folds to (group, "
+        "value, weight) partials before the exchange; the cumsum "
+        "re-shuffles histogram rows only"
+    ),
 }
 
 def audit_one(spark, name: str, sf_dir: str) -> dict:
