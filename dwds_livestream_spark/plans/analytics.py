@@ -3925,3 +3925,171 @@ SELECT l_returnflag, l_linestatus, v AS weighted_median
 FROM r WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
 ORDER BY l_returnflag, l_linestatus
 """
+
+
+def q_session_window_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition of the two streaming semantics twins: watermark
+    late-drop (same deterministic device-time skew as
+    q_watermark_late_drop) feeding Spark's NATIVE session_window
+    aggregate — i.e. what a watermarked streaming session aggregation
+    would emit, driver-checkable as one batch plan. Scale: the
+    late-drop is the bucketed prefix-max (no global sort); the
+    session aggregate is one shuffle on user_id, sessions merged by
+    the aggregate itself."""
+    from ..operators.stream_twins import watermark_late_drop
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "ts - make_interval(0, 0, 0, 0, 0, 0, (event_id * 997) % 3600)"
+        ).alias("device_ts"),
+    )
+    kept = watermark_late_drop(ev, "event_id", "device_ts", delay="10 minutes")
+    return (
+        kept.groupBy(
+            "user_id", F.session_window("device_ts", "30 minutes").alias("w")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+ORACLE_SESSION_WINDOW_LATE = """
+WITH d AS (
+  SELECT event_id, user_id,
+         ts - ((event_id * 997) % 3600) * INTERVAL 1 SECOND AS device_ts
+  FROM events
+), w AS (
+  SELECT *, MAX(device_ts) OVER (
+           ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen
+  FROM d
+), kept AS (
+  SELECT event_id, user_id, device_ts FROM w
+  WHERE seen IS NULL OR device_ts >= seen - INTERVAL 10 MINUTE
+), g AS (
+  SELECT user_id, device_ts, event_id,
+    CASE WHEN epoch(device_ts) - LAG(epoch(device_ts)) OVER
+              (PARTITION BY user_id ORDER BY device_ts, event_id) >= 1800
+         THEN 1 ELSE 0 END AS new_s
+  FROM kept
+), s AS (
+  SELECT user_id, device_ts,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY device_ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM g
+)
+SELECT user_id, MIN(device_ts) AS session_start,
+       MAX(device_ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, session_no
+ORDER BY user_id, session_start
+"""
+
+
+def q_robust_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-dimension scaling of the embedding corpus:
+    (x - median) / IQR per dimension — the outlier-insensitive
+    normalization a curation pipeline uses where mean/std (see
+    source_zscores) is skew-fragile. Per-dim stats come from ONE
+    aggregate: percentile_approx with accuracy >= n is EXACT (the
+    value at 1-based rank ceil(p*n) — see the canon notes), so d rows
+    of [q1, med, q3] broadcast back and the scaling is map-only; no
+    per-dimension sort ever runs. At corpus sizes beyond the accuracy
+    budget the same plan degrades gracefully to approximate stats.
+    The oracle re-derives the identical ranks with row_number."""
+    ex = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+        .withColumn("x", F.col("x").cast("double"))
+    )
+    stats = ex.groupBy("dim").agg(
+        F.percentile_approx(
+            "x", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(1_000_000)
+        ).alias("q")
+    )
+    stats = stats.select(
+        "dim",
+        F.col("q")[0].alias("q1"),
+        F.col("q")[1].alias("med"),
+        F.col("q")[2].alias("q3"),
+    )
+    return (
+        ex.join(F.broadcast(stats), "dim")
+        .select(
+            "vec_id",
+            "dim",
+            F.round(
+                F.when(F.col("q3") == F.col("q1"), F.lit(0.0)).otherwise(
+                    (F.col("x") - F.col("med")) / (F.col("q3") - F.col("q1"))
+                ),
+                6,
+            ).alias("scaled"),
+        )
+    )
+
+
+ORACLE_ROBUST_SCALER = """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), r AS (
+  SELECT dim, x,
+         row_number() OVER (PARTITION BY dim ORDER BY x) AS rn,
+         COUNT(*) OVER (PARTITION BY dim) AS n
+  FROM ex
+), st AS (
+  SELECT dim,
+         MIN(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN x END) AS q1,
+         MIN(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN x END) AS med,
+         MIN(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN x END) AS q3
+  FROM r GROUP BY dim
+)
+SELECT e.vec_id, e.dim,
+       ROUND(CASE WHEN s.q3 = s.q1 THEN 0.0
+                  ELSE (e.x - s.med) / (s.q3 - s.q1) END, 6) AS scaled
+FROM ex e JOIN st s ON e.dim = s.dim
+"""
+
+
+def q_topk_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per brand by whole-dollar price with RANK ties — unlike
+    q_top_parts_per_brand's row_number cut, every part tied at the
+    boundary survives, so the result is deterministic WITHOUT a
+    tiebreaker. Spark pushes the rank <= 3 predicate into
+    WindowGroupLimit (per-partition partial top-k before the
+    exchange), asserted in the plan-quality sweep."""
+    part = _t(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_partkey",
+        F.floor("p_retailprice").cast("bigint").alias("dollars"),
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("dollars"))
+    return (
+        part.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= 3)
+        .orderBy("p_brand", "rnk", "p_partkey")
+    )
+
+
+ORACLE_TOPK_RANK_TIES = """
+WITH r AS (
+  SELECT p_brand, p_partkey,
+         CAST(FLOOR(p_retailprice) AS BIGINT) AS dollars,
+         RANK() OVER (PARTITION BY p_brand
+                      ORDER BY CAST(FLOOR(p_retailprice) AS BIGINT) DESC)
+           AS rnk
+  FROM part
+)
+SELECT p_brand, p_partkey, dollars, rnk
+FROM r WHERE rnk <= 3
+ORDER BY p_brand, rnk, p_partkey
+"""

@@ -184,6 +184,19 @@ AUDITS: dict[str, str] = {
         "value, weight) partials before the exchange; the cumsum "
         "re-shuffles histogram rows only"
     ),
+    "session_window_late": (
+        "watermark twin -> native session_window: bucketed prefix "
+        "late-drop, then ONE user_id shuffle merged by the aggregate"
+    ),
+    "robust_scaler": (
+        "per-dim quantiles from ONE mergeable percentile_approx "
+        "aggregate, broadcast back - the corpus-side scaling is "
+        "map-only"
+    ),
+    "topk_rank_ties": (
+        "rank()-with-ties top-k: WindowGroupLimit partial top-k "
+        "prefilters before the exchange"
+    ),
 }
 
 def audit_one(spark, name: str, sf_dir: str) -> dict:

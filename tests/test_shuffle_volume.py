@@ -278,3 +278,31 @@ def test_emit_on_change_single_keyed_window(spark):
     r = _measure(spark, "emit_on_change")
     assert r["scan_rows"] > 0
     assert r["shuffle_records"] < r["scan_rows"] * 2.2 + 100, r
+
+
+def test_session_window_late_no_extra_exchange(spark):
+    # late-drop (bucketed prefix) + one session aggregate on user_id:
+    # rows cross ~2 exchanges (bucket window, session agg) plus tiny
+    # summaries — never a global sort
+    r = _measure(spark, "session_window_late")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] < r["scan_rows"] * 2.6 + 300, r
+
+
+def test_robust_scaler_stats_are_one_aggregate(spark):
+    # per-dim quantiles via ONE percentile_approx aggregate (mergeable
+    # sketches: shuffle = d x partitions rows) broadcast back; the
+    # corpus-side scaling is map-only, so total shuffle stays far
+    # below the exploded (vec, dim) row count
+    r = _measure(spark, "robust_scaler")
+    assert r["scan_rows"] > 0
+    assert r["broadcast_bytes"] > 0
+    assert r["shuffle_records"] < 5000, r
+
+
+def test_topk_rank_ties_group_limit_prefilters(spark):
+    # WindowGroupLimit partial top-k runs before the exchange, so the
+    # shuffle carries the per-partition boundary groups, not the scan
+    r = _measure(spark, "topk_rank_ties")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] < r["scan_rows"] * 1.2 + 300, r

@@ -235,3 +235,68 @@ def test_weighted_median_groups_independent(spark):
         for r in weighted_median(df, ["g"], "v", "w").collect()
     }
     assert got == {"a": 9.0, "b": 4.0}
+
+
+# ------------------------------------------------- round-6 batch 2 queries
+
+
+def test_session_window_late_drops_before_sessionizing(spark):
+    # a late event that would have BRIDGED two sessions must be gone
+    # before the session aggregate sees it: arrivals 0,1 are 40 min
+    # apart in event time (two sessions at 30-min gap); arrival 2 is
+    # an in-between event time but arrives after both and is >10 min
+    # late, so sessions stay split
+    from dwds_livestream_spark.operators.stream_twins import (
+        watermark_late_drop,
+    )
+
+    rows = [
+        (0, 100, _ts(0)),
+        (1, 100, _ts(2400)),
+        (2, 100, _ts(1200)),  # late by 1200 s
+    ]
+    df = spark.createDataFrame(rows, "event_id long, u long, ts timestamp")
+    kept = watermark_late_drop(df, "event_id", "ts", delay="10 minutes")
+    sess = (
+        kept.groupBy("u", F.session_window("ts", "30 minutes"))
+        .count()
+        .collect()
+    )
+    assert len(sess) == 2  # bridging event dropped -> sessions split
+
+
+def test_robust_scaler_rank_convention(spark):
+    # percentile_approx with accuracy >= n picks the value at 1-based
+    # rank ceil(p*n): for n=4 sorted [1,2,3,4] -> q1=1 (rank 1),
+    # med=2 (rank 2), q3=3 (rank 3); iqr=2, so x=4 scales to 1.0
+    from dwds_livestream_spark.plans.analytics import q_robust_scaler  # noqa: F401
+
+    df = spark.createDataFrame(
+        [(i, [float(i + 1)]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    ex = df.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+    q = ex.groupBy("dim").agg(
+        F.percentile_approx(
+            "x", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10**6)
+        ).alias("q")
+    ).first()["q"]
+    assert q == [1.0, 2.0, 3.0]
+
+
+def test_topk_rank_ties_keeps_whole_boundary_group(spark):
+    df = spark.createDataFrame(
+        [("b", i, v) for i, v in enumerate([9, 9, 8, 8, 8, 7, 1])],
+        "g string, id long, v long",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy(F.desc("v"))
+    got = (
+        df.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= 3)
+        .collect()
+    )
+    # ranks: 9->1, 9->1, 8->3, 8->3, 8->3 (whole tie group survives);
+    # 7 has rank 6 and is cut
+    assert sorted(r.v for r in got) == [8, 8, 8, 9, 9]
