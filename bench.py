@@ -64,6 +64,21 @@ class _Heartbeat:
                    default=0.0)
 
 
+def _jvm_gc_ms(spark) -> int | None:
+    """Cumulative driver-JVM GC milliseconds (all collectors). The
+    heartbeat catches HOST stalls; this catches the other slowness the
+    artifact couldn't attribute (r6: 4-8 s first-run spikes with zero
+    heartbeat events — JVM-internal, invisible to a Python thread)."""
+    try:
+        beans = (
+            spark.sparkContext._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        return sum(b.getCollectionTime() for b in beans)
+    except Exception:
+        return None
+
+
 def _historical_timings(sf) -> dict[str, float]:
     """Per-query timings from the previous committed BENCH.out.json —
     the spike-retry baseline (ADVICE r5: don't re-run every
@@ -114,6 +129,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     setup_sec: dict[str, float] = {}
     windows: dict[str, tuple[float, float]] = {}
+    gc_ms: dict[str, int] = {}
+    gc0 = _jvm_gc_ms(spark)
     for name, fn in QUERIES.items():
         m0 = time.monotonic()
         t0 = time.perf_counter()
@@ -122,6 +139,10 @@ def main() -> None:
         df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         windows[name] = (m0, time.monotonic())
+        gc1 = _jvm_gc_ms(spark)
+        if gc0 is not None and gc1 is not None and gc1 - gc0 >= 250:
+            gc_ms[name] = gc1 - gc0
+        gc0 = gc1
         # Spark's CacheManager matches cached plans structurally, so a
         # query that .cache()s a table silently accelerates every LATER
         # query reading the same path — per-query numbers then depend
@@ -224,6 +245,10 @@ def main() -> None:
         # [seconds_into_bench, overshoot_s], plus per-query attribution
         "stalls": None,  # filled after the streaming runs
         "stalled_queries": stalled_queries,
+        # driver-JVM GC attribution: queries whose run saw >=250ms of
+        # collection time — the JVM-internal complement to the host
+        # heartbeat (a slow number with neither is plan time)
+        "gc_ms": gc_ms,
     }
     # The query JVM is dead weight from here on: measured (r6), its
     # idle 32 executor threads + 24g heap co-resident with the
@@ -280,6 +305,9 @@ def main() -> None:
     compact["stalled_queries"] = dict(
         sorted(stalled_queries.items(), key=lambda kv: -kv[1])[:10]
     )
+    compact["gc_ms"] = dict(
+        sorted(gc_ms.items(), key=lambda kv: -kv[1])[:10]
+    )
     compact["n_queries"] = len(timings)
     compact["full_results"] = "BENCH.out.json"
     line = json.dumps(compact)
@@ -287,7 +315,7 @@ def main() -> None:
     # capture, whatever future keys get added to the dict.
     if len(line) > 6000:
         for key in (
-            "stalls", "stalled_queries", "retried", "setup_sec",
+            "gc_ms", "stalls", "stalled_queries", "retried", "setup_sec",
             "p95_attempts", "queries",
         ):
             compact.pop(key, None)
