@@ -144,6 +144,53 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.6,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC containment C(A, B) = |sh(A) ∩ sh(B)| / |sh(A)| via
+    the same inverted-index join as :func:`ngram_jaccard_pairs` — the
+    sub-document-duplication detector: a short doc fully embedded in a
+    much longer one scores ~1.0 here while its Jaccard (normalized by
+    the UNION) can be arbitrarily small, so a Jaccard threshold never
+    fires. Broder's containment measure; output both directions
+    (doc_a contained-in doc_b), doc_a != doc_b, containment >=
+    ``threshold`` rounded to 6dp.
+
+    Scale shape identical to the Jaccard path: candidates meet in
+    shingle postings lists (never all-pairs); ``max_shingle_freq``
+    caps stop-shingle skew for web corpora (drops shingles in more
+    docs than the cap BEFORE pairing).
+    """
+    sh = shingles(df, text_col, id_col, n=n)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = (
+            sh.join(freq.where(F.col("df") <= max_shingle_freq), "shingle")
+            .select(id_col, "shingle")
+        )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cont = F.round(F.col("inter") / F.col("n_a"), 6)
+    return (
+        inter.join(sa, "doc_a")
+        .select("doc_a", "doc_b", cont.alias("containment"))
+        .where(F.col("containment") >= threshold)
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

@@ -89,6 +89,34 @@ WHERE ROUND(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.8
 """
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment C(A,B) = |sh(A)∩sh(B)| / |sh(A)|
+    (operators/dedup.containment_pairs) — the sub-document-duplication
+    detector a union-normalized Jaccard threshold structurally misses
+    (ROADMAP r7 candidate, landed in r6). Same inverted-index
+    candidate shape as the Jaccard path; oracle is the definitional
+    shingle-set division."""
+    from ..operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"), n=5, threshold=0.6
+    )
+
+
+ORACLE_DEDUP_CONTAINMENT = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
+       FROM toks, unnest(range(1, greatest(len(w)-4, 0)+1)) AS t(i)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id != b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, ROUND(i * 1.0 / sa.n, 6) AS containment
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+WHERE ROUND(i * 1.0 / sa.n, 6) >= 0.6
+"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs with the engine-independent md5_64
     shingle hash: signatures, band keys, candidate generation and the

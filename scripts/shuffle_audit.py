@@ -197,6 +197,11 @@ AUDITS: dict[str, str] = {
         "rank()-with-ties top-k: WindowGroupLimit partial top-k "
         "prefilters before the exchange"
     ),
+    "dedup_containment": (
+        "asymmetric containment: candidates meet in shingle postings "
+        "lists (inverted-index join) - never all-pairs; what shuffles "
+        "is (doc, shingle) rows + candidate-pair counts"
+    ),
 }
 
 def audit_one(spark, name: str, sf_dir: str) -> dict:

@@ -306,3 +306,12 @@ def test_topk_rank_ties_group_limit_prefilters(spark):
     r = _measure(spark, "topk_rank_ties")
     assert r["scan_rows"] > 0
     assert r["shuffle_records"] < r["scan_rows"] * 1.2 + 300, r
+
+
+def test_containment_candidates_meet_in_postings(spark):
+    # same inverted-index shape as the Jaccard path: pairs form in
+    # shingle postings lists, never all-pairs; shuffle is
+    # (doc, shingle)-row-bounded
+    r = _measure(spark, "dedup_containment")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] > 0

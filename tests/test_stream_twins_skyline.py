@@ -300,3 +300,27 @@ def test_topk_rank_ties_keeps_whole_boundary_group(spark):
     # ranks: 9->1, 9->1, 8->3, 8->3, 8->3 (whole tie group survives);
     # 7 has rank 6 and is cut
     assert sorted(r.v for r in got) == [8, 8, 8, 9, 9]
+
+
+def test_containment_asymmetric_vs_jaccard(spark):
+    # a short doc fully embedded in a long one: containment(short in
+    # long) = 1.0 while Jaccard is small — the case a union-normalized
+    # threshold structurally misses
+    from dwds_livestream_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "a b c d e f"  # 2 shingles at n=5
+    long = short + " " + " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    )
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(df, n=5, threshold=0.5).collect()
+    }
+    assert cont[(1, 2)] == 1.0  # short fully contained in long
+    assert (2, 1) not in cont  # long NOT contained in short
+    jac = ngram_jaccard_pairs(df, n=5, threshold=0.5).collect()
+    assert jac == []  # Jaccard misses it entirely
