@@ -19,7 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from dwds_livestream_spark.plans import QUERIES  # noqa: E402
-from dwds_livestream_spark.session import build_session  # noqa: E402
+from dwds_livestream_spark.session import (  # noqa: E402
+    build_session,
+    drop_leftover_state,
+)
 
 
 class _Heartbeat:
@@ -149,9 +152,12 @@ def main() -> None:
         # on registry ORDER (rotating the driver window moved
         # embedding_covariance ahead of the query that cached
         # embeddings and its time went 0.4 s -> 2.0 s with untouched
-        # code). Drop leftover caches so each number attributes to its
-        # own plan from a consistent OS-warm / Spark-cache-cold state.
-        spark.catalog.clearCache()
+        # code). Drop leftover caches AND persisted localCheckpoint
+        # blocks (clearCache misses those; accumulated blocks inflated
+        # identical runs up to 13x — session.drop_leftover_state) so
+        # each number attributes to its own plan from a consistent
+        # OS-warm / Spark-state-cold state.
+        drop_leftover_state(spark)
         # attribute eager setup (index/artifact builds that run inside
         # the plan function — ann_index_topk's IVF build, BPE training,
         # LM artifact writes) separately from query execution, so a
@@ -187,14 +193,14 @@ def main() -> None:
         return h is None or t > 1.5 * h
 
     for name in [n for n in timings if retry_worthy(n)]:
-        spark.catalog.clearCache()
+        drop_leftover_state(spark)
         m0 = time.monotonic()
         t0 = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
         t1 = time.perf_counter()
         df.count()
         t2 = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
+        drop_leftover_state(spark)
         retried[name] = [timings[name], t2]
         if t2 < timings[name]:
             windows[name] = (m0, time.monotonic())

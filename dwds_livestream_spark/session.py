@@ -94,3 +94,22 @@ def build_session(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def drop_leftover_state(spark: SparkSession) -> int:
+    """Free per-query engine state between measured runs: the catalog
+    cache AND leftover persisted RDD blocks. ``clearCache()`` alone
+    misses ``localCheckpoint`` blocks (they are RDD-level, not catalog
+    entries), so long measurement sessions accumulate them — measured
+    (r6): dedup_clusters_ann, which checkpoints its edge/label frames,
+    swings 5.5-70 s across identical sf1 runs as blocks pile up, and
+    is a stable 4-5 s once they are dropped per run. Returns the
+    number of RDDs unpersisted.
+    """
+    spark.catalog.clearCache()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    n = 0
+    for jrdd in jmap.values():
+        jrdd.unpersist()
+        n += 1
+    return n

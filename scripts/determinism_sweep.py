@@ -40,7 +40,7 @@ def main() -> int:
     parts = [int(p) for p in args.partitions.split(",")]
 
     import __spark_entry__ as entry
-    from dwds_livestream_spark.session import build_session
+    from dwds_livestream_spark.session import build_session, drop_leftover_state
 
     spark = build_session(master="local[8]", shuffle_partitions=parts[0])
     qs = entry.queries()
@@ -51,7 +51,7 @@ def main() -> int:
         renders = []
         for n_part in parts:
             spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
-            spark.catalog.clearCache()
+            drop_leftover_state(spark)
             rows = qs[name](spark, sf_dir).collect()
             renders.append(
                 Counter(tuple(norm_cell(v) for v in r) for r in rows)

@@ -195,9 +195,16 @@ def main() -> None:
         spark.read.parquet(f"{d}/documents.parquet").count()
         spark.read.parquet(f"{d}/embeddings.parquet").count()
 
+    from dwds_livestream_spark.session import drop_leftover_state
+
     failures = []
     results = []
     for name in names:
+        # leftover caches AND localCheckpoint blocks from the previous
+        # query skew this one's numbers (clearCache misses the blocks;
+        # measured: dedup_clusters_ann inflated to 23x late in a
+        # 184-query sweep, stable ~4-5x once state is dropped per run)
+        drop_leftover_state(spark)
         fn = _ALL_QUERIES[name]
         fn(spark, SF01).count()  # per-query warm (codegen, caches)
         t0 = time.perf_counter()
