@@ -51,10 +51,16 @@ def watermark_late_drop(
 
     A row is LATE iff its event time ``ts_col`` is strictly older than
     ``max(ts over all strictly-earlier arrivals) - delay`` — the
-    row-granular watermark (Structured Streaming advances its
-    watermark per micro-batch, which only ever makes it LOWER than
-    this row-granular one for the same arrival prefix; rows kept here
-    form the strictest batch twin). The first arrival is never late.
+    row-granular watermark. Structured Streaming's own watermark only
+    ever LAGS this one for the same arrival prefix (measured, Spark
+    4.1: the watermark effective in micro-batch i derives from the max
+    event time through batch i-2 — the value computed at a batch's end
+    takes effect one trigger later), so the engine keeps a SUPERSET of
+    these rows; this operator is the strictest batch twin. Both facts
+    are pinned against a live stream in
+    tests/test_stream_twins_skyline.py::
+    test_watermark_twin_matches_engine_semantics. The first arrival is
+    never late.
 
     ``arrival_col`` must be a numeric total arrival order (e.g. a
     monotonically increasing ingest id). ``delay`` is a SQL interval

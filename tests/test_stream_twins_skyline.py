@@ -324,3 +324,75 @@ def test_containment_asymmetric_vs_jaccard(spark):
     assert (2, 1) not in cont  # long NOT contained in short
     jac = ngram_jaccard_pairs(df, n=5, threshold=0.5).collect()
     assert jac == []  # Jaccard misses it entirely
+
+
+def test_watermark_twin_matches_engine_semantics(spark, tmp_path):
+    """ENGINE-parity for the batch twin, one row per micro-batch in
+    arrival order. Measured Spark behavior (pinned here): the global
+    watermark effective in micro-batch i derives from the max event
+    time through batch i-2 (the update computed at the end of a batch
+    takes effect one trigger later), so the engine's late-drop
+    (withWatermark + dropDuplicates; stateful operators filter input
+    older than the watermark) keeps a SUPERSET of the row-granular
+    twin — exactly the operator docstring's "strictest batch twin"
+    claim. Two assertions: (a) the engine's kept set equals the
+    two-batch-lag reference computed here, so the semantics we claim
+    to twin are the measured ones, not folklore; (b) twin-kept is a
+    subset of engine-kept — the twin never keeps a row the engine
+    would drop. Offsets avoid boundary-equal timestamps so a <-vs-<=
+    convention difference can't hide."""
+    import json as _json
+    import os
+    import time as _time
+
+    offsets = [0, 300, 120, 900, 100, 1200, 700, 1500, 1480, 200]
+    delay_s = 100
+    rows = [(i, _ts(s)) for i, s in enumerate(offsets)]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, (arr, ts) in enumerate(rows):
+        (src / f"f{i:03d}.jsonl").write_text(
+            _json.dumps({"id": arr, "ts": ts.strftime("%Y-%m-%dT%H:%M:%S")})
+        )
+    now = _time.time()
+    for i, f in enumerate(sorted(src.iterdir())):
+        os.utime(f, (now + i, now + i))
+
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+        .selectExpr("from_json(value, 'id long, ts timestamp') AS e")
+        .select("e.id", "e.ts")
+        .withWatermark("ts", f"{delay_s} seconds")
+        .dropDuplicates(["id"])
+    )
+    batches: list[list] = []
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(lambda b, i: batches.append(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    engine_kept = sorted(r.id for bs in batches for r in bs)
+
+    # two-batch-lag reference: wm(i) = max(ts of batches 0..i-2) - delay
+    lag2_kept = []
+    for i, (arr, ts) in enumerate(rows):
+        seen = [t for _, t in rows[: max(i - 1, 0)]]
+        wm = max(seen) - dt.timedelta(seconds=delay_s) if seen else None
+        if wm is None or ts >= wm:
+            lag2_kept.append(arr)
+    assert engine_kept == lag2_kept == [0, 1, 2, 3, 5, 7, 8]
+
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    twin_kept = sorted(
+        r.id
+        for r in watermark_late_drop(
+            df, "id", "ts", delay=f"{delay_s} seconds"
+        ).collect()
+    )
+    assert twin_kept == [0, 1, 3, 5, 7, 8]  # strictest: row 2 dropped
+    assert set(twin_kept) <= set(engine_kept)
