@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -107,3 +108,80 @@ def rate_limit_stream(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return limited.drop("__key")
+
+
+# ---------------------------------------------------------------------
+# emit-on-change: suppress per-key rows whose value did not change
+
+
+EOC_STATE_SCHEMA = StructType(
+    [
+        # nullable string can't distinguish "last value was NULL" from
+        # "no state yet" through a replay, so null-ness is explicit
+        StructField("last_value", StringType()),
+        StructField("last_is_null", LongType()),
+    ]
+)
+
+EOC_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+    ]
+)
+
+
+def emit_on_change_stream(events: DataFrame) -> DataFrame:
+    """Streaming form of ``operators/stream_twins.emit_on_change``:
+    per user, emit a row only when ``event_type`` differs (null-safely)
+    from the key's previously EMITTED value — run-length compression of
+    a keyed change stream with the compression state in the Spark
+    state store, surviving micro-batch boundaries and restarts.
+
+    Rows are processed in (ts, event_id) order within each micro-batch;
+    with in-order arrival the cumulative output equals the batch twin
+    replayed over the full history (asserted against it in
+    tests/test_streaming_dedup.py::test_emit_on_change_stream_matches
+    _batch_twin). State per key is one value — O(keys), watermark-free,
+    same scale shape as the rate limiter above.
+    """
+
+    def track(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_value, last_is_null = state.get
+            have_last = True
+            last = None if last_is_null else last_value
+        else:
+            have_last = False
+            last = None
+        out: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            for ts, eid, val in zip(
+                pdf["ts"], pdf["event_id"], pdf["event_type"]
+            ):
+                v = None if pd.isna(val) else str(val)
+                if not have_last or v != last:
+                    out.append((int(key[0]), ts, int(eid), v))
+                last, have_last = v, True
+        state.update((last if last is not None else "", 1 if last is None else 0))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "ts", "event_id", "event_type"]
+            )
+
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track,
+            outputStructType=EOC_OUT_SCHEMA,
+            stateStructType=EOC_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
