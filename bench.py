@@ -133,6 +133,10 @@ def main() -> None:
     setup_sec: dict[str, float] = {}
     windows: dict[str, tuple[float, float]] = {}
     gc_ms: dict[str, int] = {}
+    # an empty gc_ms map means "no query accumulated >= GC_THRESHOLD_MS
+    # of driver-JVM collection time during its window", NOT "GC was not
+    # recorded" — the threshold ships in the artifact (VERDICT r6 #6)
+    GC_THRESHOLD_MS = 250
     gc0 = _jvm_gc_ms(spark)
     for name, fn in QUERIES.items():
         m0 = time.monotonic()
@@ -143,7 +147,11 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         windows[name] = (m0, time.monotonic())
         gc1 = _jvm_gc_ms(spark)
-        if gc0 is not None and gc1 is not None and gc1 - gc0 >= 250:
+        if (
+            gc0 is not None
+            and gc1 is not None
+            and gc1 - gc0 >= GC_THRESHOLD_MS
+        ):
             gc_ms[name] = gc1 - gc0
         gc0 = gc1
         # Spark's CacheManager matches cached plans structurally, so a
@@ -194,12 +202,14 @@ def main() -> None:
 
     for name in [n for n in timings if retry_worthy(n)]:
         drop_leftover_state(spark)
+        gc_r0 = _jvm_gc_ms(spark)
         m0 = time.monotonic()
         t0 = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
         t1 = time.perf_counter()
         df.count()
         t2 = round(time.perf_counter() - t0, 3)
+        gc_r1 = _jvm_gc_ms(spark)
         drop_leftover_state(spark)
         retried[name] = [timings[name], t2]
         if t2 < timings[name]:
@@ -212,6 +222,16 @@ def main() -> None:
             setup_sec.pop(name, None)
             if t1 - t0 > 0.25:
                 setup_sec[name] = round(t1 - t0, 3)
+            # likewise gc attribution (ADVICE r6): a gc_ms entry that
+            # describes the DISCARDED first run would point GC blame
+            # at a timing no longer reported
+            gc_ms.pop(name, None)
+            if (
+                gc_r0 is not None
+                and gc_r1 is not None
+                and gc_r1 - gc_r0 >= GC_THRESHOLD_MS
+            ):
+                gc_ms[name] = gc_r1 - gc_r0
 
     total = round(sum(timings.values()), 3)
     # per-query stall attribution: max heartbeat overshoot overlapping
@@ -251,10 +271,14 @@ def main() -> None:
         # [seconds_into_bench, overshoot_s], plus per-query attribution
         "stalls": None,  # filled after the streaming runs
         "stalled_queries": stalled_queries,
-        # driver-JVM GC attribution: queries whose run saw >=250ms of
-        # collection time — the JVM-internal complement to the host
-        # heartbeat (a slow number with neither is plan time)
+        # driver-JVM GC attribution: queries whose REPORTED run saw
+        # >= gc_threshold_ms of collection time — the JVM-internal
+        # complement to the host heartbeat (a slow number with neither
+        # is plan time). {} means "all below threshold", never
+        # "not recorded": gc_recorded says whether sampling worked.
         "gc_ms": gc_ms,
+        "gc_threshold_ms": GC_THRESHOLD_MS,
+        "gc_recorded": gc0 is not None,
     }
     # The query JVM is dead weight from here on: measured (r6), its
     # idle 32 executor threads + 24g heap co-resident with the
@@ -406,18 +430,31 @@ def _stream_latency_at_reference_rate() -> dict | None:
                     p95 = lat.get("trigger_to_sink_p95_s")
                     if p95 is None:
                         return None
+                    e2e_p95 = lat.get("e2e_p95_latency_s")
                     return {
                         "metric": "stream_latency_at_reference_rate",
                         "rate": 100,
                         "p95_latency_s": p95,
                         "mean_latency_s": lat.get(
                             "trigger_to_sink_mean_s"),
-                        "e2e_p95_latency_s": lat.get("e2e_p95_latency_s"),
+                        "e2e_p95_latency_s": e2e_p95,
                         "e2e_mean_latency_s": lat.get(
                             "e2e_mean_latency_s"),
                         "files_measured": lat.get("files_measured"),
                         "target_p95_s": 1.0,
                         "pass": p95 < 1.0,
+                        # end-to-end gate (VERDICT r6 #5): file-arrival
+                        # -> sink-visibility. Budget 2 s = the 1 s
+                        # trigger-cadence wait an event can queue
+                        # before its micro-batch starts (reference
+                        # polls the tailer every 1000 ms) + the 1 s
+                        # trigger-to-sink budget above; decomposition:
+                        # e2e p95 ~= arrival-to-trigger wait (up to one
+                        # full cadence) + trigger_to_sink p95.
+                        "e2e_target_p95_s": 2.0,
+                        "e2e_pass": (
+                            e2e_p95 is not None and e2e_p95 < 2.0
+                        ),
                     }
         except Exception:
             return None
@@ -437,7 +474,7 @@ def _stream_latency_at_reference_rate() -> dict | None:
             time.sleep(5)
         r = once()
         attempts.append(r)
-        if r is not None and r["pass"]:
+        if r is not None and r["pass"] and r["e2e_pass"]:
             break
     parsed = [r for r in attempts if r is not None]
     if not parsed:

@@ -15,9 +15,14 @@ shuffles on (key) / (key, island), both map-side combined. Touching
 intervals (start == previous end) merge — [0,10) + [10,20) is one
 island of 20.
 
-The result is invariant to the within-key tie order of equal starts:
-an interval whose start equals a peer's start can never open a new
-island after it (the running max end is then >= that start).
+For well-formed intervals (end >= start) the result is invariant to
+the within-key tie order of equal starts: an interval whose start
+equals a peer's start can never open a new island after it (the
+running max end is then >= that start). Degenerate intervals
+(end < start) can leave the running max end BELOW the shared start
+(e.g. prior max 3, then [5,4) and [5,9)), making n_islands depend on
+which tied row the window visits first — determinism there comes from
+the (start, end) secondary sort, which the DuckDB oracle shares.
 """
 
 from __future__ import annotations

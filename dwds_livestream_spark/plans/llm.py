@@ -2418,6 +2418,30 @@ def q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_index_topk_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVF index queried with nprobe = n_centroids — every
+    cell probed, so the candidate set is the whole corpus and the
+    result IS exact cosine top-k. tests/test_identity_oracle.py proves
+    that identity in pytest; registering the full-probe form gives the
+    persisted-index READ path (operators/ann_index.py ivf_index_query:
+    centroid load, cell assignment, pruned-to-all-cells scan, broadcast
+    query join, per-query top-k window) an INDEPENDENT driver
+    hash-match against the same exact-cosine DuckDB oracle
+    ``similarity_topk`` uses (VERDICT r6 ask #1). The approximate
+    nprobe<cells entry above stays rows-only by nature."""
+    import tempfile
+
+    from ..operators.ann_index import ivf_index_query, ivf_index_write
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # per-run mkdtemp: see q_ann_index_topk
+    path = tempfile.mkdtemp(prefix="dwds_ivf_idx_fp_") + "/idx"
+    ivf_index_write(emb, path, n_centroids=16)
+    return ivf_index_query(
+        spark, path, emb.where(F.col("vec_id") < 10), k=10, nprobe=16
+    )
+
+
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full iterative BPE training (operators/bpe.py): 8 merge rules
     learned from the documents corpus — the loop runs on the vocab

@@ -72,29 +72,38 @@ def rate_limit_stream(
             tokens, window_us = state.get
         else:
             tokens, window_us = epm, -1
-        kept: list[pd.DataFrame] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col, kind="stable")
-            mask = []
-            for t in pdf[ts_col]:
-                minute_us = (int(t.value) // 1000 // 60_000_000) * 60_000_000
-                # refill ONLY on forward movement: an out-of-order
-                # event from an earlier minute must not reset the
-                # bucket (a single late straggler would otherwise
-                # refill the window twice and admit up to 2x epm);
-                # late events are charged against the current window
-                # instead — under-admits, never over-admits
-                if minute_us > window_us:
-                    window_us, tokens = minute_us, epm
-                if tokens > 0:
-                    tokens -= 1
-                    mask.append(True)
-                else:
-                    mask.append(False)
-            kept.append(pdf[pd.Series(mask, index=pdf.index)])
+        # Arrow hands a key's micro-batch data as MULTIPLE chunks
+        # (spark.sql.execution.arrow.maxRecordsPerBatch) in arbitrary
+        # order; sorting each chunk independently would admit rows out
+        # of global event-time order for keys with >1 chunk per batch.
+        # Materialize the key's whole batch and sort ONCE — state per
+        # key stays 2 longs; the transient batch buffer is bounded by
+        # the micro-batch size, same as any per-key batch operator.
+        chunks = list(pdfs)
+        if not chunks:
+            state.update((tokens, window_us))
+            return
+        pdf = pd.concat(chunks).sort_values(ts_col, kind="stable")
+        mask = []
+        for t in pdf[ts_col]:
+            minute_us = (int(t.value) // 1000 // 60_000_000) * 60_000_000
+            # refill ONLY on forward movement: an out-of-order
+            # event from an earlier minute must not reset the
+            # bucket (a single late straggler would otherwise
+            # refill the window twice and admit up to 2x epm);
+            # late events are charged against the current window
+            # instead — under-admits, never over-admits
+            if minute_us > window_us:
+                window_us, tokens = minute_us, epm
+            if tokens > 0:
+                tokens -= 1
+                mask.append(True)
+            else:
+                mask.append(False)
         state.update((tokens, window_us))
-        if kept:
-            yield pd.concat(kept)
+        kept = pdf[pd.Series(mask, index=pdf.index)]
+        if len(kept):
+            yield kept
 
     keyed = events.withColumn(
         "__key",
@@ -159,8 +168,16 @@ def emit_on_change_stream(events: DataFrame) -> DataFrame:
             have_last = False
             last = None
         out: list[tuple] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        # concat-then-sort across ALL chunks: Arrow splits a key's
+        # micro-batch into multiple chunks in arbitrary order, so a
+        # per-chunk sort is not a global (ts, event_id) sort and the
+        # documented batch-twin equivalence would break for keys with
+        # >maxRecordsPerBatch rows in one micro-batch
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(
+                ["ts", "event_id"], kind="mergesort"
+            )
             for ts, eid, val in zip(
                 pdf["ts"], pdf["event_id"], pdf["event_type"]
             ):

@@ -167,6 +167,18 @@ def test_skyline_ties_survive_together(spark):
     assert got == [1, 2]
 
 
+def test_skyline_null_rows_excluded(spark):
+    """Documented null policy (ADVICE r6): rows with NULL in either
+    objective column are filtered out, not trivially kept the way a
+    literal NOT EXISTS oracle would keep them."""
+    df = spark.createDataFrame(
+        [(1, 1.0, 10), (2, None, 99), (3, 2.0, None)],
+        "id long, price double, size long",
+    )
+    got = sorted(r.id for r in pareto_frontier(df, "price", "size").collect())
+    assert got == [1]
+
+
 def test_skyline_empty(spark):
     df = spark.createDataFrame([], "id long, price double, size long")
     assert pareto_frontier(df, "price", "size").count() == 0

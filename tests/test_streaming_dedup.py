@@ -237,3 +237,58 @@ def test_emit_on_change_state_survives_restart(spark, tmp_path):
     second: list = []
     run_once(second)
     assert sorted(r.event_id for r in second) == [3]
+
+
+def test_emit_on_change_stream_multi_chunk_key(spark, tmp_path):
+    """ADVICE r6 (medium): applyInPandasWithState splits a key's
+    micro-batch into multiple Arrow chunks
+    (spark.sql.execution.arrow.maxRecordsPerBatch) in arbitrary order;
+    sorting each chunk independently is NOT a global (ts, event_id)
+    sort, so for keys with >1 chunk the batch-twin equivalence breaks.
+    Force tiny chunks (8 rows), feed one key 48 rows in a SINGLE
+    micro-batch in shuffled file order where only two global
+    transitions exist (a-run then b-run): per-chunk sorting would
+    interleave a/b values and emit many spurious rows — the correct
+    output is exactly the two run heads."""
+    import json as _json
+
+    from dwds_livestream_spark.streaming.stateful import (
+        emit_on_change_stream,
+    )
+
+    # deterministic shuffle: stride permutation of 0..47
+    order = [(i * 19) % 48 for i in range(48)]
+    assert sorted(order) == list(range(48))
+    events = [
+        {
+            "event_id": i,
+            "user_id": 1,
+            "ts": f"2024-01-01T10:{i // 60:02d}:{i % 60:02d}",
+            "event_type": "a" if i < 24 else "b",
+        }
+        for i in order
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.jsonl").write_text(
+        "\n".join(_json.dumps(e) for e in events)
+    )
+
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+    try:
+        stream = (
+            spark.readStream.format("text")
+            .load(str(src))
+            .selectExpr(f"from_json(value, '{schema}') AS e")
+            .select("e.event_id", "e.user_id", "e.ts", "e.event_type")
+        )
+        got = _run_append(
+            spark, emit_on_change_stream(stream), tmp_path, "eoc_chunk"
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+    assert sorted(r.event_id for r in got) == [0, 24]

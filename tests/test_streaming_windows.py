@@ -446,3 +446,41 @@ def test_rate_limit_late_event_does_not_refill_bucket(spark, tmp_path):
     # bucket empty (charged to the current window, no refill); the
     # genuinely-new minute 10:02 refills
     assert kept == ["m1", "m2", "next"]
+
+
+def test_rate_limit_stream_multi_chunk_key(spark, tmp_path):
+    """ADVICE r6: with tiny Arrow chunks a key's micro-batch arrives as
+    several out-of-order chunks; admission must still follow GLOBAL
+    event-time order. 40 events in one minute, epm=5, shuffled file
+    order, 8-row chunks: the admitted set must be the 5 earliest
+    timestamps — per-chunk sorting would admit the earliest of the
+    first chunk instead."""
+    order = [(i * 17) % 40 for i in range(40)]
+    assert sorted(order) == list(range(40))
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.jsonl").write_text(
+        "\n".join(
+            _jsonl(f"2024-01-01T10:00:{i:02d}Z", f"e{i:02d}")
+            for i in order
+        )
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+    try:
+        out = rate_limit_stream(_read_stream(spark, src), epm=5)
+        collected: list = []
+        q = (
+            out.writeStream.outputMode("append")
+            .foreachBatch(lambda b, i: collected.extend(b.collect()))
+            .option("checkpointLocation", str(tmp_path / "ckpt_rl_chunk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+    kept = sorted(r.lemma for r in collected)
+    assert kept == ["e00", "e01", "e02", "e03", "e04"]
