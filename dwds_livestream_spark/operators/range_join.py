@@ -29,7 +29,7 @@ still never a nested loop.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -128,3 +128,90 @@ def range_join(
     for part in parts[1:]:
         out = out.unionByName(part)
     return out
+
+
+def knearest_preceding(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    bound_seconds: int,
+    ts_col: str = "ts",
+    right_ts_col: str | None = None,
+    equi: list[str] | None = None,
+    left_id_col: str = "event_id",
+    right_id_col: str = "event_id",
+) -> DataFrame:
+    """Order-book-style temporal join (ROADMAP r6): for every left row,
+    the ``k`` nearest PRECEDING right rows within ``bound_seconds`` —
+    right.ts <= left.ts and left.ts - right.ts <= bound — ranked
+    nearest-first. The as-of join (operators/asof.py) is the k=1,
+    unbounded special case; a naive Spark formulation is a theta join
+    (BroadcastNestedLoop — unusable when neither side broadcasts).
+
+    Plan (the binned range-join shape above): quantize time into
+    ``bound_seconds``-wide bins. A qualifying right row can only lie in
+    the left row's bin or the one before it, so the right side explodes
+    into exactly 2 (bin, bin+1) rows, an equi hash join on
+    (equi, __bin) produces candidates (SortMergeJoin/ShuffledHashJoin,
+    never a nested loop), the exact range predicate refines, and a
+    per-left-row window keeps rank <= k. Shuffle = |left| + 2|right| +
+    candidates; candidates per left row are bounded by the right-rate
+    within one bound window. Hot equi keys are the skew risk — same
+    mitigation as range_join (salt or widen equi).
+
+    Ranking is deterministic: nearest first (largest right ts), ties on
+    ts broken by ascending ``right_id_col``. ``left_id_col`` must
+    uniquely identify left rows (it is the rank window's partition
+    key — duplicate ids would merge candidate sets and double-count
+    neighbors). Output: all left columns + ``rank``, right's id as
+    ``preceding_id``, and ``gap_us`` (microseconds, exact integer).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if bound_seconds <= 0:
+        raise ValueError(f"bound_seconds must be > 0: {bound_seconds}")
+    rts = right_ts_col or ts_col
+    eq = list(equi or [])
+    w = int(bound_seconds)
+
+    lt_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    rt_us = F.unix_micros(F.col(rts).cast("timestamp"))
+    l = left.withColumn("__l_us", lt_us).withColumn(
+        "__bin", F.floor(F.col("__l_us") / (w * 1_000_000))
+    )
+    r = (
+        right.select(
+            *eq,
+            F.col(right_id_col).alias("preceding_id"),
+            rt_us.alias("__r_us"),
+        )
+        .withColumn(
+            "__bin",
+            F.explode(
+                F.array(
+                    F.floor(F.col("__r_us") / (w * 1_000_000)),
+                    F.floor(F.col("__r_us") / (w * 1_000_000)) + 1,
+                )
+            ),
+        )
+    )
+    cand = (
+        l.join(r, on=["__bin", *eq], how="inner")
+        .where(
+            (F.col("__r_us") <= F.col("__l_us"))
+            & (F.col("__l_us") - F.col("__r_us") <= w * 1_000_000)
+        )
+    )
+    rank_w = Window.partitionBy(left_id_col).orderBy(
+        F.desc("__r_us"), F.asc("preceding_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= k)
+        .select(
+            *left.columns,
+            "rank",
+            "preceding_id",
+            (F.col("__l_us") - F.col("__r_us")).alias("gap_us"),
+        )
+    )

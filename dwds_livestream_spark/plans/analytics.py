@@ -4093,3 +4093,103 @@ SELECT p_brand, p_partkey, dollars, rnk
 FROM r WHERE rnk <= 3
 ORDER BY p_brand, rnk, p_partkey
 """
+
+
+def q_skyline_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-D skyline over part (operators/skyline.skyline_md): the parts
+    no other part beats on price (minimize), size (maximize), AND
+    name length (maximize) simultaneously. The oracle stays the
+    definitional O(n²) NOT EXISTS anti-join; the Spark plan is the
+    grid filter-and-refine (distinct tuples -> cell-corner pruning ->
+    candidate-pair refine), shuffles distinct-tuple-sized."""
+    from ..operators.skyline import skyline_md
+
+    p3 = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_retailprice",
+        "p_size",
+        F.length("p_name").cast("bigint").alias("p_qual"),
+    )
+    return (
+        skyline_md(
+            p3,
+            minimize_cols=["p_retailprice"],
+            maximize_cols=["p_size", "p_qual"],
+        )
+        .select("p_partkey", "p_retailprice", "p_size", "p_qual")
+        .orderBy("p_partkey")
+    )
+
+
+ORACLE_SKYLINE_3D = """
+WITH p3 AS (
+  SELECT p_partkey, p_retailprice, p_size,
+         CAST(length(p_name) AS BIGINT) AS p_qual
+  FROM part
+)
+SELECT p_partkey, p_retailprice, p_size, p_qual
+FROM p3 p
+WHERE NOT EXISTS (
+  SELECT 1 FROM p3 q
+  WHERE q.p_retailprice <= p.p_retailprice
+    AND q.p_size >= p.p_size AND q.p_qual >= p.p_qual
+    AND (q.p_retailprice < p.p_retailprice
+         OR q.p_size > p.p_size OR q.p_qual > p.p_qual))
+ORDER BY p_partkey
+"""
+
+
+def q_knearest_preceding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-book-style temporal join (ROADMAP r6,
+    operators/range_join.knearest_preceding): every purchase joined to
+    its 3 nearest preceding clicks by the same user within one hour,
+    nearest first. Binned range-join shape: the right side explodes
+    into exactly 2 bound-width bins, candidates come from an equi hash
+    join on (user_id, bin) — never a nested loop — and a per-purchase
+    window keeps rank <= 3. Exact integer microsecond gaps, id
+    tiebreak, so both engines agree exactly."""
+    from ..operators.range_join import knearest_preceding
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        knearest_preceding(
+            purchases,
+            clicks,
+            k=3,
+            bound_seconds=3600,
+            equi=["user_id"],
+        )
+        .select("event_id", "rank", "preceding_id", "gap_us")
+        .orderBy("event_id", "rank")
+    )
+
+
+ORACLE_KNEAREST_PRECEDING = """
+WITH l AS (
+  SELECT event_id, user_id, epoch_us(ts) AS l_us
+  FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT event_id AS preceding_id, user_id, epoch_us(ts) AS r_us
+  FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT l.event_id, r.preceding_id, l.l_us - r.r_us AS gap_us
+  FROM l JOIN r ON l.user_id = r.user_id
+   AND r.r_us <= l.l_us
+   AND l.l_us - r.r_us <= CAST(3600000000 AS BIGINT)
+), k AS (
+  SELECT event_id, preceding_id, gap_us,
+         CAST(row_number() OVER (
+           PARTITION BY event_id ORDER BY gap_us, preceding_id
+         ) AS INT) AS rank
+  FROM j
+)
+SELECT event_id, rank, preceding_id, gap_us
+FROM k WHERE rank <= 3
+ORDER BY event_id, rank
+"""

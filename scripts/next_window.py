@@ -47,12 +47,19 @@ PARITY_SLOTS = [
 def main() -> None:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     verified: set[str] = set()
+    last_seen: dict[str, int] = {}
     for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(
+            os.path.basename(f).removeprefix("CORRECTNESS_r").split(".")[0]
+        )
         with open(f) as fh:
             data = json.load(fh)
         names = data.get("queries", data)
-        verified |= set(names) & set(_ALL_QUERIES)
-        print(f"{os.path.basename(f)}: {len(set(names) & set(_ALL_QUERIES))} entries")
+        seen = set(names) & set(_ALL_QUERIES)
+        verified |= seen
+        for q in seen:
+            last_seen[q] = max(last_seen.get(q, 0), rnd)
+        print(f"{os.path.basename(f)}: {len(seen)} entries")
     remainder = [q for q in _ALL_QUERIES if q not in verified]
     print(f"\nregistry: {len(_ALL_QUERIES)}  verified so far: {len(verified)}")
     print(f"never-verified remainder ({len(remainder)}):")
@@ -61,11 +68,22 @@ def main() -> None:
     free = 50 - len(PARITY_SLOTS)
     if len(remainder) <= free:
         window = PARITY_SLOTS + remainder
-        pad = [
-            q
-            for q in _ALL_QUERIES
-            if q not in window and q in verified
-        ][: 50 - len(window)]
+        # pad policy since r7 (VERDICT r6 #3): round-robin the
+        # previously-verified non-window queries, LEAST-recently
+        # driver-seen first (ties in registry order), so the full
+        # registry re-verifies on a bounded cadence (~3 rounds)
+        # instead of only at first landing
+        pad = sorted(
+            (
+                q
+                for q in _ALL_QUERIES
+                if q not in window and q in verified
+            ),
+            key=lambda q: (
+                last_seen.get(q, 0),
+                list(_ALL_QUERIES).index(q),
+            ),
+        )[: 50 - len(window)]
         print(f"\nsuggested DRIVER_WINDOW ({len(window + pad)}):")
         for q in window + pad:
             print(f'    "{q}",')

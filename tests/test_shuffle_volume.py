@@ -315,3 +315,23 @@ def test_containment_candidates_meet_in_postings(spark):
     r = _measure(spark, "dedup_containment")
     assert r["scan_rows"] > 0
     assert r["shuffle_records"] > 0
+
+
+def test_skyline_3d_shuffles_distinct_tuples_not_corpus(spark):
+    # grid filter-and-refine: the corpus folds to distinct objective
+    # tuples in the first aggregate; everything after (cell summary,
+    # survivor refine, dominated-key anti join) is tuple- or
+    # survivor-sized. Join-back to corpus rows is a broadcast semi.
+    r = _measure(spark, "skyline_3d")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] < r["scan_rows"] * 3 + 500, r
+
+
+def test_knearest_preceding_no_nested_loop_blowup(spark):
+    # binned range join: right explodes into exactly 2 bins, the
+    # candidate join is an equi join on (user, bin) — broadcast at
+    # test scale, hash-shuffle at real scale — and the rank window
+    # moves candidates only; never an O(|L|x|R|) nested loop
+    r = _measure(spark, "knearest_preceding")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] < r["scan_rows"] * 4 + 500, r

@@ -408,3 +408,83 @@ def test_watermark_twin_matches_engine_semantics(spark, tmp_path):
     )
     assert twin_kept == [0, 1, 3, 5, 7, 8]  # strictest: row 2 dropped
     assert set(twin_kept) <= set(engine_kept)
+
+
+# ------------------------------------------------------------- skyline_md
+
+
+def _naive_skyline_md(pts):
+    # minimize dim 0, maximize dims 1..: indices of non-dominated pts
+    out = []
+    for i, p in enumerate(pts):
+        dominated = any(
+            q[0] <= p[0]
+            and all(q[j] >= p[j] for j in range(1, len(p)))
+            and (q[0] < p[0] or any(q[j] > p[j] for j in range(1, len(p))))
+            for q in pts
+        )
+        if not dominated:
+            out.append(i)
+    return out
+
+
+@pytest.mark.parametrize("n_buckets", [1, 3, 8])
+def test_skyline_md_matches_brute_force(spark, n_buckets):
+    from dwds_livestream_spark.operators.skyline import skyline_md
+
+    pts = [
+        (
+            (i * 7919) % 97 / 10.0,
+            (i * 104729) % 53,
+            (i * 15485863) % 31,
+        )
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(pts)],
+        "id long, price double, size long, quality long",
+    )
+    got = sorted(
+        r.id
+        for r in skyline_md(
+            df, ["price"], ["size", "quality"], n_buckets=n_buckets
+        ).collect()
+    )
+    assert got == _naive_skyline_md(pts)
+
+
+def test_skyline_md_ties_and_nulls(spark):
+    from dwds_livestream_spark.operators.skyline import skyline_md
+
+    df = spark.createDataFrame(
+        [
+            (1, 1.0, 10, 5),
+            (2, 1.0, 10, 5),  # exact duplicate of 1: both survive
+            (3, 1.0, 10, 4),  # dominated by 1/2
+            (4, 0.5, 1, 1),   # cheapest: survives
+            (5, None, 99, 9),  # null objective: excluded
+        ],
+        "id long, price double, size long, quality long",
+    )
+    got = sorted(
+        r.id
+        for r in skyline_md(df, ["price"], ["size", "quality"]).collect()
+    )
+    assert got == [1, 2, 4]
+
+
+def test_skyline_md_d2_matches_pareto_frontier(spark):
+    from dwds_livestream_spark.operators.skyline import skyline_md
+
+    pts = [((i * 31) % 17 / 4.0, (i * 13) % 11) for i in range(120)]
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pts)],
+        "id long, price double, size long",
+    )
+    md = sorted(
+        r.id for r in skyline_md(df, ["price"], ["size"]).collect()
+    )
+    d2 = sorted(
+        r.id for r in pareto_frontier(df, "price", "size").collect()
+    )
+    assert md == d2

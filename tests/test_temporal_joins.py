@@ -187,3 +187,98 @@ def test_asof_forward_nearest_later_inclusive(spark):
     assert out[1].tag == "same"            # ts == rts is a match
     assert out[2].tag is None              # nothing later -> left outer null
     assert out[3].tag is None              # other key untouched
+
+
+# ------------------------------------------------- k-nearest preceding
+
+
+def test_knearest_preceding_matches_brute_force(spark):
+    import datetime as dt
+
+    from dwds_livestream_spark.operators.range_join import (
+        knearest_preceding,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    # deterministic pseudo-random events across 2 users, ~6 hours
+    lrows = [
+        (i, i % 2, base + dt.timedelta(seconds=((i * 997) % 21600)))
+        for i in range(40)
+    ]
+    rrows = [
+        (100 + i, i % 2, base + dt.timedelta(seconds=((i * 641) % 21600)))
+        for i in range(120)
+    ]
+    left = spark.createDataFrame(lrows, "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(rrows, "event_id long, user_id long, ts timestamp")
+
+    K, BOUND = 3, 1800
+    got = {
+        (r.event_id, r["rank"]): (r.preceding_id, r.gap_us)
+        for r in knearest_preceding(
+            left, right, k=K, bound_seconds=BOUND, equi=["user_id"]
+        ).collect()
+    }
+
+    expected = {}
+    for lid, lu, lts in lrows:
+        cands = sorted(
+            (
+                (int((lts - rts).total_seconds() * 1_000_000), rid)
+                for rid, ru, rts in rrows
+                if ru == lu and rts <= lts
+                and (lts - rts).total_seconds() <= BOUND
+            ),
+        )
+        for rank, (gap, rid) in enumerate(cands[:K], start=1):
+            expected[(lid, rank)] = (rid, gap)
+    assert got == expected
+    assert expected, "fixture must produce matches"
+
+
+def test_knearest_preceding_boundaries(spark):
+    import datetime as dt
+
+    from dwds_livestream_spark.operators.range_join import (
+        knearest_preceding,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, t0)], "event_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, t0),                                  # ts tie: gap 0
+            (11, t0 - dt.timedelta(seconds=3600)),     # exactly at bound
+            (12, t0 - dt.timedelta(seconds=3601)),     # past bound: out
+            (13, t0 + dt.timedelta(seconds=1)),        # future: out
+            (14, t0),                                  # gap-0 tie: id order
+        ],
+        "event_id long, ts timestamp",
+    )
+    rows = sorted(
+        (r["rank"], r.preceding_id, r.gap_us)
+        for r in knearest_preceding(
+            left, right, k=10, bound_seconds=3600
+        ).collect()
+    )
+    assert rows == [
+        (1, 10, 0),
+        (2, 14, 0),
+        (3, 11, 3_600_000_000),
+    ]
+
+
+def test_knearest_preceding_validates_args(spark):
+    import pytest as _pytest
+
+    from dwds_livestream_spark.operators.range_join import (
+        knearest_preceding,
+    )
+
+    df = spark.createDataFrame([], "event_id long, ts timestamp")
+    with _pytest.raises(ValueError):
+        knearest_preceding(df, df, k=0, bound_seconds=10)
+    with _pytest.raises(ValueError):
+        knearest_preceding(df, df, k=1, bound_seconds=0)
