@@ -130,6 +130,59 @@ def range_join(
     return out
 
 
+def _preceding_candidates(
+    left: DataFrame,
+    right: DataFrame,
+    bound_seconds: int,
+    ts_col: str,
+    right_ts_col: str | None,
+    equi: list[str] | None,
+    right_id_col: str,
+) -> DataFrame:
+    """Shared candidate stage for the bounded-preceding join family:
+    all (left row, right row) pairs with right.ts <= left.ts and
+    left.ts - right.ts <= bound. Binned shape (see knearest_preceding
+    docstring): the right side explodes into exactly 2 bound-width
+    bins, candidates come from an equi hash join on (equi, __bin) —
+    never a nested loop. Output: left columns + ``__l_us``,
+    ``preceding_id``, ``__r_us``."""
+    if bound_seconds <= 0:
+        raise ValueError(f"bound_seconds must be > 0: {bound_seconds}")
+    rts = right_ts_col or ts_col
+    eq = list(equi or [])
+    w = int(bound_seconds)
+
+    lt_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    rt_us = F.unix_micros(F.col(rts).cast("timestamp"))
+    l = left.withColumn("__l_us", lt_us).withColumn(
+        "__bin", F.floor(F.col("__l_us") / (w * 1_000_000))
+    )
+    r = (
+        right.select(
+            *eq,
+            F.col(right_id_col).alias("preceding_id"),
+            rt_us.alias("__r_us"),
+        )
+        .withColumn(
+            "__bin",
+            F.explode(
+                F.array(
+                    F.floor(F.col("__r_us") / (w * 1_000_000)),
+                    F.floor(F.col("__r_us") / (w * 1_000_000)) + 1,
+                )
+            ),
+        )
+    )
+    return (
+        l.join(r, on=["__bin", *eq], how="inner")
+        .where(
+            (F.col("__r_us") <= F.col("__l_us"))
+            & (F.col("__l_us") - F.col("__r_us") <= w * 1_000_000)
+        )
+        .drop("__bin")
+    )
+
+
 def knearest_preceding(
     left: DataFrame,
     right: DataFrame,
@@ -168,39 +221,9 @@ def knearest_preceding(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
-    if bound_seconds <= 0:
-        raise ValueError(f"bound_seconds must be > 0: {bound_seconds}")
-    rts = right_ts_col or ts_col
-    eq = list(equi or [])
-    w = int(bound_seconds)
-
-    lt_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    rt_us = F.unix_micros(F.col(rts).cast("timestamp"))
-    l = left.withColumn("__l_us", lt_us).withColumn(
-        "__bin", F.floor(F.col("__l_us") / (w * 1_000_000))
-    )
-    r = (
-        right.select(
-            *eq,
-            F.col(right_id_col).alias("preceding_id"),
-            rt_us.alias("__r_us"),
-        )
-        .withColumn(
-            "__bin",
-            F.explode(
-                F.array(
-                    F.floor(F.col("__r_us") / (w * 1_000_000)),
-                    F.floor(F.col("__r_us") / (w * 1_000_000)) + 1,
-                )
-            ),
-        )
-    )
-    cand = (
-        l.join(r, on=["__bin", *eq], how="inner")
-        .where(
-            (F.col("__r_us") <= F.col("__l_us"))
-            & (F.col("__l_us") - F.col("__r_us") <= w * 1_000_000)
-        )
+    cand = _preceding_candidates(
+        left, right, bound_seconds, ts_col, right_ts_col, equi,
+        right_id_col,
     )
     rank_w = Window.partitionBy(left_id_col).orderBy(
         F.desc("__r_us"), F.asc("preceding_id")
@@ -214,4 +237,59 @@ def knearest_preceding(
             "preceding_id",
             (F.col("__l_us") - F.col("__r_us")).alias("gap_us"),
         )
+    )
+
+
+def preceding_window_agg(
+    left: DataFrame,
+    right: DataFrame,
+    bound_seconds: int,
+    ts_col: str = "ts",
+    right_ts_col: str | None = None,
+    equi: list[str] | None = None,
+    right_id_col: str = "event_id",
+) -> DataFrame:
+    """Attribution-window aggregate — the aggregate twin of
+    :func:`knearest_preceding`: for EVERY left row, summary statistics
+    of ALL preceding right rows within ``bound_seconds`` (count, mean /
+    min / max gap). The feature-engineering shape of the bounded
+    temporal join ("clicks in the hour before each purchase"); left
+    rows with NO preceding right rows are preserved with n_preceding=0
+    and NULL gaps (left outer semantics).
+
+    Plan: the shared binned candidate stage (equi hash join on 2
+    bound-width bins — never a nested loop), one map-side-combined
+    aggregate on the candidate set keyed by the left row, then one
+    left join back to the full left frame so zero-match rows survive.
+    Shuffle = |left| + 2|right| + candidates + |matched left| — no
+    window at all, so this form is cheaper than the top-k one and is
+    the right tool when only aggregates are needed. Gap statistics are
+    exact integer microseconds except the mean: the double SUM of
+    microsecond gaps is EXACT whenever the total stays under 2^53
+    (bound * |matches| — comfortably true for real windows), so the
+    mean is one IEEE division + round(6), order-free and
+    engine-identical. Left rows are identified by their full column
+    tuple in the join-back; NULL-bearing left rows would fail the
+    equi join back — keep objective/time/key columns non-null (the
+    registry query selects non-null columns only).
+    """
+    cand = _preceding_candidates(
+        left, right, bound_seconds, ts_col, right_ts_col, equi,
+        right_id_col,
+    )
+    gap = F.col("__l_us") - F.col("__r_us")
+    per_left = (
+        cand.groupBy(*left.columns)
+        .agg(
+            F.count("*").alias("n_preceding"),
+            F.round(
+                F.sum(gap.cast("double")) / F.count("*"), 6
+            ).alias("mean_gap_us"),
+            F.min(gap).alias("min_gap_us"),
+            F.max(gap).alias("max_gap_us"),
+        )
+    )
+    return (
+        left.join(per_left, on=left.columns, how="left")
+        .withColumn("n_preceding", F.coalesce("n_preceding", F.lit(0)))
     )

@@ -4193,3 +4193,66 @@ SELECT event_id, rank, preceding_id, gap_us
 FROM k WHERE rank <= 3
 ORDER BY event_id, rank
 """
+
+
+def q_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-window features (operators/range_join.
+    preceding_window_agg): for EVERY purchase, the count and gap
+    statistics of the same user's clicks in the preceding hour —
+    including purchases with zero preceding clicks (n_preceding=0,
+    NULL gaps). The aggregate twin of knearest_preceding: same binned
+    candidate join, one map-side-combined aggregate instead of a
+    window, one join-back for the zero-match rows. Double sums of
+    integer microseconds are exact (< 2^53), so the 6dp mean is
+    engine-identical."""
+    from ..operators.range_join import preceding_window_agg
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        preceding_window_agg(
+            purchases, clicks, bound_seconds=3600, equi=["user_id"]
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "n_preceding",
+            "mean_gap_us",
+            "min_gap_us",
+            "max_gap_us",
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_ATTRIBUTION_WINDOW = """
+WITH l AS (
+  SELECT event_id, user_id, epoch_us(ts) AS l_us
+  FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT user_id, epoch_us(ts) AS r_us
+  FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT l.event_id, l.user_id, l.l_us - r.r_us AS gap_us
+  FROM l JOIN r ON l.user_id = r.user_id
+   AND r.r_us <= l.l_us
+   AND l.l_us - r.r_us <= CAST(3600000000 AS BIGINT)
+), agg AS (
+  SELECT event_id, user_id,
+         COUNT(*) AS n_preceding,
+         ROUND(SUM(CAST(gap_us AS DOUBLE)) / COUNT(*), 6) AS mean_gap_us,
+         MIN(gap_us) AS min_gap_us,
+         MAX(gap_us) AS max_gap_us
+  FROM j GROUP BY event_id, user_id
+)
+SELECT l.event_id, l.user_id,
+       COALESCE(agg.n_preceding, 0) AS n_preceding,
+       agg.mean_gap_us, agg.min_gap_us, agg.max_gap_us
+FROM l LEFT JOIN agg ON l.event_id = agg.event_id
+ORDER BY l.event_id
+"""

@@ -335,3 +335,12 @@ def test_knearest_preceding_no_nested_loop_blowup(spark):
     r = _measure(spark, "knearest_preceding")
     assert r["scan_rows"] > 0
     assert r["shuffle_records"] < r["scan_rows"] * 4 + 500, r
+
+
+def test_attribution_window_aggregate_form_no_window(spark):
+    # the aggregate twin of knearest_preceding: binned candidate join
+    # -> one map-side-combined aggregate -> join-back; shuffle stays a
+    # small multiple of the scan, never an O(|L|x|R|) nested loop
+    r = _measure(spark, "attribution_window")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] < r["scan_rows"] * 4 + 500, r

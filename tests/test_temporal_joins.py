@@ -282,3 +282,52 @@ def test_knearest_preceding_validates_args(spark):
         knearest_preceding(df, df, k=0, bound_seconds=10)
     with _pytest.raises(ValueError):
         knearest_preceding(df, df, k=1, bound_seconds=0)
+
+
+def test_preceding_window_agg_matches_brute_force(spark):
+    import datetime as dt
+
+    from dwds_livestream_spark.operators.range_join import (
+        preceding_window_agg,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    lrows = [
+        (i, i % 2, base + dt.timedelta(seconds=((i * 997) % 21600)))
+        for i in range(30)
+    ]
+    # user 5 has no right rows at all -> guaranteed zero-match rows
+    lrows.append((999, 5, base + dt.timedelta(seconds=100)))
+    rrows = [
+        (100 + i, i % 2, base + dt.timedelta(seconds=((i * 641) % 21600)))
+        for i in range(90)
+    ]
+    left = spark.createDataFrame(lrows, "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(rrows, "event_id long, user_id long, ts timestamp")
+
+    BOUND = 1800
+    got = {
+        r.event_id: (r.n_preceding, r.mean_gap_us, r.min_gap_us, r.max_gap_us)
+        for r in preceding_window_agg(
+            left, right, bound_seconds=BOUND, equi=["user_id"]
+        ).collect()
+    }
+    assert len(got) == len(lrows), "every left row survives (left outer)"
+
+    saw_zero = False
+    for lid, lu, lts in lrows:
+        gaps = [
+            int((lts - rts).total_seconds() * 1_000_000)
+            for _, ru, rts in rrows
+            if ru == lu and rts <= lts
+            and (lts - rts).total_seconds() <= BOUND
+        ]
+        if not gaps:
+            assert got[lid] == (0, None, None, None)
+            saw_zero = True
+        else:
+            n, mean, mn, mx = got[lid]
+            assert n == len(gaps)
+            assert mn == min(gaps) and mx == max(gaps)
+            assert mean == round(sum(gaps) / len(gaps), 6)
+    assert saw_zero, "fixture must include zero-match left rows"
