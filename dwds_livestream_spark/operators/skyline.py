@@ -180,7 +180,14 @@ def skyline_md(
             for c, m in zip(dims, ms)
         ],
     )
-    tuples = orient.select(*ms).distinct()
+    # the distinct-tuple frame feeds four consumers (bounds, cell
+    # summary, survivor refine, frontier anti-join) — cache it so the
+    # corpus-sized distinct runs ONCE; it is the SMALL frame (distinct
+    # objective tuples, bounded by value cardinality, not corpus rows).
+    # Same persisted-intermediate pattern as the minhash signature
+    # frame (operators/dedup.py); bench drops leftover caches between
+    # queries via session.drop_leftover_state.
+    tuples = orient.select(*ms).distinct().cache()
 
     bounds = tuples.agg(
         *[F.min(m).alias(f"lo{i}") for i, m in enumerate(ms)],

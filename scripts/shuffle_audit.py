@@ -202,6 +202,28 @@ AUDITS: dict[str, str] = {
         "lists (inverted-index join) - never all-pairs; what shuffles "
         "is (doc, shingle) rows + candidate-pair counts"
     ),
+    "ann_index_topk_fullprobe": (
+        "persisted-IVF full probe (exact): queries broadcast into the "
+        "cell-partitioned index scan; the exchange carries scored "
+        "candidates + the per-query top-k window, never the index "
+        "build's corpus"
+    ),
+    "skyline_3d": (
+        "grid filter-and-refine skyline: the corpus folds to distinct "
+        "objective tuples first; cell summaries and the survivor "
+        "refine are tuple-/survivor-sized, join-back is broadcast"
+    ),
+    "knearest_preceding": (
+        "binned k-nearest-preceding join: the right side explodes "
+        "into exactly 2 bound-width bins; candidates come from an "
+        "equi hash join (broadcast at this sf) and only candidates "
+        "cross the rank-window exchange - never a nested loop"
+    ),
+    "attribution_window": (
+        "aggregate twin of knearest_preceding: same binned candidate "
+        "join, one map-side-combined aggregate (no window), one "
+        "join-back for zero-match rows"
+    ),
 }
 
 def audit_one(spark, name: str, sf_dir: str) -> dict:
