@@ -130,7 +130,7 @@ def range_join(
     return out
 
 
-def _preceding_candidates(
+def _bounded_candidates(
     left: DataFrame,
     right: DataFrame,
     bound_seconds: int,
@@ -138,19 +138,26 @@ def _preceding_candidates(
     right_ts_col: str | None,
     equi: list[str] | None,
     right_id_col: str,
+    out_id: str = "preceding_id",
+    direction: str = "preceding",
 ) -> DataFrame:
-    """Shared candidate stage for the bounded-preceding join family:
-    all (left row, right row) pairs with right.ts <= left.ts and
-    left.ts - right.ts <= bound. Binned shape (see knearest_preceding
-    docstring): the right side explodes into exactly 2 bound-width
-    bins, candidates come from an equi hash join on (equi, __bin) —
+    """Shared candidate stage for the bounded temporal-join family:
+    all (left row, right row) pairs with 0 <= left.ts - right.ts <=
+    bound (``preceding``) or 0 <= right.ts - left.ts <= bound
+    (``following``). Binned shape (see knearest_preceding docstring):
+    a qualifying right row lies in the left row's bin or the adjacent
+    one, so the right side explodes into exactly 2 bound-width bins
+    and candidates come from an equi hash join on (equi, __bin) —
     never a nested loop. Output: left columns + ``__l_us``,
-    ``preceding_id``, ``__r_us``."""
+    ``out_id``, ``__r_us``."""
     if bound_seconds <= 0:
         raise ValueError(f"bound_seconds must be > 0: {bound_seconds}")
     rts = right_ts_col or ts_col
     eq = list(equi or [])
     w = int(bound_seconds)
+    # preceding: rt in [lt-bound, lt] -> right bins {b(rt), b(rt)+1};
+    # following: rt in [lt, lt+bound] -> right bins {b(rt), b(rt)-1}
+    shift = 1 if direction == "preceding" else -1
 
     lt_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     rt_us = F.unix_micros(F.col(rts).cast("timestamp"))
@@ -160,7 +167,7 @@ def _preceding_candidates(
     r = (
         right.select(
             *eq,
-            F.col(right_id_col).alias("preceding_id"),
+            F.col(right_id_col).alias(out_id),
             rt_us.alias("__r_us"),
         )
         .withColumn(
@@ -168,18 +175,35 @@ def _preceding_candidates(
             F.explode(
                 F.array(
                     F.floor(F.col("__r_us") / (w * 1_000_000)),
-                    F.floor(F.col("__r_us") / (w * 1_000_000)) + 1,
+                    F.floor(F.col("__r_us") / (w * 1_000_000)) + shift,
                 )
             ),
         )
     )
+    gap = (
+        F.col("__l_us") - F.col("__r_us")
+        if direction == "preceding"
+        else F.col("__r_us") - F.col("__l_us")
+    )
     return (
         l.join(r, on=["__bin", *eq], how="inner")
-        .where(
-            (F.col("__r_us") <= F.col("__l_us"))
-            & (F.col("__l_us") - F.col("__r_us") <= w * 1_000_000)
-        )
+        .where((gap >= 0) & (gap <= w * 1_000_000))
         .drop("__bin")
+    )
+
+
+def _preceding_candidates(
+    left: DataFrame,
+    right: DataFrame,
+    bound_seconds: int,
+    ts_col: str,
+    right_ts_col: str | None,
+    equi: list[str] | None,
+    right_id_col: str,
+) -> DataFrame:
+    return _bounded_candidates(
+        left, right, bound_seconds, ts_col, right_ts_col, equi,
+        right_id_col, out_id="preceding_id", direction="preceding",
     )
 
 
@@ -292,4 +316,45 @@ def preceding_window_agg(
     return (
         left.join(per_left, on=left.columns, how="left")
         .withColumn("n_preceding", F.coalesce("n_preceding", F.lit(0)))
+    )
+
+
+def knearest_following(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    bound_seconds: int,
+    ts_col: str = "ts",
+    right_ts_col: str | None = None,
+    equi: list[str] | None = None,
+    left_id_col: str = "event_id",
+    right_id_col: str = "event_id",
+) -> DataFrame:
+    """Forward twin of :func:`knearest_preceding`: for every left row,
+    the ``k`` nearest FOLLOWING right rows within ``bound_seconds`` —
+    left.ts <= right.ts and right.ts - left.ts <= bound — ranked
+    nearest-first (smallest right ts; ties by ascending
+    ``right_id_col``). The "what happened next" feature shape
+    (next-action windows, response-time joins). Identical binned plan
+    and determinism contract as the preceding form; ``left_id_col``
+    must uniquely identify left rows. Output: all left columns +
+    ``rank``, ``following_id``, ``gap_us``."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    cand = _bounded_candidates(
+        left, right, bound_seconds, ts_col, right_ts_col, equi,
+        right_id_col, out_id="following_id", direction="following",
+    )
+    rank_w = Window.partitionBy(left_id_col).orderBy(
+        F.asc("__r_us"), F.asc("following_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= k)
+        .select(
+            *left.columns,
+            "rank",
+            "following_id",
+            (F.col("__r_us") - F.col("__l_us")).alias("gap_us"),
+        )
     )

@@ -139,3 +139,51 @@ def emit_on_change(
         .where("__keep")
         .drop("__keep")
     )
+
+
+def rate_limit_twin(
+    df: DataFrame,
+    epm: int,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Batch twin of ``streaming/stateful.rate_limit_stream``: per key
+    (or one global bucket when ``key_cols`` is empty) admit at most
+    ``epm`` events per event-time minute, earliest-first, dropping the
+    excess — the reference's leaky-bucket sampling semantics
+    (reference: src/dwds/livestream/http.clj:74-78, bucket refilled
+    each minute, drop-not-buffer overflow) restated as one keyed
+    window so the DuckDB oracle can verify the keep/drop decision per
+    row.
+
+    Equivalence: under IN-ORDER arrival the stateful streaming form
+    admits exactly this set — its token counter resets on every
+    forward minute and decrements in (ts, tiebreak) order, which is
+    precisely "the first epm rows of each (key, minute)". Late
+    stragglers differ by design (the stream charges them to the
+    CURRENT window — under-admits, never over-admits; see
+    rate_limit_stream). Asserted against the live stream in
+    tests/test_streaming_windows.py.
+
+    Scale: one hash-partitioned window keyed by (key, minute) — the
+    partition count is keys x minutes, so no hot partition even for
+    the global bucket over a year of data; Spark pushes the
+    row_number <= epm predicate into WindowGroupLimit (partial top-k
+    before the exchange), same shape as topk_rank_ties.
+    """
+    if epm <= 0:
+        raise ValueError(f"epm must be a positive int: {epm}")
+    keys = list(key_cols or [])
+    minute = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp")) / 60_000_000
+    )
+    w = Window.partitionBy(*keys, "__minute").orderBy(
+        ts_col, tiebreak_col
+    )
+    return (
+        df.withColumn("__minute", minute)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= epm)
+        .drop("__minute", "__rn")
+    )

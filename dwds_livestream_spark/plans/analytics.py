@@ -4256,3 +4256,91 @@ SELECT l.event_id, l.user_id,
 FROM l LEFT JOIN agg ON l.event_id = agg.event_id
 ORDER BY l.event_id
 """
+
+
+def q_rate_limit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaky-bucket sampling as a driver-checkable batch twin
+    (operators/stream_twins.rate_limit_twin): per user, at most 2
+    events per event-time minute, earliest-first — the reference's W4
+    epm throttle semantics (http.clj:74-78) under in-order arrival.
+    One keyed window on (user, minute); Spark pushes rn <= 2 into
+    WindowGroupLimit. The live stateful form (streaming/stateful.
+    rate_limit_stream) is asserted equal on in-order input in
+    tests/test_streaming_windows.py."""
+    from ..operators.stream_twins import rate_limit_twin
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    return rate_limit_twin(
+        ev, epm=2, ts_col="ts", key_cols=["user_id"],
+        tiebreak_col="event_id",
+    ).orderBy("event_id")
+
+
+ORACLE_RATE_LIMIT_EVENTS = """
+WITH r AS (
+  SELECT event_id, user_id, ts, event_type,
+         row_number() OVER (
+           PARTITION BY user_id, CAST(FLOOR(epoch_us(ts) / 60000000) AS BIGINT)
+           ORDER BY ts, event_id
+         ) AS rn
+  FROM events
+)
+SELECT event_id, user_id, ts, event_type
+FROM r WHERE rn <= 2
+ORDER BY event_id
+"""
+
+
+def q_knearest_following(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward twin of knearest_preceding (operators/range_join.
+    knearest_following): every click joined to its 3 nearest FOLLOWING
+    purchases by the same user within one hour — the "what happened
+    next" response-window shape. Same binned plan, same determinism
+    contract (exact integer µs gaps, id tiebreak)."""
+    from ..operators.range_join import knearest_following
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        knearest_following(
+            clicks,
+            purchases,
+            k=3,
+            bound_seconds=3600,
+            equi=["user_id"],
+        )
+        .select("event_id", "rank", "following_id", "gap_us")
+        .orderBy("event_id", "rank")
+    )
+
+
+ORACLE_KNEAREST_FOLLOWING = """
+WITH l AS (
+  SELECT event_id, user_id, epoch_us(ts) AS l_us
+  FROM events WHERE event_type = 'click'
+), r AS (
+  SELECT event_id AS following_id, user_id, epoch_us(ts) AS r_us
+  FROM events WHERE event_type = 'purchase'
+), j AS (
+  SELECT l.event_id, r.following_id, r.r_us - l.l_us AS gap_us
+  FROM l JOIN r ON l.user_id = r.user_id
+   AND r.r_us >= l.l_us
+   AND r.r_us - l.l_us <= CAST(3600000000 AS BIGINT)
+), k AS (
+  SELECT event_id, following_id, gap_us,
+         CAST(row_number() OVER (
+           PARTITION BY event_id ORDER BY gap_us, following_id
+         ) AS INT) AS rank
+  FROM j
+)
+SELECT event_id, rank, following_id, gap_us
+FROM k WHERE rank <= 3
+ORDER BY event_id, rank
+"""

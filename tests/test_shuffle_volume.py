@@ -344,3 +344,18 @@ def test_attribution_window_aggregate_form_no_window(spark):
     r = _measure(spark, "attribution_window")
     assert r["scan_rows"] > 0
     assert r["shuffle_records"] < r["scan_rows"] * 4 + 500, r
+
+
+def test_rate_limit_twin_windowgrouplimit_fold(spark):
+    # one keyed (user, minute) window; WindowGroupLimit prefilters to
+    # <= epm rows per group before the exchange's final sort — shuffle
+    # stays a small multiple of the scan, no global sort
+    r = _measure(spark, "rate_limit_events")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] < r["scan_rows"] * 2.5 + 300, r
+
+
+def test_knearest_following_no_nested_loop_blowup(spark):
+    r = _measure(spark, "knearest_following")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] < r["scan_rows"] * 4 + 500, r

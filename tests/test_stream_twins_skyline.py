@@ -488,3 +488,111 @@ def test_skyline_md_d2_matches_pareto_frontier(spark):
         r.id for r in pareto_frontier(df, "price", "size").collect()
     )
     assert md == d2
+
+
+# --------------------------------------------------------- rate limit twin
+
+
+def test_rate_limit_twin_matches_naive(spark):
+    import datetime as dt
+
+    from dwds_livestream_spark.operators.stream_twins import (
+        rate_limit_twin,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, i % 3, base + dt.timedelta(seconds=((i * 37) % 600)))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    got = sorted(
+        r.event_id
+        for r in rate_limit_twin(
+            df, epm=2, ts_col="ts", key_cols=["user_id"]
+        ).collect()
+    )
+
+    admitted = []
+    state: dict = {}
+    for eid, uid, ts in sorted(rows, key=lambda r: (r[2], r[0])):
+        minute = int(ts.timestamp() * 1_000_000) // 60_000_000
+        tokens, window = state.get(uid, (2, -1))
+        if minute > window:
+            window, tokens = minute, 2
+        if tokens > 0:
+            tokens -= 1
+            admitted.append(eid)
+        state[uid] = (tokens, window)
+    assert got == sorted(admitted)
+
+
+def test_rate_limit_twin_equals_stream_on_in_order_input(spark, tmp_path):
+    """The documented equivalence: under in-order arrival the stateful
+    streaming leaky bucket admits exactly the twin's set."""
+    import json as _json
+
+    from dwds_livestream_spark.operators.stream_twins import (
+        rate_limit_twin,
+    )
+    from dwds_livestream_spark.streaming.stateful import rate_limit_stream
+
+    # 30 in-order events in one key spanning 3 minutes, bursts of 10
+    events = [
+        {
+            "timestamp": f"2024-01-01T10:{m:02d}:{s:02d}Z",
+            "lemma": f"e{m}{s:02d}",
+        }
+        for m in range(3)
+        for s in range(0, 30, 3)
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    # two micro-batches, split mid-minute so bucket state must persist
+    (src / "b1.jsonl").write_text(
+        "\n".join(_json.dumps(e) for e in events[:17])
+    )
+    (src / "b2.jsonl").write_text(
+        "\n".join(_json.dumps(e) for e in events[17:])
+    )
+    import os as _os
+    import time as _time
+    now = _time.time()
+    for i, f in enumerate(sorted(src.iterdir())):
+        _os.utime(f, (now + i, now + i))
+
+    schema = "timestamp timestamp, lemma string"
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+        .selectExpr(f"from_json(value, '{schema}') AS e")
+        .select("e.timestamp", "e.lemma")
+    )
+    collected: list = []
+    q = (
+        rate_limit_stream(stream, epm=4)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, i: collected.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck_twin"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(r.lemma for r in collected)
+
+    bdf = spark.createDataFrame(
+        [(e["timestamp"].rstrip("Z"), e["lemma"]) for e in events],
+        "ts_s string, lemma string",
+    ).selectExpr("cast(ts_s as timestamp) as timestamp", "lemma")
+    twin = sorted(
+        r.lemma
+        for r in rate_limit_twin(
+            bdf, epm=4, ts_col="timestamp", key_cols=[],
+            tiebreak_col="lemma",
+        ).collect()
+    )
+    assert streamed == twin
+    assert len(streamed) == 12  # 4 per minute x 3 minutes

@@ -331,3 +331,73 @@ def test_preceding_window_agg_matches_brute_force(spark):
             assert mn == min(gaps) and mx == max(gaps)
             assert mean == round(sum(gaps) / len(gaps), 6)
     assert saw_zero, "fixture must include zero-match left rows"
+
+
+def test_knearest_following_matches_brute_force(spark):
+    import datetime as dt
+
+    from dwds_livestream_spark.operators.range_join import (
+        knearest_following,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    lrows = [
+        (i, i % 2, base + dt.timedelta(seconds=((i * 997) % 21600)))
+        for i in range(40)
+    ]
+    rrows = [
+        (100 + i, i % 2, base + dt.timedelta(seconds=((i * 641) % 21600)))
+        for i in range(120)
+    ]
+    left = spark.createDataFrame(lrows, "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(rrows, "event_id long, user_id long, ts timestamp")
+
+    K, BOUND = 3, 1800
+    got = {
+        (r.event_id, r["rank"]): (r.following_id, r.gap_us)
+        for r in knearest_following(
+            left, right, k=K, bound_seconds=BOUND, equi=["user_id"]
+        ).collect()
+    }
+
+    expected = {}
+    for lid, lu, lts in lrows:
+        cands = sorted(
+            (
+                (int((rts - lts).total_seconds() * 1_000_000), rid)
+                for rid, ru, rts in rrows
+                if ru == lu and rts >= lts
+                and (rts - lts).total_seconds() <= BOUND
+            ),
+        )
+        for rank, (gap, rid) in enumerate(cands[:K], start=1):
+            expected[(lid, rank)] = (rid, gap)
+    assert got == expected
+    assert expected, "fixture must produce matches"
+
+
+def test_knearest_following_boundaries(spark):
+    import datetime as dt
+
+    from dwds_livestream_spark.operators.range_join import (
+        knearest_following,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame([(1, t0)], "event_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [
+            (10, t0),                                # ts tie: gap 0
+            (11, t0 + dt.timedelta(seconds=3600)),   # exactly at bound
+            (12, t0 + dt.timedelta(seconds=3601)),   # past bound: out
+            (13, t0 - dt.timedelta(seconds=1)),      # past: out
+        ],
+        "event_id long, ts timestamp",
+    )
+    rows = sorted(
+        (r["rank"], r.following_id, r.gap_us)
+        for r in knearest_following(
+            left, right, k=10, bound_seconds=3600
+        ).collect()
+    )
+    assert rows == [(1, 10, 0), (2, 11, 3_600_000_000)]
