@@ -4344,3 +4344,51 @@ SELECT event_id, rank, following_id, gap_us
 FROM k WHERE rank <= 3
 ORDER BY event_id, rank
 """
+
+
+def q_skyline_4d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-objective skyline over part (operators/skyline.skyline_md at
+    d=4): minimize price; maximize size, name length, and type length.
+    Same grid filter-and-refine plan as skyline_3d — the operator is
+    dimension-generic; registering d=4 pins that the cell pruning and
+    pair refine hold beyond 3 dims against the definitional NOT EXISTS
+    oracle."""
+    from ..operators.skyline import skyline_md
+
+    p4 = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_retailprice",
+        "p_size",
+        F.length("p_name").cast("bigint").alias("p_qual"),
+        F.length("p_type").cast("bigint").alias("p_tlen"),
+    )
+    return (
+        skyline_md(
+            p4,
+            minimize_cols=["p_retailprice"],
+            maximize_cols=["p_size", "p_qual", "p_tlen"],
+            n_buckets=6,
+        )
+        .select("p_partkey", "p_retailprice", "p_size", "p_qual", "p_tlen")
+        .orderBy("p_partkey")
+    )
+
+
+ORACLE_SKYLINE_4D = """
+WITH p4 AS (
+  SELECT p_partkey, p_retailprice, p_size,
+         CAST(length(p_name) AS BIGINT) AS p_qual,
+         CAST(length(p_type) AS BIGINT) AS p_tlen
+  FROM part
+)
+SELECT p_partkey, p_retailprice, p_size, p_qual, p_tlen
+FROM p4 p
+WHERE NOT EXISTS (
+  SELECT 1 FROM p4 q
+  WHERE q.p_retailprice <= p.p_retailprice
+    AND q.p_size >= p.p_size AND q.p_qual >= p.p_qual
+    AND q.p_tlen >= p.p_tlen
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size
+         OR q.p_qual > p.p_qual OR q.p_tlen > p.p_tlen))
+ORDER BY p_partkey
+"""

@@ -359,3 +359,9 @@ def test_knearest_following_no_nested_loop_blowup(spark):
     r = _measure(spark, "knearest_following")
     assert r["scan_rows"] > 0
     assert r["shuffle_records"] < r["scan_rows"] * 4 + 500, r
+
+
+def test_skyline_4d_shuffles_distinct_tuples_not_corpus(spark):
+    r = _measure(spark, "skyline_4d")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] < r["scan_rows"] * 3 + 500, r

@@ -596,3 +596,38 @@ def test_rate_limit_twin_equals_stream_on_in_order_input(spark, tmp_path):
     )
     assert streamed == twin
     assert len(streamed) == 12  # 4 per minute x 3 minutes
+
+
+def test_skyline_md_d4_matches_brute_force(spark):
+    from dwds_livestream_spark.operators.skyline import skyline_md
+
+    pts = [
+        (
+            (i * 7919) % 53 / 10.0,
+            (i * 104729) % 29,
+            (i * 15485863) % 17,
+            (i * 32452843) % 11,
+        )
+        for i in range(250)
+    ]
+    df = spark.createDataFrame(
+        [(i, a, b, c, d) for i, (a, b, c, d) in enumerate(pts)],
+        "id long, w double, x long, y long, z long",
+    )
+    got = sorted(
+        r.id
+        for r in skyline_md(
+            df, ["w"], ["x", "y", "z"], n_buckets=4
+        ).collect()
+    )
+    expected = [
+        i
+        for i, p in enumerate(pts)
+        if not any(
+            q[0] <= p[0]
+            and all(q[j] >= p[j] for j in (1, 2, 3))
+            and (q[0] < p[0] or any(q[j] > p[j] for j in (1, 2, 3)))
+            for q in pts
+        )
+    ]
+    assert got == expected
