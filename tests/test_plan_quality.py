@@ -307,3 +307,28 @@ def test_cross_doc_spans_prefolds_distinct_no_expand(spark, sf_dir):
     assert "Expand" not in plan
     # the dup-gram set must broadcast back onto the window frame
     assert "BroadcastHashJoin" in plan
+
+
+def test_knearest_family_is_hash_join_not_nested_loop(spark, sf_dir):
+    """The bounded temporal joins (preceding / following / aggregate
+    twin) must compile to equi hash joins on (user, bin) — a theta-join
+    formulation would be a BroadcastNestedLoopJoin, unusable when
+    neither side broadcasts at 100 TB."""
+    for q in (
+        A.q_knearest_preceding,
+        A.q_knearest_following,
+        A.q_attribution_window,
+    ):
+        plan = _plan(q(spark, sf_dir))
+        assert "BroadcastNestedLoop" not in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+
+
+def test_rate_limit_twin_window_group_limit(spark, sf_dir):
+    """rn <= epm must push into WindowGroupLimit (partial per-group
+    top-k before the exchange) — the same pushdown topk_rank_ties
+    pins; without it every (user, minute) group's full row set crosses
+    the exchange just to be discarded."""
+    plan = _plan(A.q_rate_limit_events(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoop" not in plan

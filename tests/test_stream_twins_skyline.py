@@ -631,3 +631,19 @@ def test_skyline_md_d4_matches_brute_force(spark):
         )
     ]
     assert got == expected
+
+
+def test_skyline_md_degenerate_single_value_dims(spark):
+    """Width-0 dims (all values equal) exercise the `or 1.0` bucket
+    width guard; dominance then rides the remaining dims only."""
+    from dwds_livestream_spark.operators.skyline import skyline_md
+
+    df = spark.createDataFrame(
+        [(1, 5.0, 10, 7), (2, 5.0, 11, 7), (3, 5.0, 9, 7)],
+        "id long, price double, size long, quality long",
+    )
+    got = sorted(
+        r.id
+        for r in skyline_md(df, ["price"], ["size", "quality"]).collect()
+    )
+    assert got == [2]
