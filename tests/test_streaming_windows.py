@@ -484,3 +484,36 @@ def test_rate_limit_stream_multi_chunk_key(spark, tmp_path):
         )
     kept = sorted(r.lemma for r in collected)
     assert kept == ["e00", "e01", "e02", "e03", "e04"]
+
+
+def test_rate_limit_stream_per_key_buckets(spark, tmp_path):
+    """key_all=False: each key gets its OWN leaky bucket — one hot key
+    exhausting its tokens must not starve the other key's events."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.jsonl").write_text(
+        "\n".join(
+            [
+                _jsonl("2024-01-01T10:00:01Z", "hot"),
+                _jsonl("2024-01-01T10:00:02Z", "hot"),
+                _jsonl("2024-01-01T10:00:03Z", "hot"),  # hot exhausted
+                _jsonl("2024-01-01T10:00:04Z", "cold"),
+                _jsonl("2024-01-01T10:00:05Z", "cold"),
+            ]
+        )
+    )
+    out = rate_limit_stream(
+        _read_stream(spark, src), epm=2, key_col="lemma", key_all=False
+    )
+    collected: list = []
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(lambda b, i: collected.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_rl_key"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = sorted((r.lemma, r.timestamp.second) for r in collected)
+    # hot: first 2 of 3 admitted; cold: both admitted (own bucket)
+    assert kept == [("cold", 4), ("cold", 5), ("hot", 1), ("hot", 2)]
