@@ -193,7 +193,7 @@ def skyline_md(
         *[F.min(m).alias(f"lo{i}") for i, m in enumerate(ms)],
         *[F.max(m).alias(f"hi{i}") for i, m in enumerate(ms)],
     ).first()
-    if bounds is None or bounds[f"lo0"] is None:
+    if bounds is None or bounds["lo0"] is None:
         return df.where(F.lit(False))
     los = [float(bounds[f"lo{i}"]) for i in range(d)]
     widths = [
