@@ -21,8 +21,10 @@ anti-join — that IS the DuckDB oracle, kept deliberately definitional
    corpus (hash join on the value, matching rows equal to the group
    max).
 
-No global sort; shuffles are distinct-value- or bucket-sized. The
-same shape extends to d>2 via repeated 2-D passes (not implemented).
+No global sort; shuffles are distinct-value- or bucket-sized. For
+d >= 3 see ``skyline_md`` below (grid filter-and-refine — repeated
+2-D passes are NOT sound as a pre-filter; counterexample in its
+docstring).
 """
 
 from __future__ import annotations
