@@ -150,11 +150,14 @@ def _bounded_candidates(
     and candidates come from an equi hash join on (equi, __bin) —
     never a nested loop. Output: left columns + ``__l_us``,
     ``out_id``, ``__r_us``."""
-    if bound_seconds <= 0:
-        raise ValueError(f"bound_seconds must be > 0: {bound_seconds}")
+    # Truncate BEFORE validating: a float bound in (0,1) would pass a
+    # raw `bound_seconds <= 0` check, truncate to w=0, and make every
+    # bin NULL (floor(x/0)) — silently joining nothing.
+    w = int(bound_seconds)
+    if w <= 0:
+        raise ValueError(f"bound_seconds must be >= 1 second: {bound_seconds!r}")
     rts = right_ts_col or ts_col
     eq = list(equi or [])
-    w = int(bound_seconds)
     # preceding: rt in [lt-bound, lt] -> right bins {b(rt), b(rt)+1};
     # following: rt in [lt, lt+bound] -> right bins {b(rt), b(rt)-1}
     shift = 1 if direction == "preceding" else -1
@@ -295,7 +298,13 @@ def preceding_window_agg(
     engine-identical. Left rows are identified by their full column
     tuple in the join-back; NULL-bearing left rows would fail the
     equi join back — keep objective/time/key columns non-null (the
-    registry query selects non-null columns only).
+    registry query selects non-null columns only). For the same
+    reason left rows must be DISTINCT as full tuples: two identical
+    left rows collapse into one group whose candidate set holds both
+    copies' matches, so each surviving row would report a doubled
+    n_preceding (same uniqueness contract as knearest_preceding's
+    ``left_id_col`` — add a generated per-row id column if the input
+    can carry exact duplicates).
     """
     cand = _preceding_candidates(
         left, right, bound_seconds, ts_col, right_ts_col, equi,

