@@ -21,7 +21,7 @@ Scale design notes (100 TB corpus, 1000 executors):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
@@ -567,3 +567,142 @@ def curriculum_shards(
         .sortWithinPartitions(order_col)
         .withColumn("shard", F.spark_partition_id())
     )
+
+
+def ngram_novelty(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram novelty of ``eval_docs`` against a ``train``
+    corpus: for each eval document, how many of its DISTINCT word
+    n-grams already occur anywhere in train (``n_seen``) and the
+    novelty rate ``1 - n_seen / n_shingles``. The corpus-vs-corpus
+    memorization / contamination-rate measure (Lee et al. 2022 "Dedup
+    makes LMs better" §5; the n-gram-overlap eval in the Pile /
+    FineWeb ablations) — ``decontaminate`` above answers "does doc X
+    touch the tiny benchmark?", this answers "how much of corpus B is
+    already in corpus A?" where BOTH sides are corpus-sized.
+
+    Scale: train folds to its DISTINCT shingle-hash set (one shuffle,
+    map-side combine) — it CANNOT broadcast, so membership is a hash
+    equi-join on 8-byte shingle hashes (never shingle strings; same
+    ``_with_shingle_hashes`` contract as decontaminate: counts only,
+    64-bit collisions perturb a count by ~1 in 2^64). Shuffles: train
+    distinct + eval explode join + per-doc count — all keyed, no
+    nested loop. Docs with fewer than ``n`` tokens report
+    n_shingles=0 and novelty NULL (nothing to judge).
+    """
+    train_set = (
+        _with_shingle_hashes(train, text_col, n)
+        .select(F.explode("__shh").alias("__h"))
+        .distinct()
+    )
+    ev = _with_shingle_hashes(eval_docs, text_col, n).select(
+        id_col, F.size("__shh").alias("n_shingles"), F.col("__shh")
+    )
+    hits = (
+        ev.select(id_col, F.explode("__shh").alias("__h"))
+        .join(train_set, "__h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_seen"))
+    )
+    return (
+        ev.drop("__shh")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce("n_seen", F.lit(0)).alias("n_seen"),
+            F.when(
+                F.col("n_shingles") > 0,
+                F.round(
+                    1.0 - F.coalesce("n_seen", F.lit(0)) / F.col("n_shingles"), 6
+                ) + F.lit(0.0),
+            ).alias("novelty"),
+        )
+    )
+
+
+def length_band_filter(
+    df: DataFrame,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+    lo_p: float = 0.1,
+    hi_p: float = 0.9,
+) -> DataFrame:
+    """Per-group percentile band filter: keep rows whose ``value_col``
+    lies within the group's [``lo_p``, ``hi_p``] percentile band — the
+    standard length-outlier curation cut (too-short fragments and
+    too-long concatenation junk), computed per language/source so one
+    verbose group doesn't set another's bounds.
+
+    Percentile convention: the value at 1-based rank ``ceil(p * n)``
+    of the group's sorted column — ``percentile_approx`` with accuracy
+    >= group size is EXACT under this convention, so the bounds are
+    engine-reproducible (the DuckDB oracle replicates with
+    row_number + ceil, NOT quantile_disc). Plan: one groupBy(group)
+    aggregate (mergeable sketch, group-count-sized result), broadcast
+    join back, map-only filter — the corpus scan never sorts.
+    """
+    if not (0.0 < lo_p <= hi_p < 1.0):
+        raise ValueError(f"need 0 < lo_p <= hi_p < 1: {lo_p}, {hi_p}")
+    v = F.col(value_col)
+    bounds = df.groupBy(group_col).agg(
+        F.percentile_approx(
+            value_col, F.array(F.lit(lo_p), F.lit(hi_p)), F.lit(10_000_000)
+        ).alias("__b")
+    ).select(
+        group_col,
+        F.col("__b")[0].alias("band_lo"),
+        F.col("__b")[1].alias("band_hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .where((v >= F.col("band_lo")) & (v <= F.col("band_hi")))
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    k: int = 200,
+) -> DataFrame:
+    """Zipf power-law fit of the per-group word-frequency distribution:
+    OLS of ln(freq) on ln(rank) over each group's top-``k`` words
+    (rank 1 = most frequent; ties broken by word asc so the ordering
+    is total). Returns one row per group: ``n_types`` (full vocabulary
+    size), ``zipf_slope`` (~ -1 for natural language — the classic
+    corpus health check; synthetic/templated text shows up as a flat
+    or cliff-shaped slope), ``zipf_intercept``, ``r2``.
+
+    Scale: explode → two-phase (group, word) count — one shuffle with
+    map-side combine, vocabulary-sized result. The top-k window sorts
+    each group's VOCABULARY (sublinear in corpus size; one task per
+    group), and the OLS is a built-in regr_* aggregate over g·k rows.
+    The fit deliberately uses top-k ranks only — the textbook Zipf
+    regression regime, and it bounds the window input.
+    """
+    counts = (
+        df.select(
+            group_col, F.explode(tokens(F.lower(F.col(text_col)))).alias("word")
+        )
+        .groupBy(group_col, "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    n_types = counts.groupBy(group_col).agg(F.count("*").alias("n_types"))
+    w = Window.partitionBy(group_col).orderBy(F.desc("cnt"), F.asc("word"))
+    top = counts.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+    lr = F.log(F.col("rank").cast("double"))
+    lf = F.log(F.col("cnt").cast("double"))
+    fit = top.groupBy(group_col).agg(
+        (F.round(F.regr_slope(lf, lr), 6) + F.lit(0.0)).alias("zipf_slope"),
+        (F.round(F.regr_intercept(lf, lr), 6) + F.lit(0.0)).alias("zipf_intercept"),
+        (F.round(F.regr_r2(lf, lr), 6) + F.lit(0.0)).alias("r2"),
+    )
+    return n_types.join(fit, group_col)

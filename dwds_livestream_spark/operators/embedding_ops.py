@@ -27,11 +27,12 @@ from __future__ import annotations
 
 import numpy as np
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
     "embedding_covariance",
+    "quantile_normalize",
     "embedding_pca",
     "dimension_bounds",
     "quantize_embeddings",
@@ -256,4 +257,92 @@ def dequantize_embeddings(
 
     return qdf.crossJoin(F.broadcast(folded)).select(
         F.col(id_col), F.transform(F.col(q_col), dq).alias("vec")
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Quantile normalization of the embedding matrix across dimensions
+    (the classic microarray/feature-calibration transform, Bolstad et
+    al. 2003): rank values WITHIN each dimension, average values
+    ACROSS dimensions at each rank, and substitute — afterwards every
+    dimension has the identical marginal distribution (the mean
+    quantile function), removing per-dimension scale/offset drift
+    before quantization or ANN indexing.
+
+    Tie convention: ranks come from the total order (value, id) —
+    row_number semantics, deterministic on any engine (the documented
+    oracle-able choice; the rank-mean variant for ties averages
+    IEEE-unstably). Returns (id, dim, qn) scalar rows.
+
+    Scale (the reason this isn't one window per dimension): a
+    PARTITION BY dim window sorts an entire dimension's column — n
+    rows — in ONE task. Instead ranks are computed with the
+    distributed_rank recipe (operators/ranking.py) generalized to
+    grouped data: per-dim approx split points (one mergeable-sketch
+    aggregate, d rows, broadcast), strict-``>`` bucketing so peer
+    groups never straddle a boundary, per-(dim, bucket) counts (d·B
+    rows) turned into offsets with a tiny window, and row_number only
+    WITHIN (dim, bucket) — every sort is ~n/B rows, hash-partitioned.
+    The rank-mean aggregate and the substitution join are both keyed
+    by rank (uniform by construction). Each value crosses the wire a
+    constant number of times; nothing corpus-sized is collected or
+    broadcast.
+    """
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(vec_col).alias("dim", "__xf"),
+    ).select(id_col, "dim", F.col("__xf").cast("double").alias("__x"))
+
+    b = max(int(n_buckets), 1)
+    if b > 1:
+        bounds = ex.groupBy("dim").agg(
+            F.percentile_approx(
+                "__x",
+                F.array(*[F.lit(i / b) for i in range(1, b)]),
+                F.lit(10_000),
+            ).alias("__bs")
+        )
+        bucket = F.aggregate(
+            F.col("__bs"),
+            F.lit(0),
+            lambda acc, s: acc + F.when(F.col("__x") > s, 1).otherwise(0),
+        )
+        exb = (
+            ex.join(F.broadcast(bounds), "dim")
+            .withColumn("__bucket", bucket)
+            .drop("__bs")
+        )
+    else:
+        exb = ex.withColumn("__bucket", F.lit(0))
+
+    counts = exb.groupBy("dim", "__bucket").agg(F.count("*").alias("__cnt"))
+    off_w = (
+        Window.partitionBy("dim")
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "dim",
+        "__bucket",
+        F.coalesce(F.sum("__cnt").over(off_w), F.lit(0)).alias("__off"),
+    )
+    rn_w = Window.partitionBy("dim", "__bucket").orderBy("__x", id_col)
+    ranked = (
+        exb.join(F.broadcast(offsets), ["dim", "__bucket"])
+        .withColumn("rn", F.col("__off") + F.row_number().over(rn_w))
+        .select(id_col, "dim", "__x", "rn")
+        # feeds both the rank-mean aggregate and the substitution join;
+        # lazy checkpoint so the bucketed rank runs once, not twice
+        .localCheckpoint(eager=False)
+    )
+    means = ranked.groupBy("rn").agg(
+        (F.sum("__x") / F.count("*")).alias("__mu")
+    )
+    return ranked.join(means, "rn").select(
+        id_col, "dim", F.col("__mu").alias("qn")
     )

@@ -1,0 +1,146 @@
+"""URL normalization + registered-domain dedup (FineWeb-style).
+
+Web-crawl curation pipelines dedup at two URL granularities before any
+content hashing: exact normalized-URL dedup (the same page fetched
+twice) and registered-domain grouping (per-site quotas, domain
+blocklists, domain-level dup statistics — see FineWeb / CCNet, which
+key their URL stage on the *registrable* domain, not the host). This
+module keeps both map-only until the final keyed aggregate.
+
+Scale shapes: normalization is pure string expressions (whole-stage
+codegen, zero shuffle); ``domain_dedup`` is one groupBy keyed on the
+registered domain with map-side partial aggregation — the groupBy twin
+of ``operators/dedup.exact_dedup``. Distinct-host/url counts inside a
+domain expand to the standard two-phase distinct aggregate; hot
+domains (a crawl is always domain-skewed) stay safe because only
+(domain, host/url) pairs shuffle, never document text.
+
+Registered-domain extraction uses the last-two-labels rule plus an
+explicit multi-part public-suffix set (the common ccSLDs). A full
+public-suffix-list lookup would be a broadcast join against the PSL
+table; the inline set keeps the hot path expression-only and is the
+documented approximation (callers with a PSL table can join it
+themselves on ``host``).
+
+No reference parity: the reference (dwds-livestream) has no URL
+surface; this serves the project brief's LLM-pipeline layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "MULTI_PART_SUFFIXES",
+    "url_host",
+    "url_path",
+    "registered_domain",
+    "normalize_url",
+    "domain_dedup",
+]
+
+# Common multi-part public suffixes (ccSLDs): when a host's last TWO
+# labels match one of these, the registrable domain is the last THREE
+# labels. Kept deliberately small and inline — see module docstring.
+MULTI_PART_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.ar", "com.mx", "com.tr",
+    "co.in", "co.kr", "co.za", "com.es",
+)
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host of ``url``: authority minus userinfo and port.
+
+    Accepts scheme-full URLs (``https://…``); scheme-relative
+    (``//host/…``) and bare ``host/path`` inputs also resolve because
+    the pattern anchors on the first authority-looking run.
+    """
+    auth = F.regexp_extract(url, r"^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//([^/?#]+)", 1)
+    # bare "host/path" fallback (no scheme, no //)
+    auth = F.when(auth == "", F.regexp_extract(url, r"^([^/?#]+)", 1)).otherwise(auth)
+    no_user = F.regexp_replace(auth, r"^[^@]*@", "")
+    no_port = F.regexp_replace(no_user, r":\d+$", "")
+    return F.lower(no_port)
+
+
+def url_path(url: Column) -> Column:
+    """Path component (no query/fragment), trailing slashes folded:
+    ``/a/b/`` and ``/a/b`` normalize identically; the root path and an
+    empty path both normalize to ``/``."""
+    has_auth = url.rlike(r"^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//")
+    p = F.when(
+        has_auth,
+        F.regexp_extract(url, r"^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//[^/?#]*([^?#]*)", 1),
+    ).otherwise(
+        # bare "host/path" fallback, mirroring url_host
+        F.regexp_extract(url, r"^[^/?#]*([^?#]*)", 1)
+    )
+    p = F.when(p == "", F.lit("/")).otherwise(p)
+    folded = F.regexp_replace(p, r"/+$", "")
+    return F.when(folded == "", F.lit("/")).otherwise(folded)
+
+
+def registered_domain(host: Column) -> Column:
+    """Registrable domain of a (lowercased) ``host``: the last two
+    labels, or the last three when the last two form a multi-part
+    public suffix (``MULTI_PART_SUFFIXES``). Hosts with fewer labels
+    than needed pass through unchanged. Pure array arithmetic — no
+    UDF, no shuffle."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.slice(labels, -2, 2))
+    last3 = F.concat_ws(".", F.slice(labels, -3, 3))
+    multi = last2.isin(*MULTI_PART_SUFFIXES)
+    return (
+        F.when((n >= 3) & multi, last3)
+        .when(n >= 2, last2)
+        .otherwise(host)
+    )
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical page key: ``host/path`` with scheme, userinfo, port,
+    query, fragment and a leading ``www.`` dropped, trailing slashes
+    folded. The FineWeb-style exact-URL dedup key (scheme/tracking
+    noise collapses; distinct content paths stay distinct)."""
+    host_nw = F.regexp_replace(url_host(url), r"^www\.", "")
+    return F.concat(host_nw, url_path(url))
+
+
+def domain_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Registered-domain rollup of a URL-bearing corpus: one row per
+    registrable domain with
+
+    - ``n_docs``     documents under the domain,
+    - ``n_hosts``    distinct full hosts (subdomain spread),
+    - ``n_urls``     distinct normalized URLs (``normalize_url``),
+    - ``n_url_dups`` docs beyond the first per normalized URL
+      (``n_docs - n_urls`` — the exact-URL duplicate mass),
+    - ``keeper_id``  min ``id_col`` (the canonical survivor, same
+      keeper convention as ``exact_dedup``).
+
+    One map stage (string normalization) + one groupBy(domain) with
+    two-phase distinct aggregates; text never shuffles.
+    """
+    u = F.col(url_col)
+    keyed = df.select(
+        F.col(id_col),
+        registered_domain(url_host(u)).alias("domain"),
+        url_host(u).alias("__host"),
+        normalize_url(u).alias("__nurl"),
+    )
+    return keyed.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("__host").alias("n_hosts"),
+        F.countDistinct("__nurl").alias("n_urls"),
+        (F.count("*") - F.countDistinct("__nurl")).alias("n_url_dups"),
+        F.min(id_col).alias("keeper_id"),
+    )

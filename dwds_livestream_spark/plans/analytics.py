@@ -4392,3 +4392,65 @@ WHERE NOT EXISTS (
          OR q.p_qual > p.p_qual OR q.p_tlen > p.p_tlen))
 ORDER BY p_partkey
 """
+
+
+def q_decile_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-bucketed join (ROADMAP r8, rides distributed_rank):
+    customers are ranked into spend deciles, then the ORDER FACTS join
+    back onto their customer's decile — the "enrich facts with their
+    entity's distribution position" shape (decile-targeted cohort
+    stats). Output: per (decile, o_orderpriority) order count, member
+    count and exact average order value.
+
+    Scale: the per-customer aggregate is the corpus-sized shuffle;
+    decile assignment is arithmetic over distributed_rank
+    (ntile_from_rank = SQL ntile exactly, no single-partition sort);
+    the facts->decile join is a hash join keyed on custkey (both sides
+    corpus-scale, never a nested loop). Money sums use DECIMAL(18,2)
+    so the per-decile totals are order-exact (the documented decimal
+    discipline; doubles would flake the ROUND boundary)."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "__p", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    spend = orders.groupBy("o_custkey").agg(F.sum("__p").alias("spend"))
+    ranked = distributed_rank(
+        spend,
+        "spend",
+        tiebreakers=[F.asc("o_custkey")],
+        rank_col="__rn",
+        total_col="__n",
+    )
+    deciled = ranked.select(
+        "o_custkey",
+        ntile_from_rank(F.col("__rn"), F.col("__n"), 10).alias("decile"),
+    )
+    j = orders.join(deciled, "o_custkey")
+    # decimal math stays internal (plans/canon.py): the exact decimal
+    # SUM is cast to double only at the output boundary
+    return j.groupBy("decile", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum("__p").cast("double").alias("priority_spend"),
+        F.round(
+            F.sum("__p").cast("double") / F.count("*"), 6
+        ).alias("avg_order"),
+    )
+
+
+ORACLE_DECILE_JOIN = """
+WITH o AS (
+  SELECT o_custkey, o_orderpriority,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders),
+spend AS (SELECT o_custkey, SUM(p) AS spend FROM o GROUP BY o_custkey),
+deciled AS (
+  SELECT o_custkey, ntile(10) OVER (ORDER BY spend, o_custkey) AS decile
+  FROM spend)
+SELECT decile, o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       CAST(SUM(p) AS DOUBLE) AS priority_spend,
+       ROUND(CAST(SUM(p) AS DOUBLE) / COUNT(*), 6) AS avg_order
+FROM o JOIN deciled USING (o_custkey)
+GROUP BY decile, o_orderpriority
+"""

@@ -2752,3 +2752,246 @@ def q_lm_artifact_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="dwds_lm_") + "/model"
     lm_train_write(docs, path)
     return lm_score(spark, path, docs, add_k=LM_ADD_K)
+
+
+# ------------------------------------------------- round-8 additions
+# (ROADMAP r8 / VERDICT r7 #3): registered BEFORE the r8 window froze,
+# each with the full evidence kit the day it landed.
+
+def q_domain_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style registered-domain URL rollup (operators/urls.py
+    domain_dedup) — the groupBy twin of exact_dedup keyed on the
+    registrable domain. The documents table carries no URL column, so
+    the registry view derives a deterministic one from (doc_id,
+    source, lang): subdomain / ccSLD tld / port / trailing-slash /
+    query variants all exercised; the oracle re-derives the SAME url
+    string in SQL and re-implements host, registered-domain and
+    normalize-url independently."""
+    from ..operators.urls import domain_dedup
+
+    d = F.col("doc_id")
+    sub = (
+        F.when(d % 4 == 0, "www.")
+        .when(d % 4 == 1, "cdn.")
+        .when(d % 4 == 2, "api.")
+        .otherwise("")
+    )
+    tld = (
+        F.when(F.col("lang") == "en", "com")
+        .when(F.col("lang") == "de", "co.uk")
+        .when(F.col("lang") == "es", "com.es")
+        .when(F.col("lang") == "zh", "com.cn")
+        .when(F.col("lang") == "fr", "fr")
+        .otherwise("org")
+    )
+    url = F.concat(
+        F.lit("https://"),
+        sub,
+        F.col("source"),
+        F.lit("."),
+        tld,
+        F.when(d % 7 == 0, ":8080").otherwise(""),
+        F.lit("/doc/"),
+        (d % 40).cast("string"),
+        F.when(d % 6 == 0, "/").otherwise(""),
+        F.when(d % 5 == 0, "?ref=rss").otherwise(""),
+    )
+    docs = _t(spark, sf_dir, "documents").withColumn("url", url)
+    return domain_dedup(docs, url_col="url", id_col="doc_id")
+
+
+ORACLE_DOMAIN_DEDUP = r"""
+WITH u AS (
+  SELECT doc_id,
+         'https://'
+         || CASE doc_id % 4 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.'
+                            WHEN 2 THEN 'api.' ELSE '' END
+         || source || '.'
+         || CASE lang WHEN 'en' THEN 'com' WHEN 'de' THEN 'co.uk'
+                      WHEN 'es' THEN 'com.es' WHEN 'zh' THEN 'com.cn'
+                      WHEN 'fr' THEN 'fr' ELSE 'org' END
+         || CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END
+         || '/doc/' || CAST(doc_id % 40 AS VARCHAR)
+         || CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN '?ref=rss' ELSE '' END AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id,
+         lower(regexp_replace(regexp_replace(
+             regexp_extract(url, '^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//([^/?#]+)', 1),
+             '^[^@]*@', ''), ':[0-9]+$', '')) AS host,
+         regexp_replace(
+             regexp_extract(url, '^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//[^/?#]*([^?#]*)', 1),
+             '/+$', '') AS p0
+  FROM u),
+keyed AS (
+  SELECT doc_id, host,
+         CASE
+           WHEN len(w) >= 3 AND array_to_string(w[len(w)-1:len(w)], '.') IN
+                ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au','org.au',
+                 'co.jp','ne.jp','or.jp','com.br','com.cn','com.ar','com.mx',
+                 'com.tr','co.in','co.kr','co.za','com.es')
+             THEN array_to_string(w[len(w)-2:len(w)], '.')
+           WHEN len(w) >= 2 THEN array_to_string(w[len(w)-1:len(w)], '.')
+           ELSE host
+         END AS domain,
+         regexp_replace(host, '^www\.', '')
+           || CASE WHEN p0 = '' THEN '/' ELSE p0 END AS nurl
+  FROM (SELECT doc_id, host, p0, string_split(host, '.') AS w FROM parts))
+SELECT domain,
+       count(*) AS n_docs,
+       count(DISTINCT host) AS n_hosts,
+       count(DISTINCT nurl) AS n_urls,
+       count(*) - count(DISTINCT nurl) AS n_url_dups,
+       min(doc_id) AS keeper_id
+FROM keyed GROUP BY domain
+"""
+
+
+NOVELTY_N = 3
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-vs-corpus n-gram novelty (operators/curation.py
+    ngram_novelty): per src0 document, the fraction of its distinct
+    trigrams NOT already present anywhere in the src1+ corpus — the
+    memorization-rate measure between an incoming crawl shard and the
+    existing corpus. Spark side joins on 8-byte shingle hashes (scale
+    contract); the oracle joins the shingle STRINGS — identical counts
+    barring a 64-bit collision (~2^-64 per pair, the documented
+    decontaminate convention)."""
+    from ..operators.curation import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_novelty(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        n=NOVELTY_N,
+    )
+
+
+ORACLE_NGRAM_NOVELTY = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> len(x) > 0) AS w
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, source, array_to_string(w[i:i+2], ' ') AS s
+  FROM toks, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)),
+train AS (SELECT DISTINCT s FROM sh WHERE source != 'src0'),
+ev AS (SELECT doc_id, s FROM sh WHERE source = 'src0'),
+base AS (SELECT doc_id, count(*) AS n_shingles FROM ev GROUP BY doc_id),
+seen AS (SELECT doc_id, count(*) AS n_seen
+         FROM ev JOIN train USING (s) GROUP BY doc_id)
+SELECT b.doc_id, b.n_shingles,
+       COALESCE(n_seen, 0) AS n_seen,
+       CASE WHEN b.n_shingles > 0 THEN
+         ROUND(1.0 - COALESCE(n_seen, 0) * 1.0 / b.n_shingles, 6) + 0.0
+       END AS novelty
+FROM base b LEFT JOIN seen USING (doc_id)
+"""
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of embedding dims (operators/
+    embedding_ops.quantile_normalize — ROADMAP r8 'rides quantile'
+    candidate): after the transform every dimension carries the same
+    marginal distribution. Ranks via the grouped distributed_rank
+    recipe (NO per-dim global window); output is the scalar (vec_id,
+    dim, qn) grid, rounded like every double surface at the registry
+    boundary."""
+    from ..operators.embedding_ops import quantile_normalize
+
+    out = quantile_normalize(_t(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id", "dim", (F.round("qn", 6) + F.lit(0.0)).alias("qn")
+    )
+
+
+ORACLE_QUANTILE_NORMALIZE = """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+r AS (
+  SELECT vec_id, dim, x,
+         row_number() OVER (PARTITION BY dim ORDER BY x, vec_id) AS rn
+  FROM ex),
+m AS (SELECT rn, SUM(x) / COUNT(*) AS mu FROM r GROUP BY rn)
+SELECT r.vec_id, r.dim, ROUND(m.mu, 6) + 0.0 AS qn
+FROM r JOIN m USING (rn)
+"""
+
+
+def q_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length-band curation cut (operators/curation.py
+    length_band_filter): keep documents inside their language's exact
+    [p10, p90] n_chars band. Exact rank-convention percentiles
+    (value at 1-based rank ceil(p*n)), bounds broadcast back — the
+    oracle recomputes them with row_number + ceil, never
+    quantile_disc."""
+    from ..operators.curation import length_band_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return length_band_filter(
+        docs, group_col="lang", value_col="n_chars", lo_p=0.1, hi_p=0.9
+    ).select("doc_id", "lang", "n_chars", "band_lo", "band_hi")
+
+
+ORACLE_LENGTH_BAND_FILTER = """
+WITH ranked AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+         count(*) OVER (PARTITION BY lang) AS c
+  FROM documents),
+bounds AS (
+  SELECT lang,
+         max(CASE WHEN rn = CAST(ceil(0.1 * c) AS BIGINT) THEN n_chars END) AS band_lo,
+         max(CASE WHEN rn = CAST(ceil(0.9 * c) AS BIGINT) THEN n_chars END) AS band_hi
+  FROM ranked GROUP BY lang)
+SELECT d.doc_id, d.lang, d.n_chars, b.band_lo, b.band_hi
+FROM documents d JOIN bounds b USING (lang)
+WHERE d.n_chars BETWEEN b.band_lo AND b.band_hi
+"""
+
+
+ZIPF_K = 200
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Zipf power-law fit (operators/curation.py
+    zipf_fit): OLS of ln(freq) on ln(rank) over each language's
+    top-200 words — the corpus-health slope (~ -1 for natural text;
+    templated/synthetic corpora flatten or cliff). Total tie order
+    (cnt desc, word asc) makes the ranks engine-reproducible."""
+    from ..operators.curation import zipf_fit
+
+    return zipf_fit(
+        _t(spark, sf_dir, "documents"), group_col="lang", k=ZIPF_K
+    )
+
+
+ORACLE_ZIPF_SLOPE = r"""
+WITH counts AS (
+  SELECT lang, word, count(*) AS cnt
+  FROM (SELECT lang,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> len(x) > 0)) AS word
+        FROM documents)
+  GROUP BY lang, word),
+n_types AS (SELECT lang, count(*) AS n_types FROM counts GROUP BY lang),
+top AS (
+  SELECT lang, cnt,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY cnt DESC, word ASC) AS rank
+  FROM counts QUALIFY rank <= 200),
+fit AS (
+  SELECT lang,
+         ROUND(regr_slope(ln(cnt), ln(rank)), 6) + 0.0 AS zipf_slope,
+         ROUND(regr_intercept(ln(cnt), ln(rank)), 6) + 0.0 AS zipf_intercept,
+         ROUND(regr_r2(ln(cnt), ln(rank)), 6) + 0.0 AS r2
+  FROM top GROUP BY lang)
+SELECT n.lang, n.n_types, f.zipf_slope, f.zipf_intercept, f.r2
+FROM n_types n JOIN fit f USING (lang)
+"""

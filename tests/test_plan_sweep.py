@@ -78,6 +78,7 @@ NESTED_LOOP_OK = {
     "lm_artifact_ppl": "1-row vocab-size cross join (same as lm_perplexity)",
     "quantile_rollup_by_type": "keyed histogram x 3-row quantile-list join",
     "spend_gini": "bucket-bounds broadcast (distributed_rank)",
+    "decile_join": "bucket-bounds broadcast (distributed_rank)",
 }
 
 

@@ -1,0 +1,219 @@
+"""Round-8 operators, each vs an in-test naive reference:
+url normalization / registered-domain dedup, corpus-vs-corpus n-gram
+novelty, quantile normalization, per-group length-band filter, Zipf
+fit, and the percentile-bucketed join's ntile parity.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dwds_livestream_spark.operators.curation import (
+    length_band_filter,
+    ngram_novelty,
+    zipf_fit,
+)
+from dwds_livestream_spark.operators.embedding_ops import quantile_normalize
+from dwds_livestream_spark.operators.urls import (
+    domain_dedup,
+    normalize_url,
+    registered_domain,
+    url_host,
+)
+
+
+# ------------------------------------------------------------- urls
+URL_CASES = [
+    # url, host, registered_domain, normalized
+    ("https://www.Example.COM/a/b", "www.example.com", "example.com",
+     "example.com/a/b"),
+    ("https://cdn.news.example.co.uk:8080/x/", "cdn.news.example.co.uk",
+     "example.co.uk", "cdn.news.example.co.uk/x"),
+    ("http://user:pw@api.shop.com.br/p?q=1#f", "api.shop.com.br",
+     "shop.com.br", "api.shop.com.br/p"),
+    ("https://localhost:9000", "localhost", "localhost", "localhost/"),
+    ("//static.site.fr/img//", "static.site.fr", "site.fr",
+     "static.site.fr/img"),
+    ("bare.host.de/path", "bare.host.de", "host.de", "bare.host.de/path"),
+    ("https://www.co.uk/", "www.co.uk", "www.co.uk", "co.uk/"),
+]
+
+
+def test_url_parts_unit_cases(spark):
+    df = spark.createDataFrame(
+        [(u,) for u, *_ in URL_CASES], "url string"
+    ).select(
+        "url",
+        url_host(F.col("url")).alias("host"),
+        registered_domain(url_host(F.col("url"))).alias("dom"),
+        normalize_url(F.col("url")).alias("nurl"),
+    )
+    got = {r.url: (r.host, r.dom, r.nurl) for r in df.collect()}
+    for url, host, dom, nurl in URL_CASES:
+        assert got[url] == (host, dom, nurl), url
+
+
+def test_domain_dedup_vs_brute_force(spark):
+    rows = [
+        (0, "https://www.a.com/x"),
+        (1, "http://a.com/x/"),          # same normalized URL as 0
+        (2, "https://cdn.a.com/x"),      # same domain, new host+url
+        (3, "https://a.com/y?utm=1"),    # same domain, new path
+        (4, "https://b.co.uk/x"),
+        (5, "https://www.b.co.uk/x#top"),  # dup of 4 after normalize
+    ]
+    out = {
+        r.domain: r.asDict()
+        for r in domain_dedup(
+            spark.createDataFrame(rows, "doc_id long, url string")
+        ).collect()
+    }
+    a = out["a.com"]
+    assert (a["n_docs"], a["n_hosts"], a["n_urls"], a["n_url_dups"],
+            a["keeper_id"]) == (4, 3, 3, 1, 0)
+    b = out["b.co.uk"]
+    assert (b["n_docs"], b["n_hosts"], b["n_urls"], b["n_url_dups"],
+            b["keeper_id"]) == (2, 2, 1, 1, 4)
+
+
+# ---------------------------------------------------- ngram novelty
+def _shingles(text: str, n: int) -> set[str]:
+    w = [t for t in re.split(r"\s+", text.lower()) if t]
+    return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+
+def test_ngram_novelty_vs_brute_force(spark):
+    train_rows = [
+        (0, "the cat sat on the mat"),
+        (1, "a dog barked at the cat"),
+    ]
+    eval_rows = [
+        (10, "the cat sat on a chair"),   # shares "the cat sat" etc.
+        (11, "completely novel text here now"),
+        (12, "on the mat"),               # fully memorized
+        (13, "xy"),                       # < n tokens -> 0 shingles
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    ev = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in ngram_novelty(train, ev, n=3).collect()}
+
+    train_set = set().union(*(_shingles(t, 3) for _, t in train_rows))
+    for doc_id, text in eval_rows:
+        sh = _shingles(text, 3)
+        seen = len(sh & train_set)
+        r = got[doc_id]
+        assert r.n_shingles == len(sh)
+        assert r.n_seen == seen
+        if sh:
+            assert r.novelty == pytest.approx(
+                round(1 - seen / len(sh), 6), abs=1e-9
+            )
+        else:
+            assert r.novelty is None
+
+
+# ------------------------------------------------ quantile normalize
+@pytest.mark.parametrize("n_buckets", [1, 4])
+def test_quantile_normalize_vs_numpy(spark, n_buckets):
+    rng = np.random.RandomState(7)
+    n, d = 40, 5
+    mat = rng.randn(n, d).astype(np.float32)
+    mat[3, 2] = mat[9, 2]  # exact tie inside one dim
+    rows = [Row(vec_id=i, embedding=[float(x) for x in mat[i]])
+            for i in range(n)]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r.vec_id, r.dim): r.qn
+        for r in quantile_normalize(df, n_buckets=n_buckets).collect()
+    }
+    assert len(got) == n * d
+
+    x = mat.astype(np.float64)
+    # rank within dim by (value, vec_id); mean across dims at each rank
+    order = np.zeros((n, d), dtype=int)  # rank-1 -> row index per dim
+    for j in range(d):
+        order[:, j] = sorted(range(n), key=lambda i: (x[i, j], i))
+    rank_mean = np.array([
+        np.mean([x[order[r, j], j] for j in range(d)]) for r in range(n)
+    ])
+    for j in range(d):
+        for r in range(n):
+            i = order[r, j]
+            assert got[(i, j)] == pytest.approx(rank_mean[r], rel=1e-12)
+
+
+def test_quantile_normalize_equalizes_marginals(spark):
+    rng = np.random.RandomState(3)
+    rows = [
+        Row(vec_id=i, embedding=[float(rng.randn()), float(10 + 5 * rng.randn())])
+        for i in range(30)
+    ]
+    out = quantile_normalize(spark.createDataFrame(rows))
+    per_dim = {
+        r.dim: r
+        for r in out.groupBy("dim")
+        .agg(F.round(F.avg("qn"), 9).alias("mu"),
+             F.round(F.min("qn"), 9).alias("lo"),
+             F.round(F.max("qn"), 9).alias("hi"))
+        .collect()
+    }
+    assert per_dim[0].asDict() == (per_dim[1].asDict() | {"dim": 0})
+
+
+# ------------------------------------------------- length band filter
+def test_length_band_filter_vs_brute_force(spark):
+    rows = [(i, "g1" if i < 20 else "g2", v)
+            for i, v in enumerate([*range(100, 120), *range(500, 540, 2)])]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, v long")
+    out = length_band_filter(df, group_col="grp", value_col="v",
+                             lo_p=0.1, hi_p=0.9)
+    got = {r.doc_id for r in out.collect()}
+
+    expect = set()
+    bands = {}
+    for g in ("g1", "g2"):
+        vals = sorted(v for _, gg, v in rows if gg == g)
+        lo = vals[math.ceil(0.1 * len(vals)) - 1]
+        hi = vals[math.ceil(0.9 * len(vals)) - 1]
+        bands[g] = (lo, hi)
+        expect |= {i for i, gg, v in rows if gg == g and lo <= v <= hi}
+    assert got == expect
+    b = {(r.grp, r.band_lo, r.band_hi) for r in out.collect()}
+    assert b == {("g1", *bands["g1"]), ("g2", *bands["g2"])}
+
+    with pytest.raises(ValueError):
+        length_band_filter(df, group_col="grp", value_col="v",
+                           lo_p=0.9, hi_p=0.1)
+
+
+# ------------------------------------------------------------- zipf
+def test_zipf_fit_vs_numpy(spark):
+    # zipf-ish corpus: word w_i appears ~ N/i times
+    words = []
+    for i in range(1, 30):
+        words += [f"w{i:02d}"] * (300 // i)
+    docs = [(0, "lang_a", " ".join(words))]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    r = zipf_fit(df, group_col="lang", k=10).collect()[0]
+    assert r.n_types == 29
+
+    counts = sorted(
+        ((words.count(f"w{i:02d}"), f"w{i:02d}") for i in range(1, 30)),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    lr = np.log(np.arange(1, 11))
+    lf = np.log([c for c, _ in counts])
+    slope, intercept = np.polyfit(lr, lf, 1)
+    ss_res = np.sum((lf - (slope * lr + intercept)) ** 2)
+    ss_tot = np.sum((lf - lf.mean()) ** 2)
+    assert r.zipf_slope == pytest.approx(round(slope, 6), abs=2e-6)
+    assert r.zipf_intercept == pytest.approx(round(intercept, 6), abs=2e-6)
+    assert r.r2 == pytest.approx(round(1 - ss_res / ss_tot, 6), abs=2e-6)
+    assert -1.3 < r.zipf_slope < -0.7  # zipf-shaped by construction

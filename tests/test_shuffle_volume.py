@@ -365,3 +365,60 @@ def test_skyline_4d_shuffles_distinct_tuples_not_corpus(spark):
     r = _measure(spark, "skyline_4d")
     assert r["scan_rows"] > 0
     assert r["shuffle_records"] < r["scan_rows"] * 3 + 500, r
+
+
+# ----------------------------------------------------- r8 additions
+
+def test_decile_join_bounded_shuffle(spark):
+    # per-customer aggregate + distributed_rank bucketing + the facts
+    # join: every shuffle is keyed; rows cross a small constant number
+    # of exchanges, never a global single-partition sort
+    r = _measure(spark, "decile_join")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] < r["scan_rows"] * 2 + 300, r
+
+
+def test_domain_dedup_one_keyed_aggregate(spark):
+    # map-only URL normalization, one groupBy(domain): shuffle is at
+    # most one (domain, host/url) pair per doc — text never shuffles
+    r = _measure(spark, "domain_dedup")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] <= r["scan_rows"] * 2, r
+    assert r["shuffle_bytes"] < r["scan_rows"] * 120, r
+
+
+def test_ngram_novelty_hashes_only_on_the_wire(spark):
+    # membership join on 8-byte shingle hashes: shuffle rows are
+    # shingle-count-sized by design, but each record must be a hash +
+    # small id — document TEXT crossing an exchange would blow the
+    # bytes/record ratio two orders of magnitude past this bound
+    r = _measure(spark, "ngram_novelty")
+    assert r["shuffle_records"] > 0
+    assert r["shuffle_bytes"] / r["shuffle_records"] < 40, r
+
+
+def test_quantile_normalize_constant_passes_per_value(spark):
+    # grouped distributed-rank recipe: each exploded (dim, value) cell
+    # crosses a bounded constant number of exchanges (bucketed rank,
+    # rank-mean aggregate, substitution join) — and NO per-dim global
+    # window (that would be d single-partition sorts of n rows)
+    r = _measure(spark, "quantile_normalize")
+    n_cells = 500 * 64
+    assert r["shuffle_records"] < n_cells * 3, r
+
+
+def test_length_band_filter_sketch_only_shuffle(spark):
+    # the corpus scan folds to mergeable percentile sketches; only
+    # sketch partials shuffle, bounds come back by broadcast
+    r = _measure(spark, "length_band_filter")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] < 100, r
+    assert r["broadcast_bytes"] > 0, "bounds must move by broadcast"
+
+
+def test_zipf_slope_vocab_sized_shuffle(spark):
+    # two-phase (lang, word) count: map-side combine folds each
+    # partition to its local vocabulary before the single word shuffle
+    r = _measure(spark, "zipf_slope")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] < r["scan_rows"] * 2 + 300, r
