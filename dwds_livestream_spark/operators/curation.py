@@ -706,3 +706,39 @@ def zipf_fit(
         (F.round(F.regr_r2(lf, lr), 6) + F.lit(0.0)).alias("r2"),
     )
     return n_types.join(fit, group_col)
+
+
+def dup_rate_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group exact-duplicate mass — the curation dashboard rollup
+    of ``exact_dedup`` (which crawl shard / source is feeding us
+    copies?): n_docs, n_unique (distinct md5 digests), n_dup_docs
+    (docs beyond the first per digest) and dup_rate per group.
+
+    One groupBy(group) with a two-phase distinct over 16-byte digests
+    — text never shuffles; per-group skew is safe because only
+    (group, digest) pairs cross the exchange. Groups with one doc
+    report dup_rate 0.0 exactly (integer-derived division, round 6).
+    """
+    digest = F.md5(F.col(text_col))
+    return (
+        df.select(F.col(group_col), digest.alias("__d"), F.col(id_col))
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("__d").alias("n_unique"),
+            (F.count("*") - F.countDistinct("__d")).alias("n_dup_docs"),
+            (
+                F.round(
+                    (F.count("*") - F.countDistinct("__d"))
+                    / F.count("*").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("dup_rate"),
+        )
+    )

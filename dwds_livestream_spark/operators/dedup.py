@@ -767,3 +767,69 @@ def paragraph_dedup(
             F.count("*").cast("int").alias("n_kept"),
         )
     )
+
+
+def minhash_jaccard_error(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    k: int = 128,
+    bands: int = 32,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Sketch-accuracy surface of the MinHash pipeline: for every
+    banded-LSH candidate pair, the signature ESTIMATE (eq/k — the
+    number every downstream threshold decision consumes), the EXACT
+    shingle Jaccard, and their absolute error. This is the measurement
+    that justifies choosing k — run it on a corpus sample before
+    committing a signature width (stddev of the estimator is
+    sqrt(j(1-j)/k) ~ 0.044 at k=128, j=0.5).
+
+    Plan: candidates + estimates are ``minhash_lsh_pairs`` at
+    threshold 0 (every band collision kept — the error surface must
+    include the LOW-similarity collisions a thresholded view hides);
+    exact Jaccard is computed only for the candidate pairs by routing
+    distinct (id, shingle) rows through the pair list (two hash joins
+    + one count aggregate — candidate-sized, never all-pairs).
+    abs_err is one IEEE subtraction of two exactly-determined doubles
+    (eq/k dyadic, i/(na+nb-i) from exact integers), so round(6) is
+    engine-identical. Output: doc_a, doc_b, est_jaccard, jaccard,
+    abs_err.
+    """
+    est = minhash_lsh_pairs(
+        df, text_col, id_col, n=n, k=k, bands=bands,
+        threshold=0.0, hash_fn=hash_fn,
+    )
+    sh = shingles(df, text_col, id_col, n=n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    pairs = est.select("doc_a", "doc_b")
+    inter = (
+        sh.select(F.col(id_col).alias("doc_a"), "shingle")
+        .join(pairs, "doc_a")
+        .join(
+            sh.select(F.col(id_col).alias("doc_b"), "shingle"), ["doc_b", "shingle"]
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = (
+        F.coalesce(F.col("inter"), F.lit(0)).cast("double")
+        / (F.col("na") + F.col("nb") - F.coalesce(F.col("inter"), F.lit(0)))
+    )
+    return (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            (F.round(jac, 6) + F.lit(0.0)).alias("jaccard"),
+            (F.round(F.abs(F.col("est_jaccard") - jac), 6) + F.lit(0.0)).alias(
+                "abs_err"
+            ),
+        )
+    )

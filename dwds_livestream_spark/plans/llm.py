@@ -2995,3 +2995,79 @@ fit AS (
 SELECT n.lang, n.n_types, f.zipf_slope, f.zipf_intercept, f.r2
 FROM n_types n JOIN fit f USING (lang)
 """
+
+
+# Registered AFTER the r8 window froze (standing rule): full evidence
+# kits now, rotate into the r9 window as never-driver-verified.
+
+def q_minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy surface (operators/dedup.minhash_jaccard_error):
+    per banded-LSH candidate pair the eq/k estimate, the EXACT shingle
+    Jaccard and their absolute error — the measurement that justifies
+    k=128. md5_64 hashing so the candidate set and every value is
+    engine-independent; the oracle re-derives signatures AND exact
+    Jaccard in SQL."""
+    from ..operators.dedup import minhash_jaccard_error
+
+    return minhash_jaccard_error(
+        _t(spark, sf_dir, "documents"), n=5, k=128, bands=32,
+        hash_fn="md5_64",
+    )
+
+
+def _oracle_minhash_jaccard_error(
+    n: int = 5, k: int = 128, bands: int = 32
+) -> str:
+    return f"""
+WITH {_minhash_cand_ctes(n, k, bands)},
+shq AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS s
+  FROM toks, unnest(range(1, greatest(len(w) - {n - 1}, 0) + 1)) AS t(i)),
+sizes AS (SELECT doc_id, count(*) AS n FROM shq GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN shq a ON a.doc_id = c.doc_a
+  JOIN shq b ON b.doc_id = c.doc_b AND b.s = a.s
+  GROUP BY 1, 2),
+est AS (
+  SELECT doc_a, doc_b,
+         CAST(list_sum([CASE WHEN sa.s[i] = sb.s[i] THEN 1 ELSE 0 END
+                        FOR i IN range(1, {k} + 1)]) AS BIGINT)
+           / {k}.0 AS est_jaccard
+  FROM cand
+  JOIN sig sa ON sa.doc_id = doc_a
+  JOIN sig sb ON sb.doc_id = doc_b)
+SELECT e.doc_a, e.doc_b, e.est_jaccard,
+       ROUND(COALESCE(i, 0) * 1.0 / (na.n + nb.n - COALESCE(i, 0)), 6)
+         + 0.0 AS jaccard,
+       ROUND(ABS(e.est_jaccard
+                 - COALESCE(i, 0) * 1.0 / (na.n + nb.n - COALESCE(i, 0))), 6)
+         + 0.0 AS abs_err
+FROM est e
+LEFT JOIN inter USING (doc_a, doc_b)
+JOIN sizes na ON na.doc_id = e.doc_a
+JOIN sizes nb ON nb.doc_id = e.doc_b
+"""
+
+
+ORACLE_MINHASH_JACCARD_ERROR = _oracle_minhash_jaccard_error()
+
+
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate mass (operators/curation.py
+    dup_rate_by_group) — the curation dashboard rollup of exact_dedup:
+    which crawl shard is feeding copies."""
+    from ..operators.curation import dup_rate_by_group
+
+    return dup_rate_by_group(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_DUP_RATE_BY_SOURCE = """
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_unique,
+       count(*) - count(DISTINCT md5(text)) AS n_dup_docs,
+       ROUND((count(*) - count(DISTINCT md5(text))) * 1.0 / count(*), 6)
+         + 0.0 AS dup_rate
+FROM documents GROUP BY source
+"""

@@ -217,3 +217,47 @@ def test_zipf_fit_vs_numpy(spark):
     assert r.zipf_intercept == pytest.approx(round(intercept, 6), abs=2e-6)
     assert r.r2 == pytest.approx(round(1 - ss_res / ss_tot, 6), abs=2e-6)
     assert -1.3 < r.zipf_slope < -0.7  # zipf-shaped by construction
+
+
+# ------------------------------------ post-window r8: sketch accuracy
+def test_minhash_jaccard_error_vs_brute_force(spark):
+    from dwds_livestream_spark.operators.dedup import minhash_jaccard_error
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [
+        (0, base.strip()),
+        (1, base.strip()),                       # exact dup of 0
+        (2, (base + "and then some more words").strip()),
+        (3, "an entirely different document about spark shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.doc_a, r.doc_b): r
+           for r in minhash_jaccard_error(df, n=3, k=64, bands=16).collect()}
+    assert (0, 1) in out  # exact dups must collide in every band
+    r01 = out[(0, 1)]
+    assert r01.est_jaccard == 1.0 and r01.jaccard == 1.0 and r01.abs_err == 0.0
+    for (a, b), r in out.items():
+        sa, sb = _shingles(rows[a][1], 3), _shingles(rows[b][1], 3)
+        exact = len(sa & sb) / len(sa | sb)
+        assert r.jaccard == pytest.approx(round(exact, 6), abs=1e-9), (a, b)
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert r.abs_err == pytest.approx(
+            round(abs(r.est_jaccard - exact), 6), abs=1e-6
+        )
+
+
+def test_dup_rate_by_group_vs_brute_force(spark):
+    from dwds_livestream_spark.operators.curation import dup_rate_by_group
+
+    rows = [
+        (0, "s1", "aaa"), (1, "s1", "aaa"), (2, "s1", "bbb"),
+        (3, "s2", "ccc"),
+        (4, "s3", "ddd"), (5, "s3", "ddd"), (6, "s3", "ddd"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r.source: r for r in dup_rate_by_group(df).collect()}
+    assert (got["s1"].n_docs, got["s1"].n_unique, got["s1"].n_dup_docs) == (3, 2, 1)
+    assert got["s1"].dup_rate == pytest.approx(round(1 / 3, 6))
+    assert got["s2"].dup_rate == 0.0
+    assert (got["s3"].n_dup_docs, got["s3"].dup_rate) == (
+        2, pytest.approx(round(2 / 3, 6)))

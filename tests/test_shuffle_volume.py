@@ -422,3 +422,23 @@ def test_zipf_slope_vocab_sized_shuffle(spark):
     r = _measure(spark, "zipf_slope")
     assert r["scan_rows"] > 0
     assert r["shuffle_records"] < r["scan_rows"] * 2 + 300, r
+
+
+def test_minhash_jaccard_error_candidate_bounded(spark):
+    # est side reuses the banded-LSH shape (signatures never cross an
+    # exchange); the exact-Jaccard side routes (id, shingle) rows
+    # through the candidate pair list — shingle-count-sized, never
+    # all-pairs, and records stay small (ids + one shingle string)
+    r = _measure(spark, "minhash_jaccard_error")
+    assert r["shuffle_records"] > 0
+    assert r["shuffle_records"] < r["scan_rows"] * 15, r
+    assert r["shuffle_bytes"] / r["shuffle_records"] < 40, r
+
+
+def test_dup_rate_by_source_digest_only_shuffle(spark):
+    # one groupBy(source) over (source, digest) pairs: text never
+    # shuffles (digest = 32-hex md5 + group key ~ bounded bytes/row)
+    r = _measure(spark, "dup_rate_by_source")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] <= r["scan_rows"] * 2 + 50, r
+    assert r["shuffle_bytes"] / max(r["shuffle_records"], 1) < 64, r
