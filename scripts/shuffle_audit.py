@@ -224,6 +224,59 @@ AUDITS: dict[str, str] = {
         "join, one map-side-combined aggregate (no window), one "
         "join-back for zero-match rows"
     ),
+    "rate_limit_events": (
+        "epm rate-limit batch twin: one keyed (user, minute) window "
+        "under WindowGroupLimit - at most epm rows per group survive "
+        "the exchange's pre-sort, no global sort"
+    ),
+    "knearest_following": (
+        "forward twin of knearest_preceding: identical 2-bin explode "
+        "+ equi hash join + per-left top-k window"
+    ),
+    "skyline_4d": (
+        "grid filter-and-refine at d=4: shuffles are distinct-tuple- "
+        "and survivor-sized; the corpus crosses once for the final "
+        "semi join"
+    ),
+    "decile_join": (
+        "percentile-bucketed join: per-customer aggregate + "
+        "distributed_rank bucketing + keyed facts join - every "
+        "exchange keyed, no single-partition sort"
+    ),
+    "domain_dedup": (
+        "registered-domain rollup: map-only URL normalization, one "
+        "groupBy(domain) with two-phase distincts - text never "
+        "shuffles"
+    ),
+    "ngram_novelty": (
+        "corpus-vs-corpus membership on 8-byte shingle hashes: train "
+        "distinct + eval probe join + per-doc count; records are "
+        "hash+id sized, document text never crosses an exchange"
+    ),
+    "quantile_normalize": (
+        "grouped distributed-rank recipe: each exploded (dim, value) "
+        "cell crosses a constant number of keyed exchanges; NO "
+        "per-dim single-partition window"
+    ),
+    "length_band_filter": (
+        "exact rank-convention percentile bands: only mergeable "
+        "sketch partials shuffle; bounds broadcast back, filter is "
+        "map-only"
+    ),
+    "zipf_slope": (
+        "two-phase (lang, word) count: map-side combine folds each "
+        "partition to its local vocabulary before the single word "
+        "shuffle; OLS is a built-in aggregate over g*k rows"
+    ),
+    "minhash_jaccard_error": (
+        "sketch accuracy audit: banded-LSH candidates (signatures "
+        "never cross an exchange) + exact Jaccard routed through the "
+        "candidate list - shingle-count-sized, never all-pairs"
+    ),
+    "dup_rate_by_source": (
+        "per-group duplicate mass: one groupBy(source) over "
+        "(source, digest) pairs - text never shuffles"
+    ),
 }
 
 def audit_one(spark, name: str, sf_dir: str) -> dict:
