@@ -833,3 +833,42 @@ def minhash_jaccard_error(
             ),
         )
     )
+
+
+def suffix_prefix_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Concatenation-artifact detector: pairs (A, B) where document
+    A's LAST ``n`` tokens equal document B's FIRST ``n`` tokens — the
+    boundary signature of a document split mid-sentence by an
+    extraction pipeline (or of boilerplate chaining). Exact-join twin
+    of the containment family: ``containment_pairs`` finds B inside A,
+    this finds A's tail flowing INTO B's head so the two can be
+    re-joined (or the boundary deduped) upstream of chunking.
+
+    Plan: one map stage builds the head/tail n-gram key per doc
+    (higher-order array slice, no explode), then ONE equi hash join
+    tail→head — never a nested loop. Keys are n-gram strings; a
+    boilerplate n-gram shared by many heads/tails fans out
+    quadratically WITHIN that key by the operator's semantics (same
+    standing note as the jaccard family's stop-shingle cap — pass a
+    larger ``n`` to sharpen keys). Docs with fewer than ``n`` tokens
+    have no boundary signature and are excluded. Output: doc_a (the
+    tail side), doc_b (the head side), boundary (the shared n-gram).
+    """
+    toks = df.withColumn("__toks", F.split(F.col(text_col), " "))
+    keyed = toks.where(F.size("__toks") >= n).select(
+        F.col(id_col),
+        F.array_join(F.slice("__toks", 1, n), " ").alias("__head"),
+        F.array_join(F.slice("__toks", -n, n), " ").alias("__tail"),
+    )
+    a = keyed.select(F.col(id_col).alias("doc_a"), F.col("__tail").alias("boundary"))
+    b = keyed.select(F.col(id_col).alias("doc_b"), F.col("__head").alias("boundary"))
+    return (
+        a.join(b, "boundary")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", "boundary")
+    )

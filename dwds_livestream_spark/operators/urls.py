@@ -38,6 +38,7 @@ __all__ = [
     "registered_domain",
     "normalize_url",
     "domain_dedup",
+    "domain_quota_sample",
 ]
 
 # Common multi-part public suffixes (ccSLDs): when a host's last TWO
@@ -143,4 +144,40 @@ def domain_dedup(
         F.countDistinct("__nurl").alias("n_urls"),
         (F.count("*") - F.countDistinct("__nurl")).alias("n_url_dups"),
         F.min(id_col).alias("keeper_id"),
+    )
+
+
+def domain_quota_sample(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    quota: int = 10,
+) -> DataFrame:
+    """FineWeb-style per-domain quota: keep at most ``quota`` documents
+    per registered domain, selected content-addressed (ordered by
+    md5(id), ties by id) — the anti-monoculture cap that stops one
+    giant site dominating a crawl mix. Deterministic on any engine,
+    any partitioning, any rerun (no rand(); same property as
+    ``stratified_split``), and nested: raising the quota only ADDS
+    documents, it never swaps earlier picks.
+
+    Plan: map-only normalization + one keyed window that Spark folds
+    under WindowGroupLimit — at most ``quota`` rows per domain survive
+    each partial sort, so a hot domain never materializes whole in one
+    task's sort buffer. Output: all input columns + ``domain``.
+    """
+    if quota < 1:
+        raise ValueError(f"quota must be >= 1: {quota}")
+    from pyspark.sql import Window
+
+    keyed = df.withColumn(
+        "domain", registered_domain(url_host(F.col(url_col)))
+    )
+    w = Window.partitionBy("domain").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= quota)
+        .drop("__rn")
     )

@@ -2758,17 +2758,12 @@ def q_lm_artifact_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (ROADMAP r8 / VERDICT r7 #3): registered BEFORE the r8 window froze,
 # each with the full evidence kit the day it landed.
 
-def q_domain_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FineWeb-style registered-domain URL rollup (operators/urls.py
-    domain_dedup) — the groupBy twin of exact_dedup keyed on the
-    registrable domain. The documents table carries no URL column, so
-    the registry view derives a deterministic one from (doc_id,
-    source, lang): subdomain / ccSLD tld / port / trailing-slash /
-    query variants all exercised; the oracle re-derives the SAME url
-    string in SQL and re-implements host, registered-domain and
-    normalize-url independently."""
-    from ..operators.urls import domain_dedup
-
+def _url_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table with a deterministic derived ``url`` column
+    (the table carries none): subdomain / ccSLD tld / port /
+    trailing-slash / query variants all exercised, every piece a pure
+    function of (doc_id, source, lang) so the oracles re-derive the
+    SAME string in SQL. Shared by the URL-family registry queries."""
     d = F.col("doc_id")
     sub = (
         F.when(d % 4 == 0, "www.")
@@ -2796,7 +2791,18 @@ def q_domain_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(d % 6 == 0, "/").otherwise(""),
         F.when(d % 5 == 0, "?ref=rss").otherwise(""),
     )
-    docs = _t(spark, sf_dir, "documents").withColumn("url", url)
+    return _t(spark, sf_dir, "documents").withColumn("url", url)
+
+
+def q_domain_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style registered-domain URL rollup (operators/urls.py
+    domain_dedup) — the groupBy twin of exact_dedup keyed on the
+    registrable domain. URL column derived by ``_url_documents``; the
+    oracle re-derives the SAME url string in SQL and re-implements
+    host, registered-domain and normalize-url independently."""
+    from ..operators.urls import domain_dedup
+
+    docs = _url_documents(spark, sf_dir)
     return domain_dedup(docs, url_col="url", id_col="doc_id")
 
 
@@ -3071,3 +3077,162 @@ SELECT source, count(*) AS n_docs,
          + 0.0 AS dup_rate
 FROM documents GROUP BY source
 """
+
+
+def q_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style per-domain quota sample (operators/urls.py
+    domain_quota_sample): at most 3 docs per registered domain, picked
+    content-addressed (md5(doc_id) order — deterministic, nested under
+    quota increases). Same derived URL column as domain_dedup; the
+    oracle re-derives everything in SQL including the md5 pick
+    order."""
+    from ..operators.urls import domain_quota_sample
+
+    docs = _url_documents(spark, sf_dir)
+    return domain_quota_sample(
+        docs, url_col="url", id_col="doc_id", quota=3
+    ).select("doc_id", "domain")
+
+
+ORACLE_DOMAIN_QUOTA_SAMPLE = r"""
+WITH u AS (
+  SELECT doc_id,
+         'https://'
+         || CASE doc_id % 4 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.'
+                            WHEN 2 THEN 'api.' ELSE '' END
+         || source || '.'
+         || CASE lang WHEN 'en' THEN 'com' WHEN 'de' THEN 'co.uk'
+                      WHEN 'es' THEN 'com.es' WHEN 'zh' THEN 'com.cn'
+                      WHEN 'fr' THEN 'fr' ELSE 'org' END
+         || CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END
+         || '/doc/' || CAST(doc_id % 40 AS VARCHAR)
+         || CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN '?ref=rss' ELSE '' END AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id,
+         lower(regexp_replace(regexp_replace(
+             regexp_extract(url, '^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//([^/?#]+)', 1),
+             '^[^@]*@', ''), ':[0-9]+$', '')) AS host
+  FROM u),
+keyed AS (
+  SELECT doc_id,
+         CASE
+           WHEN len(w) >= 3 AND array_to_string(w[len(w)-1:len(w)], '.') IN
+                ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au','org.au',
+                 'co.jp','ne.jp','or.jp','com.br','com.cn','com.ar','com.mx',
+                 'com.tr','co.in','co.kr','co.za','com.es')
+             THEN array_to_string(w[len(w)-2:len(w)], '.')
+           WHEN len(w) >= 2 THEN array_to_string(w[len(w)-1:len(w)], '.')
+           ELSE host
+         END AS domain
+  FROM (SELECT doc_id, host, string_split(host, '.') AS w FROM parts)),
+ranked AS (
+  SELECT doc_id, domain,
+         row_number() OVER (PARTITION BY domain
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn
+  FROM keyed)
+SELECT doc_id, domain FROM ranked WHERE rn <= 3
+"""
+
+
+def q_suffix_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenation-artifact pairs (operators/dedup.py
+    suffix_prefix_pairs): doc A's last 3 tokens = doc B's first 3
+    tokens — one map stage + ONE equi hash join on the boundary
+    n-gram, never a nested loop."""
+    from ..operators.dedup import suffix_prefix_pairs
+
+    return suffix_prefix_pairs(_t(spark, sf_dir, "documents"), n=3)
+
+
+ORACLE_SUFFIX_PREFIX_JOIN = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+keyed AS (
+  SELECT doc_id,
+         array_to_string(w[1:3], ' ') AS head,
+         array_to_string(w[len(w)-2:len(w)], ' ') AS tail
+  FROM toks WHERE len(w) >= 3)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.tail AS boundary
+FROM keyed a JOIN keyed b ON a.tail = b.head AND a.doc_id != b.doc_id
+"""
+
+
+RBO_P = 0.9
+
+
+def q_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Overlap between the BM25 lexical top-50 and the
+    dense-cosine top-50 (operators/retrieval.rbo_overlap) — the
+    top-weighted agreement diagnostic of the hybrid retrieval pair
+    hybrid_rrf fuses. Same two rankings as q_hybrid_rrf; one scalar
+    row out."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from ..operators.retrieval import bm25_topk, rbo_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(
+        docs, BM25_TERMS, k1=BM25_K1, b=BM25_B, topk=BM25_TOPK
+    ).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .cast("int")
+        .alias("rank"),
+    )
+    sem = cosine_topk(
+        emb, emb.where(F.col("vec_id") == 0), k=BM25_TOPK
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rbo_overlap(lex, sem, depth=BM25_TOPK, p=RBO_P)
+
+
+def _oracle_rbo() -> str:
+    bm25 = ORACLE_BM25_TOPK.strip().rstrip()
+    k = BM25_TOPK
+    return rf"""
+WITH lex_raw AS ({bm25}),
+lex AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM lex_raw),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+un AS (SELECT c.vec_id AS nid, unnest(q.qe) AS x, unnest(c.embedding) AS y
+       FROM q, embeddings c WHERE c.vec_id != 0),
+dots AS (SELECT nid, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS qq,
+                SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS cc
+         FROM un GROUP BY nid),
+sem_r AS (SELECT nid AS doc_id,
+                 CAST(row_number() OVER (
+                   ORDER BY ROUND(dot / (sqrt(qq) * sqrt(cc)), 6) DESC, nid
+                 ) AS INT) AS rank
+          FROM dots),
+sem AS (SELECT doc_id, rank FROM sem_r WHERE rank <= {k}),
+terms AS (
+  SELECT CAST(d AS INT) AS d,
+         power(CAST({RBO_P} AS DOUBLE), d - 1) / d AS t
+  FROM range(1, {k} + 1) tt(d)),
+tails AS (
+  SELECT d AS m,
+         SUM(t) OVER (ORDER BY d
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS tail
+  FROM terms),
+shared AS (
+  SELECT greatest(l.rank, s.rank) AS m
+  FROM lex l JOIN sem s USING (doc_id)),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_shared, SUM(tail) AS s
+  FROM shared JOIN tails USING (m))
+SELECT CAST({RBO_P} AS DOUBLE) AS p, {k} AS depth, n_shared,
+       ROUND((CAST(1.0 AS DOUBLE) - CAST({RBO_P} AS DOUBLE))
+             * COALESCE(s, 0.0), 6) + 0.0 AS rbo
+FROM agg
+"""
+
+
+ORACLE_RBO_RANKINGS = _oracle_rbo()

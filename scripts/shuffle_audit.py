@@ -277,6 +277,20 @@ AUDITS: dict[str, str] = {
         "per-group duplicate mass: one groupBy(source) over "
         "(source, digest) pairs - text never shuffles"
     ),
+    "domain_quota_sample": (
+        "per-domain quota: WindowGroupLimit prefilters to <= quota "
+        "rows per domain before the exchange's final sort - a hot "
+        "domain never materializes whole in one task"
+    ),
+    "suffix_prefix_join": (
+        "concatenation-artifact pairs: one map stage (head/tail "
+        "n-gram keys) + one equi hash join - never a nested loop"
+    ),
+    "rbo_rankings": (
+        "rank-biased overlap: both rankings are top-k lists; the "
+        "tail-sum table is depth rows; everything past the two top-k "
+        "stages is k-bounded"
+    ),
 }
 
 def audit_one(spark, name: str, sf_dir: str) -> dict:

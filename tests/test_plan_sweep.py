@@ -29,6 +29,7 @@ SF_DIR = "/root/testdata/sf0.001"
 # construction (not by the data); reason strings are the audit trail.
 GLOBAL_WINDOW_OK = {
     "hybrid_rrf": "fusion input is two top-k lists (<= 2k rows)",
+    "rbo_rankings": "rankings are two top-k lists; tail table is depth rows",
     "hll_rolling_distinct": "frame is one row per DAY (sketch table)",
     "decile_lift": "cumulative share over the 10-row decile summary",
     "quantile_rollup": "cumulative over <= 64 merged histogram bins",
@@ -67,6 +68,7 @@ NESTED_LOOP_OK = {
     "winnow_fingerprints": "1-row window constant",
     "split_report": "1-row totals",
     "hybrid_rrf": "1-row corpus-stats cross join (BM25 stage)",
+    "rbo_rankings": "1-row corpus-stats cross join (BM25 stage)",
     "pmi_collocations": "1-row total-counts cross join",
     "q11_important_parts": "1-row scalar-subquery threshold (TPC-H Q11 shape)",
     "q22_idle_customers": "1-row scalar-avg cross join (TPC-H Q22 shape)",

@@ -261,3 +261,98 @@ def test_dup_rate_by_group_vs_brute_force(spark):
     assert got["s2"].dup_rate == 0.0
     assert (got["s3"].n_dup_docs, got["s3"].dup_rate) == (
         2, pytest.approx(round(2 / 3, 6)))
+
+
+# ---------------------------------- post-window r8: r9-candidate trio
+def test_domain_quota_sample_deterministic_and_nested(spark):
+    import hashlib
+
+    from dwds_livestream_spark.operators.urls import domain_quota_sample
+
+    rows = [(i, f"https://www.big.com/p/{i}") for i in range(20)] + [
+        (100, "https://small.fr/x"), (101, "https://www.small.fr/y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out3 = domain_quota_sample(df, quota=3)
+    got = {r.domain: sorted(x.doc_id for x in out3.collect() if x.domain == r.domain)
+           for r in out3.collect()}
+    # brute force: md5(doc_id) order within big.com
+    order = sorted(range(20), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    assert got["big.com"] == sorted(order[:3])
+    assert got["small.fr"] == [100, 101]  # under quota: all kept
+
+    # nested property: quota=5 keeps quota=3's picks
+    out5 = {r.doc_id for r in domain_quota_sample(df, quota=5).collect()}
+    assert {r.doc_id for r in out3.collect()} <= out5
+
+    with pytest.raises(ValueError):
+        domain_quota_sample(df, quota=0)
+
+
+def test_suffix_prefix_pairs_vs_brute_force(spark):
+    from dwds_livestream_spark.operators.dedup import suffix_prefix_pairs
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon"),
+        (1, "gamma delta epsilon zeta eta"),   # 0's tail = 1's head
+        (2, "delta epsilon zeta"),              # 1's tail? no: 'zeta eta' != head; 2's head = middle of 1
+        (3, "zeta eta theta iota"),             # 1's tail 'epsilon zeta eta' vs 3 head 'zeta eta theta' no
+        (4, "xx yy"),                           # < n tokens: excluded
+        (5, "alpha beta gamma"),                # head == tail == itself; 5 tail = 0's head
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b, r.boundary)
+           for r in suffix_prefix_pairs(df, n=3).collect()}
+
+    def toks(t): return t.split(" ")
+    expect = set()
+    keyed = {i: (" ".join(toks(t)[:3]), " ".join(toks(t)[-3:]))
+             for i, t in rows if len(toks(t)) >= 3}
+    for a, (_, ta) in keyed.items():
+        for b, (hb, _) in keyed.items():
+            if a != b and ta == hb:
+                expect.add((a, b, ta))
+    assert got == expect
+    assert (0, 1, "gamma delta epsilon") in got
+    assert (5, 0, "alpha beta gamma") in got
+    assert all(4 not in (a, b) for a, b, _ in got)
+
+
+def test_rbo_overlap_vs_brute_force(spark):
+    from dwds_livestream_spark.operators.retrieval import rbo_overlap
+
+    # two rankings over partially overlapping items
+    ra = [(10, 1), (11, 2), (12, 3), (13, 4)]
+    rb = [(11, 1), (10, 2), (14, 3), (12, 4)]
+    a = spark.createDataFrame(ra, "doc_id long, rank int")
+    b = spark.createDataFrame(rb, "doc_id long, rank int")
+    k, p = 4, 0.9
+    (row,) = rbo_overlap(a, b, depth=k, p=p).collect()
+
+    # brute force: prefix overlaps
+    da = {doc: rank for doc, rank in ra}
+    db = {doc: rank for doc, rank in rb}
+    rbo = 0.0
+    for d in range(1, k + 1):
+        A = {doc for doc, rank in da.items() if rank <= d}
+        B = {doc for doc, rank in db.items() if rank <= d}
+        rbo += p ** (d - 1) * len(A & B) / d
+    rbo *= 1 - p
+    assert row.n_shared == 3  # 10, 11, 12 shared within depth
+    assert row.rbo == pytest.approx(round(rbo, 6), abs=1e-9)
+    assert (row.p, row.depth) == (0.9, 4)
+
+    # identical rankings -> RBO = (1-p) * sum p^(d-1) (overlap d/d = 1)
+    (ident,) = rbo_overlap(a, a, depth=k, p=p).collect()
+    assert ident.rbo == pytest.approx(
+        round((1 - p) * sum(p ** (d - 1) for d in range(1, k + 1)), 6)
+    )
+    # disjoint rankings -> 0
+    c = spark.createDataFrame([(99, 1), (98, 2)], "doc_id long, rank int")
+    (disj,) = rbo_overlap(a, c, depth=k, p=p).collect()
+    assert (disj.n_shared, disj.rbo) == (0, 0.0)
+
+    with pytest.raises(ValueError):
+        rbo_overlap(a, b, depth=0)
+    with pytest.raises(ValueError):
+        rbo_overlap(a, b, depth=4, p=1.0)

@@ -442,3 +442,28 @@ def test_dup_rate_by_source_digest_only_shuffle(spark):
     assert r["scan_rows"] > 0
     assert r["shuffle_records"] <= r["scan_rows"] * 2 + 50, r
     assert r["shuffle_bytes"] / max(r["shuffle_records"], 1) < 64, r
+
+
+def test_domain_quota_sample_group_limit_fold(spark):
+    # WindowGroupLimit prefilters to <= quota rows per domain before
+    # the exchange's final per-group sort — shuffled rows stay under
+    # the scan even though every doc carries a domain key
+    r = _measure(spark, "domain_quota_sample")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] <= r["scan_rows"], r
+
+
+def test_suffix_prefix_join_single_equi_join(spark):
+    # one map stage (head/tail keys) + one equi join on the boundary
+    # n-gram: broadcast at this sf (0-row shuffle), keyed hash at
+    # scale — either way never more than ~2 key rows per doc
+    r = _measure(spark, "suffix_prefix_join")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] <= r["scan_rows"] * 2, r
+
+
+def test_rbo_rankings_topk_bounded(spark):
+    # both rankings are top-k lists; the tail table is depth rows —
+    # everything past the two top-k stages is k-bounded
+    r = _measure(spark, "rbo_rankings")
+    assert r["shuffle_records"] < 5000, r
