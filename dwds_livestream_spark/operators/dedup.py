@@ -797,10 +797,17 @@ def minhash_jaccard_error(
     engine-identical. Output: doc_a, doc_b, est_jaccard, jaccard,
     abs_err.
     """
+    # est feeds two consumers (the pair routing below + the final
+    # join); a lazy checkpoint makes the LSH chain run once — est is
+    # candidate-sized, the cheapest frame in the plan to pin
     est = minhash_lsh_pairs(
         df, text_col, id_col, n=n, k=k, bands=bands,
         threshold=0.0, hash_fn=hash_fn,
-    )
+    ).localCheckpoint(eager=False)
+    # the (id, shingle) frame feeds three consumers (both sides of the
+    # intersection join + the per-doc sizes); deliberately NOT pinned:
+    # measured at sf0.1, re-deriving the explode from the parquet scan
+    # three times is cheaper than materializing the string rows
     sh = shingles(df, text_col, id_col, n=n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     pairs = est.select("doc_a", "doc_b")
