@@ -428,10 +428,15 @@ def test_minhash_jaccard_error_candidate_bounded(spark):
     # est side reuses the banded-LSH shape (signatures never cross an
     # exchange); the exact-Jaccard side routes (id, shingle) rows
     # through the candidate pair list — shingle-count-sized, never
-    # all-pairs, and records stay small (ids + one shingle string)
+    # all-pairs, and records stay small (ids + one shingle string).
+    # NOTE scan_rows is NOT the normalizer here: the candidate frame
+    # is localCheckpoint'd (runs once), so parquet scan counts shrink
+    # while the legitimate shingle-sized shuffle stays put — bound by
+    # the corpus shingle count instead (sf0.001: 500 docs x ~40
+    # shingles x a small constant for the distinct+probe+route passes)
     r = _measure(spark, "minhash_jaccard_error")
     assert r["shuffle_records"] > 0
-    assert r["shuffle_records"] < r["scan_rows"] * 15, r
+    assert r["shuffle_records"] < 120_000, r
     assert r["shuffle_bytes"] / r["shuffle_records"] < 40, r
 
 
