@@ -265,6 +265,7 @@ def quantile_normalize(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_buckets: int = 32,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Quantile normalization of the embedding matrix across dimensions
     (the classic microarray/feature-calibration transform, Bolstad et
@@ -292,15 +293,29 @@ def quantile_normalize(
     by rank (uniform by construction). Each value crosses the wire a
     constant number of times; nothing corpus-sized is collected or
     broadcast.
+
+    ``group_col`` (optional) runs the whole transform INDEPENDENTLY
+    per group — per-label / per-source calibration, the batch-effect
+    correction quantile normalization was invented for: ranks are
+    taken within (group, dim), the rank-mean within (group, rn), so
+    each group ends up with its own shared marginal and groups never
+    mix. Same scale shape: the split-point frame grows to g·d rows
+    (still broadcast-tiny), the rank-mean key to (group, rn) — every
+    shuffle key stays uniform.
     """
+    keys = [group_col] if group_col else []
     ex = df.select(
         F.col(id_col),
+        *keys,
         F.posexplode(vec_col).alias("dim", "__xf"),
-    ).select(id_col, "dim", F.col("__xf").cast("double").alias("__x"))
+    ).select(
+        id_col, *keys, "dim", F.col("__xf").cast("double").alias("__x")
+    )
+    gdim = [*keys, "dim"]
 
     b = max(int(n_buckets), 1)
     if b > 1:
-        bounds = ex.groupBy("dim").agg(
+        bounds = ex.groupBy(*gdim).agg(
             F.percentile_approx(
                 "__x",
                 F.array(*[F.lit(i / b) for i in range(1, b)]),
@@ -313,36 +328,36 @@ def quantile_normalize(
             lambda acc, s: acc + F.when(F.col("__x") > s, 1).otherwise(0),
         )
         exb = (
-            ex.join(F.broadcast(bounds), "dim")
+            ex.join(F.broadcast(bounds), gdim)
             .withColumn("__bucket", bucket)
             .drop("__bs")
         )
     else:
         exb = ex.withColumn("__bucket", F.lit(0))
 
-    counts = exb.groupBy("dim", "__bucket").agg(F.count("*").alias("__cnt"))
+    counts = exb.groupBy(*gdim, "__bucket").agg(F.count("*").alias("__cnt"))
     off_w = (
-        Window.partitionBy("dim")
+        Window.partitionBy(*gdim)
         .orderBy("__bucket")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = counts.select(
-        "dim",
+        *gdim,
         "__bucket",
         F.coalesce(F.sum("__cnt").over(off_w), F.lit(0)).alias("__off"),
     )
-    rn_w = Window.partitionBy("dim", "__bucket").orderBy("__x", id_col)
+    rn_w = Window.partitionBy(*gdim, "__bucket").orderBy("__x", id_col)
     ranked = (
-        exb.join(F.broadcast(offsets), ["dim", "__bucket"])
+        exb.join(F.broadcast(offsets), [*gdim, "__bucket"])
         .withColumn("rn", F.col("__off") + F.row_number().over(rn_w))
-        .select(id_col, "dim", "__x", "rn")
+        .select(id_col, *keys, "dim", "__x", "rn")
         # feeds both the rank-mean aggregate and the substitution join;
         # lazy checkpoint so the bucketed rank runs once, not twice
         .localCheckpoint(eager=False)
     )
-    means = ranked.groupBy("rn").agg(
+    means = ranked.groupBy(*keys, "rn").agg(
         (F.sum("__x") / F.count("*")).alias("__mu")
     )
-    return ranked.join(means, "rn").select(
-        id_col, "dim", F.col("__mu").alias("qn")
+    return ranked.join(means, [*keys, "rn"]).select(
+        id_col, *keys, "dim", F.col("__mu").alias("qn")
     )

@@ -247,3 +247,97 @@ def rbo_overlap(
             ).alias("rbo"),
         )
     )
+
+
+def rbo_drift(
+    ranked: DataFrame,
+    depth: int,
+    p: float = 0.9,
+    period_col: str = "period",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Windowed RBO drift: Rank-Biased Overlap between each period's
+    top-``depth`` ranking and the NEXT period's — the trend-stability
+    time series ("how much did today's leaderboard reshuffle
+    overnight?"). One row per consecutive period pair; a pair with
+    disjoint lists still emits (rbo = 0), so gaps are visible, not
+    silently dropped.
+
+    Same math and same distributed shape as :func:`rbo_overlap`, run
+    for ALL consecutive pairs in one plan instead of once: the
+    k-row tail table T(m) = Σ_{d=m..k} p^(d-1)/d is period-independent
+    — built ONCE and broadcast; each shared item contributes
+    T(max(rank_now, rank_next)) to its pair. Plan: the ranked frame
+    (top-k per period — k·P rows total, tiny by construction) joins
+    itself on (next period, id) — one equi hash join — then one
+    grouped aggregate on the (period, next) key. The consecutive-pair
+    frame comes from a lead() over the DISTINCT periods: P rows in one
+    task, bounded by the calendar, never by the corpus.
+
+    Output: period_col, next_<period_col>, n_shared, rbo (6dp).
+    """
+    if not (0.0 < p < 1.0):
+        raise ValueError(f"p must be in (0, 1): {p}")
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1: {depth}")
+    spark = ranked.sparkSession
+    k = int(depth)
+    next_col = f"next_{period_col}"
+
+    terms = spark.range(1, k + 1).select(
+        F.col("id").cast("int").alias("d"),
+        (F.pow(F.lit(p), F.col("id") - 1) / F.col("id")).alias("t"),
+    )
+    tail_w = Window.orderBy("d").rowsBetween(0, Window.unboundedFollowing)
+    tails = terms.select(
+        F.col("d").alias("m"), F.sum("t").over(tail_w).alias("tail")
+    )
+
+    periods = ranked.select(period_col).distinct()
+    pairs = periods.select(
+        period_col,
+        F.lead(period_col).over(Window.orderBy(period_col)).alias(next_col),
+    ).where(F.col(next_col).isNotNull())
+
+    topk = ranked.where(F.col(rank_col) <= k)
+    cur = topk.select(period_col, id_col, F.col(rank_col).alias("__ra"))
+    nxt = topk.select(
+        F.col(period_col).alias(next_col),
+        id_col,
+        F.col(rank_col).alias("__rb"),
+    )
+    shared = (
+        F.broadcast(pairs)
+        .join(cur, period_col)
+        .join(nxt, [next_col, id_col])
+        .select(
+            period_col,
+            next_col,
+            F.greatest("__ra", "__rb").alias("m"),
+        )
+    )
+    agg = (
+        shared.join(F.broadcast(tails), "m")
+        .groupBy(period_col, next_col)
+        .agg(
+            F.count("*").cast("long").alias("n_shared"),
+            F.sum("tail").alias("__s"),
+        )
+    )
+    return (
+        pairs.join(agg, [period_col, next_col], "left")
+        .select(
+            period_col,
+            next_col,
+            F.coalesce(F.col("n_shared"), F.lit(0).cast("long")).alias(
+                "n_shared"
+            ),
+            (
+                F.round(
+                    (1.0 - p) * F.coalesce(F.col("__s"), F.lit(0.0)), 6
+                )
+                + F.lit(0.0)
+            ).alias("rbo"),
+        )
+    )

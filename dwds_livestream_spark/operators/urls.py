@@ -39,6 +39,7 @@ __all__ = [
     "normalize_url",
     "domain_dedup",
     "domain_quota_sample",
+    "path_neardup_pairs",
 ]
 
 # Common multi-part public suffixes (ccSLDs): when a host's last TWO
@@ -180,4 +181,86 @@ def domain_quota_sample(
         keyed.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= quota)
         .drop("__rn")
+    )
+
+
+def path_neardup_pairs(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_segment_df: int | None = None,
+) -> DataFrame:
+    """Per-site near-duplicate URL pairs: two documents under the SAME
+    registered domain whose path-segment sets overlap with Jaccard >=
+    ``threshold`` — the URL-level mirror-page detector (``/en/doc/x``
+    vs ``/de/doc/x``, ``/blog/post`` vs ``/blog/post/amp``) that fires
+    BEFORE any content fetch, the cheap first pass of a crawl-dedup
+    cascade (normalize_url catches exact repeats; this catches the
+    near-misses a registrable-domain rollup lumps together).
+
+    Candidate generation is an inverted index keyed on
+    (domain, segment) — the urls-module twin of
+    ``operators/dedup.containment_pairs``: pairs meet in a posting
+    list, NEVER via an all-pairs self-join within the domain, so a
+    million-page site with disjoint paths costs nothing. Jaccard is
+    over the DISTINCT segment sets (array_distinct before explode);
+    trailing-slash folding comes free from ``url_path``. Root-path
+    documents have zero segments and never pair. ``max_segment_df``
+    drops in-domain stop-segments (``/en/``, ``/blog/`` prefixes that
+    every page shares) from the index before pairing — the standard
+    postings cap; it bounds the worst posting list at
+    ``max_segment_df`` ids and therefore the join fan-out at
+    O(segments · cap²) regardless of site size.
+
+    Each unordered pair is emitted once (``doc_a < doc_b``; Jaccard is
+    symmetric). Output: doc_a, doc_b, domain, jaccard (6dp).
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+    u = F.col(url_col)
+    segs = F.array_distinct(
+        F.filter(F.split(url_path(u), "/"), lambda s: s != "")
+    )
+    keyed = df.select(
+        F.col(id_col),
+        registered_domain(url_host(u)).alias("domain"),
+        segs.alias("__segs"),
+    )
+    seg = keyed.select(
+        id_col, "domain", F.explode("__segs").alias("__seg")
+    )
+    if max_segment_df is not None:
+        dfreq = seg.groupBy("domain", "__seg").agg(
+            F.count("*").alias("__df")
+        )
+        seg = seg.join(
+            dfreq.where(F.col("__df") <= max_segment_df),
+            ["domain", "__seg"],
+        ).select(id_col, "domain", "__seg")
+    # sizes AFTER the cap (containment_pairs convention): Jaccard is
+    # over the sets the index actually pairs on
+    sizes = seg.groupBy(id_col).agg(F.count("*").alias("__n"))
+    a = seg.select(
+        F.col(id_col).alias("doc_a"), "domain", "__seg"
+    )
+    b = seg.select(
+        F.col(id_col).alias("doc_b"), "domain", "__seg"
+    )
+    inter = (
+        a.join(b, ["domain", "__seg"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("domain", "doc_a", "doc_b")
+        .agg(F.count("*").alias("__i"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("__n").alias("__nb"))
+    jac = F.round(
+        F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i")), 6
+    )
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", "domain", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
     )

@@ -3236,3 +3236,192 @@ FROM agg
 
 
 ORACLE_RBO_RANKINGS = _oracle_rbo()
+
+
+# Late-round-8 additions (standing rule: post-window, full evidence
+# kits now, rotate into the r9 window as never-driver-verified) — the
+# three remaining ROADMAP r9 candidates.
+
+def q_group_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label quantile normalization (operators/embedding_ops.
+    quantile_normalize with group_col — ROADMAP r9 'per-label variant'
+    candidate): ranks within (label, dim), rank-means within
+    (label, rn), so every dimension carries its label's shared
+    marginal and labels never mix — the batch-effect correction form
+    of the transform."""
+    from ..operators.embedding_ops import quantile_normalize
+
+    out = quantile_normalize(
+        _t(spark, sf_dir, "embeddings"), group_col="label"
+    )
+    return out.select(
+        "vec_id", "label", "dim",
+        (F.round("qn", 6) + F.lit(0.0)).alias("qn"),
+    )
+
+
+ORACLE_GROUP_QUANTILE_NORMALIZE = """
+WITH ex AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+r AS (
+  SELECT vec_id, label, dim, x,
+         row_number() OVER (PARTITION BY label, dim
+                            ORDER BY x, vec_id) AS rn
+  FROM ex),
+m AS (SELECT label, rn, SUM(x) / COUNT(*) AS mu
+      FROM r GROUP BY label, rn)
+SELECT r.vec_id, r.label, r.dim, ROUND(m.mu, 6) + 0.0 AS qn
+FROM r JOIN m USING (label, rn)
+"""
+
+
+def _slug_url_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table with a derived CONTENT-SLUG url (the
+    url_path_neardup fixture): host as in ``_url_documents`` (same
+    subdomain / ccSLD-tld recipe, pure function of (doc_id, source,
+    lang)), path = the document's first five tokens as segments — the
+    slugified-title URL shape real CMSes emit, which makes
+    path-segment Jaccard a meaningful near-dup signal instead of the
+    degenerate '/doc/<n>' two-segment path."""
+    d = F.col("doc_id")
+    sub = (
+        F.when(d % 4 == 0, "www.")
+        .when(d % 4 == 1, "cdn.")
+        .when(d % 4 == 2, "api.")
+        .otherwise("")
+    )
+    tld = (
+        F.when(F.col("lang") == "en", "com")
+        .when(F.col("lang") == "de", "co.uk")
+        .when(F.col("lang") == "es", "com.es")
+        .when(F.col("lang") == "zh", "com.cn")
+        .when(F.col("lang") == "fr", "fr")
+        .otherwise("org")
+    )
+    slug = F.concat_ws(
+        "/", F.slice(F.split(F.lower(F.col("text")), " "), 1, 5)
+    )
+    url = F.concat(
+        F.lit("https://"), sub, F.col("source"), F.lit("."), tld,
+        F.lit("/"), slug,
+    )
+    return _t(spark, sf_dir, "documents").withColumn("url", url)
+
+
+PATH_NEARDUP_THRESHOLD = 0.4
+
+
+def q_url_path_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-site URL near-dup pairs (operators/urls.py
+    path_neardup_pairs — ROADMAP r9 'per-URL-path near-dup'
+    candidate): same registered domain, path-segment Jaccard >= 0.4,
+    candidates met in a (domain, segment) inverted index, never an
+    in-domain all-pairs."""
+    from ..operators.urls import path_neardup_pairs
+
+    docs = _slug_url_documents(spark, sf_dir)
+    return path_neardup_pairs(
+        docs, url_col="url", id_col="doc_id",
+        threshold=PATH_NEARDUP_THRESHOLD,
+    )
+
+
+ORACLE_URL_PATH_NEARDUP = f"""
+WITH u AS (
+  SELECT doc_id,
+         source || '.' ||
+         CASE lang WHEN 'en' THEN 'com' WHEN 'de' THEN 'co.uk'
+                   WHEN 'es' THEN 'com.es' WHEN 'zh' THEN 'com.cn'
+                   WHEN 'fr' THEN 'fr' ELSE 'org' END AS domain,
+         list_distinct(string_split(lower(text), ' ')[1:5]) AS segs
+  FROM documents),
+seg AS (SELECT doc_id, domain, unnest(segs) AS s FROM u),
+sizes AS (SELECT doc_id, len(segs) AS n FROM u),
+inter AS (
+  SELECT a.domain, a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM seg a
+  JOIN seg b ON a.domain = b.domain AND a.s = b.s
+            AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3),
+j AS (
+  SELECT doc_a, doc_b, domain,
+         ROUND(i * 1.0 / (na.n + nb.n - i), 6) + 0.0 AS jaccard
+  FROM inter
+  JOIN sizes na ON na.doc_id = doc_a
+  JOIN sizes nb ON nb.doc_id = doc_b)
+SELECT doc_a, doc_b, domain, jaccard
+FROM j WHERE jaccard >= {PATH_NEARDUP_THRESHOLD}
+"""
+
+
+RBO_DRIFT_DEPTH = 20
+
+
+def q_rbo_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RBO drift (operators/retrieval.rbo_drift — ROADMAP r9
+    'windowed RBO drift' candidate): RBO between each day's top-20
+    users-by-event-count leaderboard and the next day's — the
+    trend-stability series. Deterministic ranks (count desc, user_id
+    asc); one row per consecutive day pair."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from ..operators.retrieval import rbo_drift
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).agg(F.count("*").alias("__n"))
+    rnk = F.row_number().over(
+        Window.partitionBy("day").orderBy(F.desc("__n"), F.asc("user_id"))
+    )
+    ranked = daily.select(
+        "day", "user_id", rnk.cast("int").alias("rank")
+    ).where(F.col("rank") <= RBO_DRIFT_DEPTH)
+    return rbo_drift(
+        ranked, depth=RBO_DRIFT_DEPTH, p=RBO_P,
+        period_col="day", id_col="user_id",
+    )
+
+
+ORACLE_RBO_DRIFT = f"""
+WITH cnt AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         user_id, count(*) AS n
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT day, user_id,
+         CAST(row_number() OVER (PARTITION BY day
+                                 ORDER BY n DESC, user_id) AS INT) AS rank
+  FROM cnt QUALIFY rank <= {RBO_DRIFT_DEPTH}),
+pairs AS (
+  SELECT day, lead(day) OVER (ORDER BY day) AS next_day
+  FROM (SELECT DISTINCT day FROM r)
+  QUALIFY next_day IS NOT NULL),
+terms AS (
+  SELECT CAST(d AS INT) AS d,
+         power(CAST({RBO_P} AS DOUBLE), d - 1) / d AS t
+  FROM range(1, {RBO_DRIFT_DEPTH} + 1) tt(d)),
+tails AS (
+  SELECT d AS m,
+         SUM(t) OVER (ORDER BY d
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS tail
+  FROM terms),
+shared AS (
+  SELECT p.day, p.next_day, greatest(a.rank, b.rank) AS m
+  FROM pairs p
+  JOIN r a ON a.day = p.day
+  JOIN r b ON b.day = p.next_day AND b.user_id = a.user_id),
+agg AS (
+  SELECT day, next_day, CAST(count(*) AS BIGINT) AS n_shared,
+         SUM(tail) AS s
+  FROM shared JOIN tails USING (m)
+  GROUP BY day, next_day)
+SELECT p.day, p.next_day,
+       COALESCE(a.n_shared, 0) AS n_shared,
+       ROUND((CAST(1.0 AS DOUBLE) - CAST({RBO_P} AS DOUBLE))
+             * COALESCE(a.s, 0.0), 6) + 0.0 AS rbo
+FROM pairs p LEFT JOIN agg a USING (day, next_day)
+"""

@@ -291,6 +291,22 @@ AUDITS: dict[str, str] = {
         "tail-sum table is depth rows; everything past the two top-k "
         "stages is k-bounded"
     ),
+    "group_quantile_normalize": (
+        "per-label grouped rank: same constant-passes-per-cell "
+        "invariant as quantile_normalize - the group key widens the "
+        "broadcast split-point/offset frames (g*d rows), never the "
+        "per-cell exchange count"
+    ),
+    "url_path_neardup": (
+        "per-site URL near-dup: candidates meet in (domain, segment) "
+        "posting lists - ids + short segment strings on the wire, "
+        "never an in-domain all-pairs and never text"
+    ),
+    "rbo_drift": (
+        "leaderboard drift: daily counts fold map-side to (day, user) "
+        "keys; everything past the per-day top-k is k*P-bounded (tail "
+        "table and pair frame broadcast)"
+    ),
 }
 
 def audit_one(spark, name: str, sf_dir: str) -> dict:

@@ -356,3 +356,125 @@ def test_rbo_overlap_vs_brute_force(spark):
         rbo_overlap(a, b, depth=0)
     with pytest.raises(ValueError):
         rbo_overlap(a, b, depth=4, p=1.0)
+
+
+# ------------------------------ late-r8: remaining r9-candidate trio
+def test_group_quantile_normalize_vs_brute_force(spark):
+    rows = [
+        # (id, group, vec) — two groups with different scales/offsets
+        (0, "a", [1.0, 10.0]),
+        (1, "a", [3.0, 30.0]),
+        (2, "a", [2.0, 20.0]),
+        (3, "b", [100.0, 0.5]),
+        (4, "b", [300.0, 1.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    got = {(r.vec_id, r.dim): (r.label, r.qn)
+           for r in quantile_normalize(df, group_col="label").collect()}
+
+    # brute force per group: rank within (group, dim), mean across dims
+    import collections
+    by_group = collections.defaultdict(list)
+    for i, g, v in rows:
+        by_group[g].append((i, v))
+    expect = {}
+    for g, members in by_group.items():
+        d = len(members[0][1])
+        ranked = {}  # (id, dim) -> rn
+        for dim in range(d):
+            order = sorted(members, key=lambda m: (m[1][dim], m[0]))
+            for rn, (i, _) in enumerate(order, 1):
+                ranked[(i, dim)] = rn
+        for rn in range(1, len(members) + 1):
+            vals = [v[dim] for i, v in members for dim in range(d)
+                    if ranked[(i, dim)] == rn]
+            mu = sum(vals) / len(vals)
+            for i, v in members:
+                for dim in range(d):
+                    if ranked[(i, dim)] == rn:
+                        expect[(i, dim)] = (g, mu)
+    assert set(got) == set(expect)
+    for key, (g, mu) in expect.items():
+        assert got[key][0] == g
+        assert got[key][1] == pytest.approx(mu, abs=1e-9), key
+
+    # group marginals: within a group every dim carries the same
+    # multiset of values; across groups they differ
+    a_dims = collections.defaultdict(list)
+    for (i, dim), (g, qn) in got.items():
+        if g == "a":
+            a_dims[dim].append(round(qn, 9))
+    vals = [sorted(v) for v in a_dims.values()]
+    assert all(v == vals[0] for v in vals)
+
+
+def test_path_neardup_pairs_vs_brute_force(spark):
+    from dwds_livestream_spark.operators.urls import path_neardup_pairs
+
+    rows = [
+        (0, "https://www.a.com/x/y/z"),
+        (1, "https://cdn.a.com/x/y/w"),     # same domain, J = 2/4
+        (2, "https://a.com/x/y/z/"),        # trailing slash: J = 1 with 0
+        (3, "https://b.com/x/y/z"),         # other domain: never pairs w/ 0
+        (4, "https://b.com/p/q"),           # same domain as 3, disjoint path
+        (5, "https://a.com/"),              # root path: no segments
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {(r.doc_a, r.doc_b): (r.domain, r.jaccard)
+           for r in path_neardup_pairs(df, threshold=0.6).collect()}
+    assert got == {(0, 2): ("a.com", 1.0)}
+
+    lo = {(r.doc_a, r.doc_b): (r.domain, r.jaccard)
+          for r in path_neardup_pairs(df, threshold=0.4).collect()}
+    assert lo == {
+        (0, 2): ("a.com", 1.0),
+        (0, 1): ("a.com", 0.5),
+        (1, 2): ("a.com", 0.5),
+    }
+    # root-path and cross-domain docs never appear
+    assert all(5 not in pair and (3, 4) != pair for pair in lo)
+
+    # stop-segment cap: shared-by-all segment 'x' dropped at df<=2
+    capped = path_neardup_pairs(df, threshold=0.4, max_segment_df=2)
+    # 'x' and 'y' appear in docs 0,1,2 within a.com (df=3) -> dropped;
+    # 'z' (docs 0,2) survives -> only (0,2) can still meet
+    assert {(r.doc_a, r.doc_b) for r in capped.collect()} == {(0, 2)}
+
+    with pytest.raises(ValueError):
+        path_neardup_pairs(df, threshold=0.0)
+
+
+def test_rbo_drift_vs_brute_force(spark):
+    from dwds_livestream_spark.operators.retrieval import rbo_drift
+
+    # three periods; day 3 disjoint from day 2
+    rows = (
+        [("d1", i + 10, r + 1) for r, i in enumerate([0, 1, 2, 3])]
+        + [("d2", i + 10, r + 1) for r, i in enumerate([1, 0, 4, 2])]
+        + [("d3", 99, 1), ("d3", 98, 2)]
+    )
+    df = spark.createDataFrame(rows, "day string, doc_id long, rank int")
+    k, p = 4, 0.9
+    got = {(r.day, r.next_day): (r.n_shared, r.rbo)
+           for r in rbo_drift(df, depth=k, p=p, period_col="day").collect()}
+
+    def brute(ra, rb):
+        rbo = 0.0
+        for d in range(1, k + 1):
+            A = {doc for doc, rank in ra.items() if rank <= d}
+            B = {doc for doc, rank in rb.items() if rank <= d}
+            rbo += p ** (d - 1) * len(A & B) / d
+        return round(rbo * (1 - p), 6)
+
+    d1 = {10: 1, 11: 2, 12: 3, 13: 4}
+    d2 = {11: 1, 10: 2, 14: 3, 12: 4}
+    assert set(got) == {("d1", "d2"), ("d2", "d3")}
+    assert got[("d1", "d2")][0] == 3
+    assert got[("d1", "d2")][1] == pytest.approx(brute(d1, d2), abs=1e-9)
+    # disjoint consecutive pair still emits a row with rbo = 0
+    assert got[("d2", "d3")] == (0, 0.0)
+
+    with pytest.raises(ValueError):
+        rbo_drift(df, depth=0)
+    with pytest.raises(ValueError):
+        rbo_drift(df, depth=4, p=0.0)

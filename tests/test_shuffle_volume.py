@@ -472,3 +472,33 @@ def test_rbo_rankings_topk_bounded(spark):
     # everything past the two top-k stages is k-bounded
     r = _measure(spark, "rbo_rankings")
     assert r["shuffle_records"] < 5000, r
+
+
+def test_group_quantile_normalize_constant_passes_per_value(spark):
+    # per-label grouped rank: same constant-passes-per-cell invariant
+    # as the ungrouped form — the group key widens the split-point /
+    # offset frames (g·d rows, still broadcast), never the per-cell
+    # exchange count
+    r = _measure(spark, "group_quantile_normalize")
+    n_cells = 500 * 64
+    assert r["shuffle_records"] < n_cells * 3, r
+    assert r["broadcast_bytes"] > 0, "split points must move by broadcast"
+
+
+def test_url_path_neardup_inverted_index_bounded(spark):
+    # candidates meet in (domain, segment) posting lists: only id +
+    # short segment strings cross the wire (<= ~5 segments/doc on the
+    # slug fixture), never text and never an in-domain all-pairs
+    r = _measure(spark, "url_path_neardup")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] <= r["scan_rows"] * 4, r
+    assert r["shuffle_bytes"] / max(r["shuffle_records"], 1) < 64, r
+
+
+def test_rbo_drift_leaderboard_bounded(spark):
+    # daily counts fold map-side to (day, user) keys; everything past
+    # the per-day top-k is k·P-bounded (the tail table is depth rows,
+    # the pair frame P-1 rows, both broadcast)
+    r = _measure(spark, "rbo_drift")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] < r["scan_rows"] + 1000, r
