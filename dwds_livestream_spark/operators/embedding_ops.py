@@ -301,9 +301,13 @@ def quantile_normalize(
     each group ends up with its own shared marginal and groups never
     mix. Same scale shape: the split-point frame grows to g·d rows
     (still broadcast-tiny), the rank-mean key to (group, rn) — every
-    shuffle key stays uniform.
+    shuffle key stays uniform. Rows with a NULL group are EXCLUDED
+    (explicitly, not as an equi-join accident): a null calibration
+    key has no marginal to share.
     """
     keys = [group_col] if group_col else []
+    if group_col:
+        df = df.where(F.col(group_col).isNotNull())
     ex = df.select(
         F.col(id_col),
         *keys,

@@ -262,7 +262,8 @@ def rbo_drift(
     time series ("how much did today's leaderboard reshuffle
     overnight?"). One row per consecutive period pair; a pair with
     disjoint lists still emits (rbo = 0), so gaps are visible, not
-    silently dropped.
+    silently dropped. NULL-period rows are excluded (a null period
+    has no place in the consecutive order).
 
     Same math and same distributed shape as :func:`rbo_overlap`, run
     for ALL consecutive pairs in one plan instead of once: the
@@ -283,6 +284,7 @@ def rbo_drift(
         raise ValueError(f"depth must be >= 1: {depth}")
     spark = ranked.sparkSession
     k = int(depth)
+    ranked = ranked.where(F.col(period_col).isNotNull())
     next_col = f"next_{period_col}"
 
     terms = spark.range(1, k + 1).select(

@@ -206,7 +206,8 @@ def path_neardup_pairs(
     million-page site with disjoint paths costs nothing. Jaccard is
     over the DISTINCT segment sets (array_distinct before explode);
     trailing-slash folding comes free from ``url_path``. Root-path
-    documents have zero segments and never pair. ``max_segment_df``
+    documents have zero segments and never pair; NULL-url rows are
+    excluded (no host to block on). ``max_segment_df``
     drops in-domain stop-segments (``/en/``, ``/blog/`` prefixes that
     every page shares) from the index before pairing — the standard
     postings cap; it bounds the worst posting list at
@@ -222,7 +223,7 @@ def path_neardup_pairs(
     segs = F.array_distinct(
         F.filter(F.split(url_path(u), "/"), lambda s: s != "")
     )
-    keyed = df.select(
+    keyed = df.where(u.isNotNull()).select(
         F.col(id_col),
         registered_domain(url_host(u)).alias("domain"),
         segs.alias("__segs"),

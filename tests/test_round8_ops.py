@@ -400,6 +400,15 @@ def test_group_quantile_normalize_vs_brute_force(spark):
 
     # group marginals: within a group every dim carries the same
     # multiset of values; across groups they differ
+    # NULL group rows are excluded
+    withnull = spark.createDataFrame(
+        [(0, "a", [1.0, 2.0]), (1, None, [3.0, 4.0])],
+        "vec_id long, label string, embedding array<double>",
+    )
+    assert {r.vec_id for r in
+            quantile_normalize(withnull, group_col="label").collect()
+            } == {0}
+
     a_dims = collections.defaultdict(list)
     for (i, dim), (g, qn) in got.items():
         if g == "a":
@@ -443,6 +452,14 @@ def test_path_neardup_pairs_vs_brute_force(spark):
     with pytest.raises(ValueError):
         path_neardup_pairs(df, threshold=0.0)
 
+    # NULL url rows are excluded, not join-dropped by accident
+    withnull = spark.createDataFrame(
+        rows + [(9, None)], "doc_id long, url string"
+    )
+    same = {(r.doc_a, r.doc_b)
+            for r in path_neardup_pairs(withnull, threshold=0.4).collect()}
+    assert same == set(lo)
+
 
 def test_rbo_drift_vs_brute_force(spark):
     from dwds_livestream_spark.operators.retrieval import rbo_drift
@@ -473,6 +490,14 @@ def test_rbo_drift_vs_brute_force(spark):
     assert got[("d1", "d2")][1] == pytest.approx(brute(d1, d2), abs=1e-9)
     # disjoint consecutive pair still emits a row with rbo = 0
     assert got[("d2", "d3")] == (0, 0.0)
+
+    # NULL period rows are excluded
+    withnull = spark.createDataFrame(
+        rows + [(None, 7, 1)], "day string, doc_id long, rank int"
+    )
+    assert {(r.day, r.next_day) for r in
+            rbo_drift(withnull, depth=k, p=p, period_col="day").collect()
+            } == set(got)
 
     with pytest.raises(ValueError):
         rbo_drift(df, depth=0)
