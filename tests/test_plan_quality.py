@@ -332,3 +332,44 @@ def test_rate_limit_twin_window_group_limit(spark, sf_dir):
     plan = _plan(A.q_rate_limit_events(spark, sf_dir))
     assert "WindowGroupLimit" in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_group_quantile_normalize_windows_are_keyed(spark, sf_dir):
+    """Per-label variant keeps the distributed-rank contract: every
+    rank window is (label, dim, __bucket)-partitioned — never a
+    per-dim (let alone global) single-partition sort — and split
+    points/offsets come back by broadcast."""
+    from dwds_livestream_spark.plans import llm as L
+
+    plan = _plan(L.q_group_quantile_normalize(spark, sf_dir))
+    assert not _has_ntile(plan)
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "row_number() windowspecdefinition" in line:
+            assert "__bucket#" in line and "label#" in line
+
+
+def test_url_path_neardup_is_hash_join_not_nested_loop(spark, sf_dir):
+    """Candidates must meet in the (domain, segment) posting-list
+    equi join — an in-domain all-pairs would show up as a nested-loop
+    or cartesian stage."""
+    from dwds_livestream_spark.plans import llm as L
+
+    plan = _plan(L.q_url_path_neardup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_rbo_drift_no_corpus_sized_single_partition_window(spark, sf_dir):
+    """The only global-order windows allowed are the two bounded
+    frames (distinct periods, depth-row tail table); the corpus-sized
+    daily-count rank must be day-partitioned with WindowGroupLimit."""
+    from dwds_livestream_spark.plans import llm as L
+
+    plan = _plan(L.q_rbo_drift(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan  # per-day top-k prefilter
+    for line in plan.splitlines():
+        if "row_number() windowspecdefinition" in line:
+            assert "day#" in line  # leaderboard rank keyed by day
