@@ -742,3 +742,77 @@ def dup_rate_by_group(
             ).alias("dup_rate"),
         )
     )
+
+
+def ks_distance(
+    sample: DataFrame,
+    reference: DataFrame,
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance between a sample's
+    and a reference corpus's empirical distributions of ``value_col``
+    — the curation bias audit: after a quota cap / mixture draw /
+    dedup pass, did the kept set's length (or score) distribution
+    drift from the corpus it came from? D = max_x |F_sample(x) −
+    F_ref(x)|, evaluated exactly at every distinct observed value
+    (the supremum over the reals is attained there).
+
+    Distributed shape: each side folds to (value, count) with one
+    map-side-combined aggregate — DISTINCT-VALUE-sized, the same
+    histogram-fold contract as ``weighted_median`` / the skyline
+    frontier; the full-outer merge, the cumulative window and the max
+    all run on that histogram, never on corpus rows. The cumulative
+    ECDF window is a single ordered pass over the histogram — bounded
+    by the value domain (lengths, scores), not the corpus; for
+    continuous high-cardinality domains, quantize ``value_col`` first
+    (the standard binned-KS audit). NULL values are excluded (no
+    place on the ECDF).
+
+    Output: one row — n_sample, n_ref, ks (6dp).
+    """
+    va = (
+        sample.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("__v"))
+        .agg(F.count("*").alias("__ca"))
+    )
+    vb = (
+        reference.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("__v"))
+        .agg(F.count("*").alias("__cb"))
+    )
+    merged = (
+        va.join(vb, "__v", "full_outer")
+        .select(
+            "__v",
+            F.coalesce("__ca", F.lit(0)).alias("__ca"),
+            F.coalesce("__cb", F.lit(0)).alias("__cb"),
+        )
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.select(
+        F.sum("__ca").over(w).alias("__cca"),
+        F.sum("__cb").over(w).alias("__ccb"),
+    )
+    totals = merged.agg(
+        F.sum("__ca").cast("long").alias("n_sample"),
+        F.sum("__cb").cast("long").alias("n_ref"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.first("n_sample").alias("n_sample"),
+            F.first("n_ref").alias("n_ref"),
+            (
+                F.round(
+                    F.max(
+                        F.abs(
+                            F.col("__cca") / F.col("n_sample")
+                            - F.col("__ccb") / F.col("n_ref")
+                        )
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("ks"),
+        )
+    )

@@ -343,3 +343,80 @@ def rbo_drift(
             ).alias("rbo"),
         )
     )
+
+
+def rbo_panel(
+    ranked_groups: DataFrame,
+    ranked_ref: DataFrame,
+    depth: int,
+    p: float = 0.9,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Grouped-vs-reference RBO panel: Rank-Biased Overlap of EACH
+    group's top-``depth`` ranking against one shared reference ranking
+    — the per-shard drift dashboard ("which crawl source's term
+    profile diverges from the corpus?"). One row per group present in
+    ``ranked_groups``; a group disjoint from the reference still emits
+    (rbo = 0).
+
+    Same distributed shape as :func:`rbo_drift`: the depth-row tail
+    table T(m) is built once and broadcast, the reference list
+    (k rows, top-k by construction) is broadcast, shared items meet in
+    one equi join on the id, and the aggregate is keyed by group —
+    k-bounded per group, never corpus-sized. Rows with a NULL group
+    are excluded.
+
+    Output: group_col, n_shared, rbo (6dp).
+    """
+    if not (0.0 < p < 1.0):
+        raise ValueError(f"p must be in (0, 1): {p}")
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1: {depth}")
+    spark = ranked_groups.sparkSession
+    k = int(depth)
+
+    terms = spark.range(1, k + 1).select(
+        F.col("id").cast("int").alias("d"),
+        (F.pow(F.lit(p), F.col("id") - 1) / F.col("id")).alias("t"),
+    )
+    tail_w = Window.orderBy("d").rowsBetween(0, Window.unboundedFollowing)
+    tails = terms.select(
+        F.col("d").alias("m"), F.sum("t").over(tail_w).alias("tail")
+    )
+
+    grp = ranked_groups.where(F.col(group_col).isNotNull())
+    groups = grp.select(group_col).distinct()
+    cur = grp.where(F.col(rank_col) <= k).select(
+        group_col, id_col, F.col(rank_col).alias("__ra")
+    )
+    ref = ranked_ref.where(F.col(rank_col) <= k).select(
+        id_col, F.col(rank_col).alias("__rb")
+    )
+    shared = cur.join(F.broadcast(ref), id_col).select(
+        group_col, F.greatest("__ra", "__rb").alias("m")
+    )
+    agg = (
+        shared.join(F.broadcast(tails), "m")
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n_shared"),
+            F.sum("tail").alias("__s"),
+        )
+    )
+    return (
+        groups.join(agg, group_col, "left")
+        .select(
+            group_col,
+            F.coalesce(F.col("n_shared"), F.lit(0).cast("long")).alias(
+                "n_shared"
+            ),
+            (
+                F.round(
+                    (1.0 - p) * F.coalesce(F.col("__s"), F.lit(0.0)), 6
+                )
+                + F.lit(0.0)
+            ).alias("rbo"),
+        )
+    )

@@ -3425,3 +3425,130 @@ SELECT p.day, p.next_day,
              * COALESCE(a.s, 0.0), 6) + 0.0 AS rbo
 FROM pairs p LEFT JOIN agg a USING (day, next_day)
 """
+
+
+RBO_PANEL_DEPTH = 50
+
+
+def q_rbo_source_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source term-profile drift panel (operators/retrieval.
+    rbo_panel — ROADMAP r9 'per-group RBO panel' candidate): RBO of
+    each source's top-50 words against the corpus-wide top-50 — which
+    crawl shard's vocabulary diverges from the mix. Deterministic
+    ranks (cnt desc, word asc); one row per source."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from ..functions.text import tokens
+    from ..operators.retrieval import rbo_panel
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(tokens(F.lower(F.col("text")))).alias("word")
+    )
+    per_src = words.groupBy("source", "word").agg(F.count("*").alias("__n"))
+    src_rank = per_src.select(
+        "source",
+        "word",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.desc("__n"), F.asc("word")
+            )
+        )
+        .cast("int")
+        .alias("rank"),
+    ).where(F.col("rank") <= RBO_PANEL_DEPTH)
+    corpus = words.groupBy("word").agg(F.count("*").alias("__n"))
+    ref_rank = corpus.select(
+        "word",
+        F.row_number()
+        .over(Window.orderBy(F.desc("__n"), F.asc("word")))
+        .cast("int")
+        .alias("rank"),
+    ).where(F.col("rank") <= RBO_PANEL_DEPTH)
+    return rbo_panel(
+        src_rank, ref_rank, depth=RBO_PANEL_DEPTH, p=RBO_P,
+        group_col="source", id_col="word",
+    )
+
+
+ORACLE_RBO_SOURCE_PANEL = rf"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> len(x) > 0)) AS word
+  FROM documents),
+per_src AS (
+  SELECT source, word, count(*) AS n FROM toks GROUP BY 1, 2),
+src_rank AS (
+  SELECT source, word,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY n DESC, word) AS INT) AS rank
+  FROM per_src QUALIFY rank <= {RBO_PANEL_DEPTH}),
+corpus AS (SELECT word, count(*) AS n FROM toks GROUP BY 1),
+ref_rank AS (
+  SELECT word,
+         CAST(row_number() OVER (ORDER BY n DESC, word) AS INT) AS rank
+  FROM corpus QUALIFY rank <= {RBO_PANEL_DEPTH}),
+terms AS (
+  SELECT CAST(d AS INT) AS d,
+         power(CAST({RBO_P} AS DOUBLE), d - 1) / d AS t
+  FROM range(1, {RBO_PANEL_DEPTH} + 1) tt(d)),
+tails AS (
+  SELECT d AS m,
+         SUM(t) OVER (ORDER BY d
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS tail
+  FROM terms),
+shared AS (
+  SELECT s.source, greatest(s.rank, r.rank) AS m
+  FROM src_rank s JOIN ref_rank r USING (word)),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_shared, SUM(tail) AS s
+  FROM shared JOIN tails USING (m) GROUP BY source)
+SELECT g.source,
+       COALESCE(a.n_shared, 0) AS n_shared,
+       ROUND((CAST(1.0 AS DOUBLE) - CAST({RBO_P} AS DOUBLE))
+             * COALESCE(a.s, 0.0), 6) + 0.0 AS rbo
+FROM (SELECT DISTINCT source FROM src_rank) g
+LEFT JOIN agg a USING (source)
+"""
+
+
+def q_quota_sample_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota-sample bias audit (operators/curation.ks_distance —
+    ROADMAP r9 'quota-sample bias audit' candidate): exact two-sample
+    KS distance between the domain_quota_sample keep-set's n_chars
+    distribution and the full corpus's — did the per-domain cap skew
+    document lengths? One scalar row."""
+    from ..operators.curation import ks_distance
+    from ..operators.urls import domain_quota_sample
+
+    docs = _url_documents(spark, sf_dir)
+    samp = domain_quota_sample(
+        docs, url_col="url", id_col="doc_id", quota=3
+    )
+    return ks_distance(samp, docs, value_col="n_chars")
+
+
+ORACLE_QUOTA_SAMPLE_KS = f"""
+WITH samp_ids AS ({ORACLE_DOMAIN_QUOTA_SAMPLE}),
+samp AS (
+  SELECT d.n_chars FROM samp_ids s JOIN documents d USING (doc_id)),
+va AS (SELECT n_chars AS v, count(*) AS ca FROM samp GROUP BY 1),
+vb AS (SELECT n_chars AS v, count(*) AS cb FROM documents GROUP BY 1),
+m AS (
+  SELECT COALESCE(va.v, vb.v) AS v,
+         COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+  FROM va FULL JOIN vb ON va.v = vb.v),
+c AS (
+  SELECT SUM(ca) OVER (ORDER BY v) AS cca,
+         SUM(cb) OVER (ORDER BY v) AS ccb
+  FROM m),
+t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_sample,
+             CAST(SUM(cb) AS BIGINT) AS n_ref FROM m)
+SELECT t.n_sample, t.n_ref,
+       ROUND(MAX(ABS(cca * 1.0 / t.n_sample - ccb * 1.0 / t.n_ref)), 6)
+         + 0.0 AS ks
+FROM c, t GROUP BY t.n_sample, t.n_ref
+"""

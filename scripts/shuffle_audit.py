@@ -307,6 +307,16 @@ AUDITS: dict[str, str] = {
         "keys; everything past the per-day top-k is k*P-bounded (tail "
         "table and pair frame broadcast)"
     ),
+    "rbo_source_panel": (
+        "per-source term-profile drift: (source, word) and corpus "
+        "counts fold map-side to vocabulary-sized partials; the panel "
+        "join is k-bounded per source - text never shuffles"
+    ),
+    "quota_sample_ks": (
+        "two-sample KS audit: both ECDFs fold to (value, count) "
+        "histograms before the merge; the ordered pass runs on the "
+        "histogram, never corpus rows"
+    ),
 }
 
 def audit_one(spark, name: str, sf_dir: str) -> dict:

@@ -373,3 +373,27 @@ def test_rbo_drift_no_corpus_sized_single_partition_window(spark, sf_dir):
     for line in plan.splitlines():
         if "row_number() windowspecdefinition" in line:
             assert "day#" in line  # leaderboard rank keyed by day
+
+
+def test_rbo_source_panel_topk_group_limit(spark, sf_dir):
+    """Per-source top-k must fold under WindowGroupLimit (vocabulary
+    prefilter); no cartesian/nested-loop anywhere in the panel."""
+    from dwds_livestream_spark.plans import llm as L
+
+    plan = _plan(L.q_rbo_source_panel(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quota_sample_ks_histogram_fold(spark, sf_dir):
+    """The ECDF window must run on the merged (value, count) histogram
+    — both sides pre-aggregated — and the 1-row totals frame joins by
+    broadcast, so no corpus-sized frame reaches the ordered pass."""
+    from dwds_livestream_spark.plans import llm as L
+
+    plan = _plan(L.q_quota_sample_ks(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the cumulative window's child must be aggregated, never raw scan:
+    # both HashAggregates (value counts) appear below the window
+    assert plan.count("HashAggregate") >= 4

@@ -34,6 +34,9 @@ GLOBAL_WINDOW_OK = {
     "decile_lift": "cumulative share over the 10-row decile summary",
     "quantile_rollup": "cumulative over <= 64 merged histogram bins",
     "vocab_growth": "cumulative over the 10-row decile growth frame",
+    "quota_sample_ks": "ECDF cumsum over the (value, count) histogram "
+                       "- bounded by the value domain, both sides "
+                       "pre-aggregated",
 }
 
 # nested-loop joins allowed ONLY when one side is bounded (1-row stats
@@ -43,6 +46,7 @@ NESTED_LOOP_OK = {
     "range_join_order_week": "binned equi-join; residual check is bin-local",
     "regex_antijoin": "pattern table broadcast-small by contract",
     "countmin_words": "1-row bounds cross join",
+    "quota_sample_ks": "1-row ECDF-totals cross join",
     "bm25_topk": "1-row corpus-stats cross join",
     "lm_perplexity": "1-row model-stats cross join",
     "ppl_buckets": "1-row tercile-bounds cross join",

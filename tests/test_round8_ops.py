@@ -503,3 +503,80 @@ def test_rbo_drift_vs_brute_force(spark):
         rbo_drift(df, depth=0)
     with pytest.raises(ValueError):
         rbo_drift(df, depth=4, p=0.0)
+
+
+def test_rbo_panel_vs_brute_force(spark):
+    from dwds_livestream_spark.operators.retrieval import rbo_panel
+
+    ref = [(10, 1), (11, 2), (12, 3), (13, 4)]
+    groups = {
+        "g_same": [(10, 1), (11, 2), (12, 3), (13, 4)],   # identical
+        "g_perm": [(11, 1), (10, 2), (14, 3), (12, 4)],   # shared 3
+        "g_disj": [(97, 1), (98, 2), (99, 3), (96, 4)],   # disjoint
+    }
+    rows = [(g, i, r) for g, lst in groups.items() for i, r in lst]
+    gdf = spark.createDataFrame(rows, "source string, doc_id long, rank int")
+    rdf = spark.createDataFrame(ref, "doc_id long, rank int")
+    k, p = 4, 0.9
+    got = {r.source: (r.n_shared, r.rbo)
+           for r in rbo_panel(gdf, rdf, depth=k, p=p,
+                              group_col="source").collect()}
+
+    dref = dict(ref)
+    for g, lst in groups.items():
+        dg = dict(lst)
+        rbo = 0.0
+        for d in range(1, k + 1):
+            A = {x for x, rk in dg.items() if rk <= d}
+            B = {x for x, rk in dref.items() if rk <= d}
+            rbo += p ** (d - 1) * len(A & B) / d
+        rbo = round(rbo * (1 - p), 6)
+        shared = len(set(dg) & set(dref))
+        assert got[g][0] == shared, g
+        assert got[g][1] == pytest.approx(rbo, abs=1e-9), g
+    assert got["g_disj"] == (0, 0.0)
+    assert got["g_same"][1] == pytest.approx(
+        round((1 - p) * sum(p ** (d - 1) for d in range(1, k + 1)), 6))
+
+    # NULL group rows excluded
+    withnull = spark.createDataFrame(
+        rows + [(None, 10, 1)], "source string, doc_id long, rank int")
+    assert set(r.source for r in
+               rbo_panel(withnull, rdf, depth=k, p=p,
+                         group_col="source").collect()) == set(groups)
+
+    with pytest.raises(ValueError):
+        rbo_panel(gdf, rdf, depth=0)
+    with pytest.raises(ValueError):
+        rbo_panel(gdf, rdf, depth=k, p=1.5)
+
+
+def test_ks_distance_vs_brute_force(spark):
+    from dwds_livestream_spark.operators.curation import ks_distance
+
+    a_vals = [1, 2, 2, 3, 7]
+    b_vals = [1, 2, 4, 4, 5, 9]
+    a = spark.createDataFrame([(v,) for v in a_vals], "n_chars long")
+    b = spark.createDataFrame([(v,) for v in b_vals], "n_chars long")
+    (row,) = ks_distance(a, b).collect()
+
+    def ecdf(vals, x):
+        return sum(1 for v in vals if v <= x) / len(vals)
+
+    pts = sorted(set(a_vals) | set(b_vals))
+    expect = round(max(abs(ecdf(a_vals, x) - ecdf(b_vals, x)) for x in pts), 6)
+    assert (row.n_sample, row.n_ref) == (5, 6)
+    assert row.ks == pytest.approx(expect, abs=1e-9)
+
+    # identical distributions -> 0
+    (same,) = ks_distance(a, a).collect()
+    assert same.ks == 0.0
+    # fully separated supports -> 1
+    c = spark.createDataFrame([(100,), (101,)], "n_chars long")
+    (sep,) = ks_distance(a, c).collect()
+    assert sep.ks == 1.0
+    # NULLs excluded from both sides
+    an = spark.createDataFrame([(v,) for v in a_vals] + [(None,)],
+                               "n_chars long")
+    (nrow,) = ks_distance(an, b).collect()
+    assert (nrow.n_sample, nrow.ks) == (5, pytest.approx(expect, abs=1e-9))

@@ -502,3 +502,20 @@ def test_rbo_drift_leaderboard_bounded(spark):
     r = _measure(spark, "rbo_drift")
     assert r["scan_rows"] > 0
     assert r["shuffle_records"] < r["scan_rows"] + 1000, r
+
+
+def test_rbo_source_panel_vocab_bounded(spark):
+    # (source, word) and corpus word counts fold map-side to
+    # vocabulary-sized partials; the panel join is k-bounded per
+    # source — document text never crosses an exchange
+    r = _measure(spark, "rbo_source_panel")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] < r["scan_rows"] * 3, r
+
+
+def test_quota_sample_ks_histogram_bounded(spark):
+    # both ECDFs fold to (value, count) histograms before the merge;
+    # the quota window shuffles at most domain-keyed id rows
+    r = _measure(spark, "quota_sample_ks")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] <= r["scan_rows"] * 2, r
