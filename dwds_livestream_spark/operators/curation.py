@@ -632,6 +632,7 @@ def length_band_filter(
     value_col: str = "n_chars",
     lo_p: float = 0.1,
     hi_p: float = 0.9,
+    accuracy: int = 10_000_000,
 ) -> DataFrame:
     """Per-group percentile band filter: keep rows whose ``value_col``
     lies within the group's [``lo_p``, ``hi_p``] percentile band — the
@@ -643,16 +644,23 @@ def length_band_filter(
     of the group's sorted column — ``percentile_approx`` with accuracy
     >= group size is EXACT under this convention, so the bounds are
     engine-reproducible (the DuckDB oracle replicates with
-    row_number + ceil, NOT quantile_disc). Plan: one groupBy(group)
-    aggregate (mergeable sketch, group-count-sized result), broadcast
-    join back, map-only filter — the corpus scan never sorts.
+    row_number + ceil, NOT quantile_disc). The exactness guarantee
+    therefore holds only for groups up to ``accuracy`` rows (default
+    1e7): beyond it the bound's rank error is up to n/accuracy rows —
+    raise ``accuracy`` (sketch buffer grows with it) or switch to the
+    ``distributed_rank`` exact path when a group outgrows it. Plan:
+    one groupBy(group) aggregate (mergeable sketch, group-count-sized
+    result), broadcast join back, map-only filter — the corpus scan
+    never sorts.
     """
     if not (0.0 < lo_p <= hi_p < 1.0):
         raise ValueError(f"need 0 < lo_p <= hi_p < 1: {lo_p}, {hi_p}")
+    if accuracy < 1:
+        raise ValueError(f"accuracy must be >= 1: {accuracy}")
     v = F.col(value_col)
     bounds = df.groupBy(group_col).agg(
         F.percentile_approx(
-            value_col, F.array(F.lit(lo_p), F.lit(hi_p)), F.lit(10_000_000)
+            value_col, F.array(F.lit(lo_p), F.lit(hi_p)), F.lit(int(accuracy))
         ).alias("__b")
     ).select(
         group_col,
@@ -723,6 +731,8 @@ def dup_rate_by_group(
     — text never shuffles; per-group skew is safe because only
     (group, digest) pairs cross the exchange. Groups with one doc
     report dup_rate 0.0 exactly (integer-derived division, round 6).
+    ``keeper_id`` is the group's min ``id_col`` — the same canonical-
+    survivor convention as ``exact_dedup`` / ``domain_dedup``.
     """
     digest = F.md5(F.col(text_col))
     return (
@@ -740,6 +750,7 @@ def dup_rate_by_group(
                 )
                 + F.lit(0.0)
             ).alias("dup_rate"),
+            F.min(id_col).alias("keeper_id"),
         )
     )
 
@@ -787,6 +798,11 @@ def ks_distance(
             F.coalesce("__ca", F.lit(0)).alias("__ca"),
             F.coalesce("__cb", F.lit(0)).alias("__cb"),
         )
+        # feeds both the ECDF window and the totals aggregate; lazy
+        # checkpoint so the two corpus scans + histogram folds run
+        # once, not twice (same multi-consumer pin as the module's
+        # other shared frames)
+        .localCheckpoint(eager=False)
     )
     w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
     cum = merged.select(

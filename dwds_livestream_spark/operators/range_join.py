@@ -150,10 +150,17 @@ def _bounded_candidates(
     and candidates come from an equi hash join on (equi, __bin) —
     never a nested loop. Output: left columns + ``__l_us``,
     ``out_id``, ``__r_us``."""
-    # Truncate BEFORE validating: a float bound in (0,1) would pass a
-    # raw `bound_seconds <= 0` check, truncate to w=0, and make every
-    # bin NULL (floor(x/0)) — silently joining nothing.
+    # Whole seconds only, and loudly: int() truncation would silently
+    # narrow ANY fractional bound (2.7 -> 2 excludes rows 2.0-2.7 s
+    # back with no signal; a float in (0,1) would even reach w=0 and
+    # NULL every bin). Reject instead of narrowing.
     w = int(bound_seconds)
+    if w != bound_seconds:
+        raise ValueError(
+            f"bound_seconds must be a whole number of seconds: "
+            f"{bound_seconds!r} (a fractional bound would be silently "
+            f"truncated)"
+        )
     if w <= 0:
         raise ValueError(f"bound_seconds must be >= 1 second: {bound_seconds!r}")
     rts = right_ts_col or ts_col

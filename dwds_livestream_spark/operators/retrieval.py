@@ -179,6 +179,22 @@ def rrf_fuse(
     )
 
 
+def _rbo_tails(spark, k: int, p: float):
+    """Shared RBO tail-sum lookup: T(m) = Σ_{d=m..k} p^(d-1)/d over
+    the k-row term table — the per-shared-item contribution used by
+    rbo_overlap / rbo_drift / rbo_panel (one definition so the
+    truncated-RBO convention can never drift between surfaces).
+    k rows; always broadcast by the caller."""
+    terms = spark.range(1, k + 1).select(
+        F.col("id").cast("int").alias("d"),
+        (F.pow(F.lit(p), F.col("id") - 1) / F.col("id")).alias("t"),
+    )
+    tail_w = Window.orderBy("d").rowsBetween(0, Window.unboundedFollowing)
+    return terms.select(
+        F.col("d").alias("m"), F.sum("t").over(tail_w).alias("tail")
+    )
+
+
 def rbo_overlap(
     rank_a: DataFrame,
     rank_b: DataFrame,
@@ -210,17 +226,7 @@ def rbo_overlap(
         raise ValueError(f"depth must be >= 1: {depth}")
     spark = rank_a.sparkSession
     k = int(depth)
-    # T(m) = sum_{d=m..k} p^(d-1)/d over the k-row term table
-    terms = spark.range(1, k + 1).select(
-        F.col("id").cast("int").alias("d"),
-        (F.pow(F.lit(p), F.col("id") - 1) / F.col("id")).alias("t"),
-    )
-    tail_w = (
-        Window.orderBy("d").rowsBetween(0, Window.unboundedFollowing)
-    )
-    tails = terms.select(
-        F.col("d").alias("m"), F.sum("t").over(tail_w).alias("tail")
-    )
+    tails = _rbo_tails(spark, k, p)
     a = rank_a.where(F.col(rank_col) <= k).select(
         id_col, F.col(rank_col).alias("__ra")
     )
@@ -286,15 +292,7 @@ def rbo_drift(
     k = int(depth)
     ranked = ranked.where(F.col(period_col).isNotNull())
     next_col = f"next_{period_col}"
-
-    terms = spark.range(1, k + 1).select(
-        F.col("id").cast("int").alias("d"),
-        (F.pow(F.lit(p), F.col("id") - 1) / F.col("id")).alias("t"),
-    )
-    tail_w = Window.orderBy("d").rowsBetween(0, Window.unboundedFollowing)
-    tails = terms.select(
-        F.col("d").alias("m"), F.sum("t").over(tail_w).alias("tail")
-    )
+    tails = _rbo_tails(spark, k, p)
 
     periods = ranked.select(period_col).distinct()
     pairs = periods.select(
@@ -376,15 +374,7 @@ def rbo_panel(
         raise ValueError(f"depth must be >= 1: {depth}")
     spark = ranked_groups.sparkSession
     k = int(depth)
-
-    terms = spark.range(1, k + 1).select(
-        F.col("id").cast("int").alias("d"),
-        (F.pow(F.lit(p), F.col("id") - 1) / F.col("id")).alias("t"),
-    )
-    tail_w = Window.orderBy("d").rowsBetween(0, Window.unboundedFollowing)
-    tails = terms.select(
-        F.col("d").alias("m"), F.sum("t").over(tail_w).alias("tail")
-    )
+    tails = _rbo_tails(spark, k, p)
 
     grp = ranked_groups.where(F.col(group_col).isNotNull())
     groups = grp.select(group_col).distinct()

@@ -2887,7 +2887,12 @@ sh AS (
   FROM toks, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)),
 train AS (SELECT DISTINCT s FROM sh WHERE source != 'src0'),
 ev AS (SELECT doc_id, s FROM sh WHERE source = 'src0'),
-base AS (SELECT doc_id, count(*) AS n_shingles FROM ev GROUP BY doc_id),
+-- base from the DOCUMENTS side, not the shingle rows: an eval doc
+-- with < n tokens has zero shingles but must still emit a row
+-- (n_shingles=0, novelty NULL) to match the operator's contract
+base AS (SELECT t.doc_id, count(e.s) AS n_shingles
+         FROM toks t LEFT JOIN ev e USING (doc_id)
+         WHERE t.source = 'src0' GROUP BY t.doc_id),
 seen AS (SELECT doc_id, count(*) AS n_seen
          FROM ev JOIN train USING (s) GROUP BY doc_id)
 SELECT b.doc_id, b.n_shingles,
@@ -3074,7 +3079,8 @@ SELECT source, count(*) AS n_docs,
        count(DISTINCT md5(text)) AS n_unique,
        count(*) - count(DISTINCT md5(text)) AS n_dup_docs,
        ROUND((count(*) - count(DISTINCT md5(text))) * 1.0 / count(*), 6)
-         + 0.0 AS dup_rate
+         + 0.0 AS dup_rate,
+       min(doc_id) AS keeper_id
 FROM documents GROUP BY source
 """
 
@@ -3300,8 +3306,15 @@ def _slug_url_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("lang") == "fr", "fr")
         .otherwise("org")
     )
+    # sanitize tokens to URL-safe chars so the oracle's raw-token
+    # segment model and the operator's URL parsing (strip at ?/#,
+    # split on /, drop empties) can never diverge on metacharacters
     slug = F.concat_ws(
-        "/", F.slice(F.split(F.lower(F.col("text")), " "), 1, 5)
+        "/",
+        F.transform(
+            F.slice(F.split(F.lower(F.col("text")), " "), 1, 5),
+            lambda t: F.regexp_replace(t, "[^a-z0-9]", ""),
+        ),
     )
     url = F.concat(
         F.lit("https://"), sub, F.col("source"), F.lit("."), tld,
@@ -3335,7 +3348,10 @@ WITH u AS (
          CASE lang WHEN 'en' THEN 'com' WHEN 'de' THEN 'co.uk'
                    WHEN 'es' THEN 'com.es' WHEN 'zh' THEN 'com.cn'
                    WHEN 'fr' THEN 'fr' ELSE 'org' END AS domain,
-         list_distinct(string_split(lower(text), ' ')[1:5]) AS segs
+         list_distinct(list_filter(
+           list_transform(string_split(lower(text), ' ')[1:5],
+                          x -> regexp_replace(x, '[^a-z0-9]', '', 'g')),
+           x -> len(x) > 0)) AS segs
   FROM documents),
 seg AS (SELECT doc_id, domain, unnest(segs) AS s FROM u),
 sizes AS (SELECT doc_id, len(segs) AS n FROM u),

@@ -261,6 +261,9 @@ def test_dup_rate_by_group_vs_brute_force(spark):
     assert got["s2"].dup_rate == 0.0
     assert (got["s3"].n_dup_docs, got["s3"].dup_rate) == (
         2, pytest.approx(round(2 / 3, 6)))
+    # keeper convention: min id per group (exact_dedup / domain_dedup)
+    assert (got["s1"].keeper_id, got["s2"].keeper_id,
+            got["s3"].keeper_id) == (0, 3, 4)
 
 
 # ---------------------------------- post-window r8: r9-candidate trio

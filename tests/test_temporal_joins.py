@@ -286,6 +286,12 @@ def test_knearest_preceding_validates_args(spark):
     # the guard, making every bin NULL and silently joining nothing
     with _pytest.raises(ValueError):
         knearest_preceding(df, df, k=1, bound_seconds=0.5)
+    # ADVICE r8: a fractional bound >= 1 used to silently narrow
+    # (2.7 -> 2, excluding rows 2.0-2.7 s back); now loud
+    with _pytest.raises(ValueError):
+        knearest_preceding(df, df, k=1, bound_seconds=2.7)
+    # whole-valued floats remain accepted (2.0 == 2)
+    knearest_preceding(df, df, k=1, bound_seconds=2.0)
 
 
 def test_preceding_window_agg_matches_brute_force(spark):
