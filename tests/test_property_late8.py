@@ -12,7 +12,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from dwds_livestream_spark.operators.embedding_ops import quantile_normalize
-from dwds_livestream_spark.operators.retrieval import rbo_drift
+from dwds_livestream_spark.operators.retrieval import rbo_drift, rbo_panel
 from dwds_livestream_spark.operators.urls import path_neardup_pairs
 
 SET = settings(
@@ -164,3 +164,70 @@ def test_rbo_drift_matches_naive(spark, boards, depth):
         key = (f"t{t}", f"t{t+1}")
         assert got[key][0] == len(shared), key
         assert abs(got[key][1] - brute(ra, rb)) < 1e-9, key
+
+
+# ------------------------------------------------------------ RBO panel
+
+panel_groups = st.lists(
+    st.permutations(list(range(6))), min_size=1, max_size=3
+)
+
+
+@SET
+@given(boards=panel_groups, ref=st.permutations(list(range(6))),
+       depth=st.sampled_from([1, 3, 5]))
+def test_rbo_panel_matches_naive(spark, boards, ref, depth):
+    p = 0.9
+    rows = [
+        (f"g{g}", item, r + 1)
+        for g, perm in enumerate(boards)
+        for r, item in enumerate(perm)
+    ]
+    gdf = spark.createDataFrame(rows, "source string, doc_id long, rank int")
+    rdf = spark.createDataFrame(
+        [(item, r + 1) for r, item in enumerate(ref)], "doc_id long, rank int"
+    )
+    got = {r.source: (r.n_shared, r.rbo)
+           for r in rbo_panel(gdf, rdf, depth=depth, p=p,
+                              group_col="source").collect()}
+
+    dref = {item: r + 1 for r, item in enumerate(ref)}
+    assert set(got) == {f"g{g}" for g in range(len(boards))}
+    for g, perm in enumerate(boards):
+        dg = {item: r + 1 for r, item in enumerate(perm)}
+        rbo = 0.0
+        for d in range(1, depth + 1):
+            A = {x for x, rk in dg.items() if rk <= d}
+            B = {x for x, rk in dref.items() if rk <= d}
+            rbo += p ** (d - 1) * len(A & B) / d
+        shared = len({x for x in dg
+                      if x in dref and dg[x] <= depth and dref[x] <= depth})
+        assert got[f"g{g}"][0] == shared
+        assert abs(got[f"g{g}"][1] - round(rbo * (1 - p), 6)) < 1e-9
+
+
+# ------------------------------------------------------------ KS audit
+
+samples = st.lists(st.integers(min_value=0, max_value=20),
+                   min_size=1, max_size=25)
+
+
+@SET
+@given(a_vals=samples, b_vals=samples)
+def test_ks_distance_matches_naive(spark, a_vals, b_vals):
+    from dwds_livestream_spark.operators.curation import ks_distance
+
+    a = spark.createDataFrame([(v,) for v in a_vals], "n_chars long")
+    b = spark.createDataFrame([(v,) for v in b_vals], "n_chars long")
+    (row,) = ks_distance(a, b).collect()
+
+    def ecdf(vals, x):
+        return sum(1 for v in vals if v <= x) / len(vals)
+
+    pts = sorted(set(a_vals) | set(b_vals))
+    expect = round(
+        max(abs(ecdf(a_vals, x) - ecdf(b_vals, x)) for x in pts), 6
+    )
+    assert (row.n_sample, row.n_ref) == (len(a_vals), len(b_vals))
+    assert abs(row.ks - expect) < 1e-9
+    assert 0.0 <= row.ks <= 1.0
