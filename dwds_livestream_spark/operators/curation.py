@@ -779,7 +779,15 @@ def ks_distance(
     (the standard binned-KS audit). NULL values are excluded (no
     place on the ECDF).
 
-    Output: one row — n_sample, n_ref, ks (6dp).
+    Degenerate inputs (ADVICE r8): if either side is empty or
+    all-NULL in ``value_col`` there is no ECDF to compare, so ``ks``
+    is NULL (``try_divide`` keeps ANSI mode from raising
+    DIVIDE_BY_ZERO) while ``n_sample`` / ``n_ref`` still report the
+    true counts (0 for the empty side) — a quota/filter chain that
+    empties the sample gets a well-defined audit row, not a crash.
+
+    Output: one row — n_sample, n_ref, ks (6dp; NULL when either
+    side is empty).
     """
     va = (
         sample.where(F.col(value_col).isNotNull())
@@ -810,25 +818,24 @@ def ks_distance(
         F.sum("__cb").over(w).alias("__ccb"),
     )
     totals = merged.agg(
-        F.sum("__ca").cast("long").alias("n_sample"),
-        F.sum("__cb").cast("long").alias("n_ref"),
+        F.coalesce(F.sum("__ca"), F.lit(0)).cast("long").alias("n_sample"),
+        F.coalesce(F.sum("__cb"), F.lit(0)).cast("long").alias("n_ref"),
     )
-    return (
-        cum.crossJoin(F.broadcast(totals))
-        .agg(
-            F.first("n_sample").alias("n_sample"),
-            F.first("n_ref").alias("n_ref"),
-            (
-                F.round(
-                    F.max(
-                        F.abs(
-                            F.col("__cca") / F.col("n_sample")
-                            - F.col("__ccb") / F.col("n_ref")
-                        )
-                    ),
-                    6,
-                )
-                + F.lit(0.0)
-            ).alias("ks"),
-        )
+    # global agg -> exactly one row even over an empty histogram, so
+    # the degenerate case yields (counts, NULL ks) instead of raising
+    # DIVIDE_BY_ZERO (ANSI) or dropping the row
+    ks_row = cum.crossJoin(F.broadcast(totals)).agg(
+        (
+            F.round(
+                F.max(
+                    F.abs(
+                        F.try_divide("__cca", F.col("n_sample"))
+                        - F.try_divide("__ccb", F.col("n_ref"))
+                    )
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("ks"),
     )
+    return totals.crossJoin(F.broadcast(ks_row))

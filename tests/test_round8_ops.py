@@ -464,6 +464,27 @@ def test_path_neardup_pairs_vs_brute_force(spark):
     assert same == set(lo)
 
 
+def test_path_neardup_default_cap_is_finite(spark):
+    """VERDICT r8 #3: the ambient default must bound posting lists —
+    unbounded fan-out is opt-in via max_segment_df=None only."""
+    import inspect
+
+    from dwds_livestream_spark.operators.urls import path_neardup_pairs
+
+    sig = inspect.signature(path_neardup_pairs)
+    default = sig.parameters["max_segment_df"].default
+    assert default is not None and default == 10_000
+
+    # a boilerplate segment shared by > cap docs is dropped under the
+    # default; None restores the exact (quadratic) semantics
+    rows = [(i, f"https://big.com/boiler/p{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    capped = path_neardup_pairs(df, threshold=0.3, max_segment_df=3)
+    assert capped.count() == 0  # 'boiler' df=6 > 3, unique p{i} never pair
+    exact = path_neardup_pairs(df, threshold=0.3, max_segment_df=None)
+    assert exact.count() == 15  # all C(6,2) pairs share 'boiler', J=1/3
+
+
 def test_rbo_drift_vs_brute_force(spark):
     from dwds_livestream_spark.operators.retrieval import rbo_drift
 
@@ -583,3 +604,22 @@ def test_ks_distance_vs_brute_force(spark):
                                "n_chars long")
     (nrow,) = ks_distance(an, b).collect()
     assert (nrow.n_sample, nrow.ks) == (5, pytest.approx(expect, abs=1e-9))
+
+
+def test_ks_distance_degenerate_inputs(spark):
+    """ADVICE r8: an empty (or all-NULL) side must yield one row with
+    true counts and NULL ks — not an ANSI DIVIDE_BY_ZERO crash."""
+    from dwds_livestream_spark.operators.curation import ks_distance
+
+    a = spark.createDataFrame([(v,) for v in (1, 2, 3)], "n_chars long")
+    empty = spark.createDataFrame([], "n_chars long")
+    allnull = spark.createDataFrame([(None,), (None,)], "n_chars long")
+
+    (row,) = ks_distance(empty, a).collect()
+    assert (row.n_sample, row.n_ref, row.ks) == (0, 3, None)
+    (row,) = ks_distance(a, empty).collect()
+    assert (row.n_sample, row.n_ref, row.ks) == (3, 0, None)
+    (row,) = ks_distance(allnull, a).collect()
+    assert (row.n_sample, row.n_ref, row.ks) == (0, 3, None)
+    (row,) = ks_distance(empty, empty).collect()
+    assert (row.n_sample, row.n_ref, row.ks) == (0, 0, None)
