@@ -55,7 +55,17 @@ HEADLINE = {
     "url_path_neardup": "URL path near-dup: (domain, segment) inverted-index join, pair-fold Jaccard",
     "rbo_drift": "RBO drift: per-day top-k leaderboards, broadcast pair+tail frames, k-bounded join",
     "rbo_source_panel": "RBO panel: vocab-sized count folds, WindowGroupLimit top-k, broadcast reference",
-    "quota_sample_ks": "two-sample KS: (value, count) histogram folds, ECDF cumsum on the histogram",
+    "quota_sample_ks": (
+        "two-sample KS: (value, count) histogram folds, ECDF cumsum on the "
+        "histogram. CAVEAT (VERDICT r8 #8): the ordered ECDF pass is a "
+        "SinglePartition window over the merged histogram — bounded by the "
+        "DISTINCT-VALUE domain (lengths, scores, counts), not the corpus. "
+        "Pointing ks_distance at a continuous high-cardinality column "
+        "(raw floats, embeddings norms) makes the histogram corpus-sized; "
+        "quantize value_col first (width_bucket / round) — the standard "
+        "binned-KS audit — before the fold. Degenerate inputs (either side "
+        "empty/all-NULL) return one row with true counts and NULL ks"
+    ),
 }
 
 

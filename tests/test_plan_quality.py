@@ -392,8 +392,21 @@ def test_quota_sample_ks_histogram_fold(spark, sf_dir):
     broadcast, so no corpus-sized frame reaches the ordered pass."""
     from dwds_livestream_spark.plans import llm as L
 
-    plan = _plan(L.q_quota_sample_ks(spark, sf_dir))
+    df = L.q_quota_sample_ks(spark, sf_dir)
+    plan = _plan(df)
     assert "CartesianProduct" not in plan
     # the cumulative window's child must be aggregated, never raw scan:
     # both HashAggregates (value counts) appear below the window
     assert plan.count("HashAggregate") >= 4
+    # histogram bound (VERDICT r8 #8): exactly ONE ordered
+    # SinglePartition pass exists and it is the ECDF cumsum over the
+    # merged (value, count) histogram — a second global Sort would mean
+    # corpus rows reached an ordered single-task stage
+    assert plan.count("Exchange SinglePartition") <= 3  # ECDF + 1-row aggs
+    assert plan.count("Sort [__v") == 1
+    # degenerate-safe shape (ADVICE r8): the ECDF divisions are
+    # try_divide (NULL ks on an empty side), never ANSI '/' that can
+    # raise DIVIDE_BY_ZERO — visible at the analyzed layer (the
+    # physical string renders TRY eval-mode as a bare '/')
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("try_divide") == 2
