@@ -40,6 +40,8 @@ __all__ = [
     "domain_dedup",
     "domain_quota_sample",
     "path_neardup_pairs",
+    "path_drift",
+    "path_novelty",
 ]
 
 # Common multi-part public suffixes (ccSLDs): when a host's last TWO
@@ -272,4 +274,159 @@ def path_neardup_pairs(
         .join(nb, "doc_b")
         .select("doc_a", "doc_b", "domain", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def path_drift(
+    df: DataFrame,
+    url_col: str = "url",
+    period_col: str = "snapshot",
+) -> DataFrame:
+    """Per-domain URL-set drift between consecutive crawl snapshots:
+    Jaccard between the DISTINCT normalized-path sets a registered
+    domain exposes in snapshot t and in the NEXT snapshot — the
+    crawl-freshness audit ("which sites churned their URL space
+    between crawls, which are stable mirrors?"). The temporal
+    composition of this module's URL stage with the consecutive-period
+    frame of ``operators/retrieval.rbo_drift`` (ROADMAP r10
+    candidate): one row per (domain, consecutive snapshot pair), and a
+    domain present in only ONE side of a pair still emits (jaccard 0,
+    counts truthful) so site births/deaths are visible, not silently
+    dropped. NULL url/period rows are excluded (no domain to key on /
+    no place in the consecutive order).
+
+    Distributed shape: the corpus folds ONCE to DISTINCT
+    (domain, period, path) tuples — one map-side-combined exchange on
+    short strings, text never shuffles (the house candidate-fold
+    contract of ``path_neardup_pairs`` / ``dup_rate_by_group``); that
+    frame is lazily checkpointed and feeds all consumers. The
+    consecutive-pair frame is a lead() over the DISTINCT periods — one
+    task, bounded by the crawl calendar, never the corpus (the
+    ``rbo_drift`` frame). The intersection is ONE equi hash join on
+    (domain, next_period, path); per-side set sizes are
+    map-side-combined counts; the final assembly is key-sized outer
+    joins. No all-pairs anywhere, no corpus-sized ordered pass.
+    Denominator = |union| >= 1 whenever a row exists, so the division
+    is ANSI-safe by construction.
+
+    Output: domain, <period_col>, next_<period_col>, n_prev, n_next,
+    n_common, jaccard (6dp).
+    """
+    from pyspark.sql import Window
+
+    next_col = f"next_{period_col}"
+    u = F.col(url_col)
+    keyed = (
+        df.where(u.isNotNull() & F.col(period_col).isNotNull())
+        .select(
+            registered_domain(url_host(u)).alias("domain"),
+            F.col(period_col).alias("__p"),
+            url_path(u).alias("__path"),
+        )
+        .distinct()
+        # feeds periods, sizes and both join sides; pin so the corpus
+        # scan + distinct fold run once (the module's multi-consumer
+        # convention)
+        .localCheckpoint(eager=False)
+    )
+    periods = keyed.select("__p").distinct()
+    pairs = periods.select(
+        "__p",
+        F.lead("__p").over(Window.orderBy("__p")).alias("__np"),
+    ).where(F.col("__np").isNotNull())
+    sizes = keyed.groupBy("domain", "__p").agg(F.count("*").alias("__n"))
+    cur = keyed.join(F.broadcast(pairs), "__p")
+    nxt = keyed.select("domain", F.col("__p").alias("__np"), "__path")
+    common = (
+        cur.join(nxt, ["domain", "__np", "__path"])
+        .groupBy("domain", "__p", "__np")
+        .agg(F.count("*").alias("__c"))
+    )
+    a = sizes.join(F.broadcast(pairs), "__p").select(
+        "domain", "__p", "__np", F.col("__n").alias("__na")
+    )
+    b = (
+        sizes.withColumnRenamed("__p", "__np")
+        .join(F.broadcast(pairs), "__np")
+        .select("domain", "__p", "__np", F.col("__n").alias("__nb"))
+    )
+    merged = (
+        a.join(b, ["domain", "__p", "__np"], "full_outer")
+        .join(common, ["domain", "__p", "__np"], "left")
+        .select(
+            "domain",
+            F.col("__p").alias(period_col),
+            F.col("__np").alias(next_col),
+            F.coalesce("__na", F.lit(0)).cast("long").alias("n_prev"),
+            F.coalesce("__nb", F.lit(0)).cast("long").alias("n_next"),
+            F.coalesce("__c", F.lit(0)).cast("long").alias("n_common"),
+        )
+    )
+    jac = F.round(
+        F.col("n_common")
+        / (F.col("n_prev") + F.col("n_next") - F.col("n_common")),
+        6,
+    ) + F.lit(0.0)
+    return merged.select(
+        "domain", period_col, next_col,
+        "n_prev", "n_next", "n_common",
+        jac.alias("jaccard"),
+    )
+
+
+def path_novelty(
+    df: DataFrame,
+    url_col: str = "url",
+    period_col: str = "snapshot",
+) -> DataFrame:
+    """Per-snapshot URL novelty: for each crawl snapshot, how much of
+    its DISTINCT (domain, path) URL space is NEW — never seen in any
+    EARLIER snapshot — versus carried over. The crawl-yield audit
+    that tells a pipeline when re-crawling stops paying (novelty
+    decays toward 0 as the frontier saturates); the cumulative
+    complement of :func:`path_drift`'s pairwise view.
+
+    Distributed shape: the corpus folds ONCE to DISTINCT
+    (domain, period, path) tuples — the module's candidate-fold
+    contract, text never shuffles; each URL's FIRST period is one
+    map-side-combined min() keyed on (domain, path); novelty per
+    snapshot is then a period-keyed count join — every post-fold
+    frame is key-sized. No window at all: "seen before" is exactly
+    "first_period < period", so the prefix scan collapses into the
+    min() aggregate. NULL url/period rows are excluded.
+
+    The first snapshot reports novelty 1.0 by construction (nothing
+    precedes it). Output: one row per snapshot — <period_col>,
+    n_urls (distinct URLs in the snapshot), n_new (first seen here),
+    novelty (6dp = n_new / n_urls; n_urls >= 1 whenever the row
+    exists, so the division is ANSI-safe).
+    """
+    u = F.col(url_col)
+    keyed = (
+        df.where(u.isNotNull() & F.col(period_col).isNotNull())
+        .select(
+            registered_domain(url_host(u)).alias("domain"),
+            F.col(period_col).alias("__p"),
+            url_path(u).alias("__path"),
+        )
+        .distinct()
+        # feeds the per-snapshot counts and the first-period fold
+        .localCheckpoint(eager=False)
+    )
+    first = keyed.groupBy("domain", "__path").agg(
+        F.min("__p").alias("__first")
+    )
+    new_counts = first.groupBy(F.col("__first").alias("__p")).agg(
+        F.count("*").alias("n_new")
+    )
+    totals = keyed.groupBy("__p").agg(F.count("*").alias("n_urls"))
+    nov = F.round(F.col("n_new") / F.col("n_urls"), 6) + F.lit(0.0)
+    return (
+        totals.join(new_counts, "__p", "left")
+        .select(
+            F.col("__p").alias(period_col),
+            F.col("n_urls").cast("long").alias("n_urls"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        )
+        .select(period_col, "n_urls", "n_new", nov.alias("novelty"))
     )

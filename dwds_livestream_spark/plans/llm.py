@@ -3383,6 +3383,186 @@ FROM j WHERE jaccard >= {PATH_NEARDUP_THRESHOLD}
 """
 
 
+def _snapshot_url_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table with a SECTION url + a crawl snapshot (the
+    temporal_path_drift fixture): host as in ``_slug_url_documents``
+    (subdomain / ccSLD-tld recipe, pure function of (doc_id, source,
+    lang)); path = the document's first token — the section-index URL
+    shape (``/news``, ``/sports``) whose per-domain set is small
+    enough to genuinely overlap across snapshots; snapshot =
+    doc_id % 3 — three interleaved crawls of the same sites, so
+    consecutive-snapshot path sets drift without being disjoint."""
+    d = F.col("doc_id")
+    sub = (
+        F.when(d % 4 == 0, "www.")
+        .when(d % 4 == 1, "cdn.")
+        .when(d % 4 == 2, "api.")
+        .otherwise("")
+    )
+    tld = (
+        F.when(F.col("lang") == "en", "com")
+        .when(F.col("lang") == "de", "co.uk")
+        .when(F.col("lang") == "es", "com.es")
+        .when(F.col("lang") == "zh", "com.cn")
+        .when(F.col("lang") == "fr", "fr")
+        .otherwise("org")
+    )
+    sec = F.regexp_replace(
+        F.regexp_extract(F.lower(F.col("text")), r"^([^ ]*)", 1),
+        "[^a-z0-9]",
+        "",
+    )
+    url = F.concat(
+        F.lit("https://"), sub, F.col("source"), F.lit("."), tld,
+        F.lit("/"), sec,
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .withColumn("url", url)
+        .withColumn("snapshot", (d % 3).cast("int"))
+    )
+
+
+def q_temporal_path_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL-set drift across consecutive crawl snapshots
+    (operators/urls.py path_drift — the ROADMAP r10 'temporal path
+    drift' candidate): Jaccard between each registered domain's
+    distinct path set in snapshot t and t+1; births/deaths emit
+    jaccard 0 rows."""
+    from ..operators.urls import path_drift
+
+    docs = _snapshot_url_documents(spark, sf_dir)
+    return path_drift(docs, url_col="url", period_col="snapshot")
+
+
+ORACLE_TEMPORAL_PATH_DRIFT = """
+WITH u AS (
+  SELECT CAST(doc_id % 3 AS INT) AS snapshot,
+         source || '.' ||
+         CASE lang WHEN 'en' THEN 'com' WHEN 'de' THEN 'co.uk'
+                   WHEN 'es' THEN 'com.es' WHEN 'zh' THEN 'com.cn'
+                   WHEN 'fr' THEN 'fr' ELSE 'org' END AS domain,
+         '/' || regexp_replace(
+           regexp_extract(lower(text), '^([^ ]*)', 1),
+           '[^a-z0-9]', '', 'g') AS path
+  FROM documents),
+d AS (SELECT DISTINCT domain, snapshot, path FROM u),
+per AS (SELECT DISTINCT snapshot FROM d),
+pairs AS (
+  SELECT snapshot, lead(snapshot) OVER (ORDER BY snapshot) AS next_snapshot
+  FROM per QUALIFY next_snapshot IS NOT NULL),
+sizes AS (SELECT domain, snapshot, count(*) AS n FROM d GROUP BY 1, 2),
+common AS (
+  SELECT a.domain, p.snapshot, p.next_snapshot, count(*) AS c
+  FROM pairs p
+  JOIN d a ON a.snapshot = p.snapshot
+  JOIN d b ON b.domain = a.domain AND b.path = a.path
+          AND b.snapshot = p.next_snapshot
+  GROUP BY 1, 2, 3),
+doms AS (
+  SELECT DISTINCT p.snapshot, p.next_snapshot, s.domain
+  FROM pairs p JOIN sizes s ON s.snapshot IN (p.snapshot, p.next_snapshot))
+SELECT dm.domain, dm.snapshot, dm.next_snapshot,
+       CAST(coalesce(sa.n, 0) AS BIGINT) AS n_prev,
+       CAST(coalesce(sb.n, 0) AS BIGINT) AS n_next,
+       CAST(coalesce(c.c, 0) AS BIGINT) AS n_common,
+       ROUND(coalesce(c.c, 0) * 1.0
+             / (coalesce(sa.n, 0) + coalesce(sb.n, 0) - coalesce(c.c, 0)),
+             6) + 0.0 AS jaccard
+FROM doms dm
+LEFT JOIN sizes sa ON sa.domain = dm.domain AND sa.snapshot = dm.snapshot
+LEFT JOIN sizes sb ON sb.domain = dm.domain
+                  AND sb.snapshot = dm.next_snapshot
+LEFT JOIN common c ON c.domain = dm.domain AND c.snapshot = dm.snapshot
+                  AND c.next_snapshot = dm.next_snapshot
+"""
+
+
+def q_path_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-snapshot URL novelty (operators/urls.py path_novelty): for
+    each crawl snapshot of the section-URL fixture, the fraction of
+    its distinct (domain, path) space first seen in that snapshot —
+    the crawl-yield decay curve; cumulative complement of
+    temporal_path_drift."""
+    from ..operators.urls import path_novelty
+
+    docs = _snapshot_url_documents(spark, sf_dir)
+    return path_novelty(docs, url_col="url", period_col="snapshot")
+
+
+ORACLE_PATH_NOVELTY = """
+WITH u AS (
+  SELECT CAST(doc_id % 3 AS INT) AS snapshot,
+         source || '.' ||
+         CASE lang WHEN 'en' THEN 'com' WHEN 'de' THEN 'co.uk'
+                   WHEN 'es' THEN 'com.es' WHEN 'zh' THEN 'com.cn'
+                   WHEN 'fr' THEN 'fr' ELSE 'org' END AS domain,
+         '/' || regexp_replace(
+           regexp_extract(lower(text), '^([^ ]*)', 1),
+           '[^a-z0-9]', '', 'g') AS path
+  FROM documents),
+d AS (SELECT DISTINCT domain, snapshot, path FROM u),
+f AS (SELECT domain, path, MIN(snapshot) AS fs FROM d GROUP BY 1, 2),
+newc AS (SELECT fs AS snapshot, count(*) AS n_new FROM f GROUP BY 1),
+tot AS (SELECT snapshot, count(*) AS n_urls FROM d GROUP BY 1)
+SELECT t.snapshot,
+       CAST(n_urls AS BIGINT) AS n_urls,
+       CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+       ROUND(coalesce(n_new, 0) * 1.0 / n_urls, 6) + 0.0 AS novelty
+FROM tot t LEFT JOIN newc USING (snapshot)
+"""
+
+
+def q_ks_source_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KS bias panel (operators/curation.ks_panel — the
+    grouped composition of ks_distance): every source's n_chars
+    distribution against the whole documents corpus in ONE plan with
+    group-partitioned ECDF windows — no single-partition pass."""
+    from ..operators.curation import ks_panel
+
+    docs = _t(spark, sf_dir, "documents")
+    return ks_panel(
+        docs, docs, group_col="source", value_col="n_chars"
+    )
+
+
+ORACLE_KS_SOURCE_PANEL = """
+WITH hg AS (
+  SELECT source AS g, n_chars AS v, count(*) AS ca
+  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1, 2),
+hr AS (
+  SELECT n_chars AS v, count(*) AS cb
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+grp AS (SELECT g, SUM(ca) AS n_sample FROM hg GROUP BY 1),
+rt AS (SELECT CAST(coalesce(SUM(cb), 0) AS BIGINT) AS n_ref FROM hr),
+grid AS (
+  SELECT g, v FROM hg
+  UNION
+  SELECT grp.g, hr.v FROM grp, hr),
+m AS (
+  SELECT grid.g, grid.v,
+         coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+  FROM grid
+  LEFT JOIN hg ON hg.g = grid.g AND hg.v = grid.v
+  LEFT JOIN hr ON hr.v = grid.v),
+c AS (
+  SELECT g,
+         SUM(ca) OVER (PARTITION BY g ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cca,
+         SUM(cb) OVER (PARTITION BY g ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS ccb
+  FROM m)
+SELECT g AS source,
+       CAST(n_sample AS BIGINT) AS n_sample,
+       n_ref,
+       ROUND(MAX(ABS(cca * 1.0 / n_sample - ccb * 1.0 / n_ref)), 6)
+         + 0.0 AS ks
+FROM c JOIN grp USING (g) CROSS JOIN rt
+GROUP BY 1, 2, 3
+"""
+
+
 RBO_DRIFT_DEPTH = 20
 
 

@@ -410,3 +410,52 @@ def test_quota_sample_ks_histogram_fold(spark, sf_dir):
     # physical string renders TRY eval-mode as a bare '/')
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("try_divide") == 2
+
+
+def test_temporal_path_drift_no_allpairs_calendar_window(spark, sf_dir):
+    """Drift pairs assemble via equi hash joins on the distinct
+    (domain, snapshot, path) fold; the only global window is the
+    lead() over DISTINCT snapshots (calendar-bounded), and the pair
+    frame moves by broadcast — no cartesian, no corpus-sized ordered
+    pass."""
+    from dwds_livestream_spark.plans import llm as L
+
+    plan = _plan(L.q_temporal_path_drift(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the only Window in the plan (textually repeated wherever the
+    # broadcast pairs subtree is inlined) is the lead() over DISTINCT
+    # snapshots — no window ever runs over corpus rows
+    assert plan.count("Window [") >= 1
+    assert plan.count("Window [") == plan.count("Window [lead(__p")
+    assert "BroadcastExchange" in plan  # the pair frame
+
+
+def test_path_novelty_no_window_map_combined(spark, sf_dir):
+    """Novelty needs no window at all: first-seen is a min() keyed on
+    (domain, path); every aggregate partial-combines map-side."""
+    from dwds_livestream_spark.plans import llm as L
+
+    plan = _plan(L.q_path_novelty(spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan or "partial min" in plan.lower()
+
+
+def test_ks_source_panel_group_partitioned_ecdf(spark, sf_dir):
+    """The panel's ECDF windows are PARTITIONED BY GROUP — the grouped
+    form must never pay the single-partition ordered pass the scalar
+    ks_distance needs."""
+    from dwds_livestream_spark.plans import llm as L
+
+    df = L.q_ks_source_panel(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # every window spec partitions by the group key (no global spec)
+    assert plan.count("windowspecdefinition(") >= 1
+    assert plan.count("windowspecdefinition(") == plan.count(
+        "windowspecdefinition(__g"
+    )
+    # degenerate-safe divisions, as in ks_distance (ADVICE r8)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("try_divide") == 2

@@ -1,0 +1,167 @@
+"""Round-9 operator tests: temporal path drift (the ROADMAP r10
+candidate, landed with its evidence kit on declaration day)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _drift_rows(df):
+    return {
+        (r.domain, r.snapshot, r.next_snapshot): (
+            r.n_prev, r.n_next, r.n_common, r.jaccard
+        )
+        for r in df.collect()
+    }
+
+
+def test_path_drift_vs_brute_force(spark):
+    from dwds_livestream_spark.operators.urls import path_drift
+
+    rows = [
+        # a.com: snap 0 paths {/x/y, /z}; snap 1 paths {/x/y, /w};
+        # snap 2 paths {/w}
+        (0, "https://www.a.com/x/y"),
+        (0, "https://a.com/z"),
+        (0, "https://cdn.a.com/x/y/"),   # dup of /x/y after slash fold
+        (1, "https://a.com/x/y"),
+        (1, "https://a.com/w"),
+        (2, "https://a.com/w"),
+        # b.com exists only in snap 0 -> (b.com, 0, 1) emits jaccard 0
+        (0, "https://b.com/only"),
+        # c.com is born in snap 1 -> (c.com, 0->1)? no: present only
+        # on the NEXT side -> row with n_prev 0
+        (1, "https://c.com/new"),
+    ]
+    df = spark.createDataFrame(rows, "snapshot int, url string")
+    got = _drift_rows(path_drift(df, url_col="url", period_col="snapshot"))
+    assert got == {
+        ("a.com", 0, 1): (2, 2, 1, pytest.approx(1 / 3, abs=1e-6)),
+        ("a.com", 1, 2): (2, 1, 1, 0.5),
+        ("b.com", 0, 1): (1, 0, 0, 0.0),
+        ("c.com", 0, 1): (0, 1, 0, 0.0),   # birth
+        ("c.com", 1, 2): (1, 0, 0, 0.0),   # death
+    }
+
+    # NULL url / NULL period rows are excluded, not crash or pair
+    withnull = spark.createDataFrame(
+        rows + [(None, "https://a.com/x/y"), (0, None)],
+        "snapshot int, url string",
+    )
+    assert _drift_rows(
+        path_drift(withnull, url_col="url", period_col="snapshot")
+    ) == got
+
+    # identical sets across snapshots -> jaccard 1.0
+    stable = spark.createDataFrame(
+        [(0, "https://s.com/p"), (1, "https://s.com/p")],
+        "snapshot int, url string",
+    )
+    (r,) = path_drift(stable, period_col="snapshot").collect()
+    assert (r.domain, r.jaccard) == ("s.com", 1.0)
+
+    # a single snapshot has no consecutive pair -> empty output
+    single = spark.createDataFrame(
+        [(0, "https://s.com/p")], "snapshot int, url string"
+    )
+    assert path_drift(single, period_col="snapshot").count() == 0
+
+
+def test_path_drift_gap_periods_pair_consecutively(spark):
+    """Periods need not be dense: lead() pairs each period with the
+    next OBSERVED one (snap 0 -> snap 5), the rbo_drift convention."""
+    from dwds_livestream_spark.operators.urls import path_drift
+
+    df = spark.createDataFrame(
+        [(0, "https://g.com/a"), (5, "https://g.com/a"),
+         (5, "https://g.com/b")],
+        "snapshot int, url string",
+    )
+    got = _drift_rows(path_drift(df, period_col="snapshot"))
+    assert got == {("g.com", 0, 5): (1, 2, 1, 0.5)}
+
+
+def test_path_novelty_vs_brute_force(spark):
+    from dwds_livestream_spark.operators.urls import path_novelty
+
+    rows = [
+        (0, "https://a.com/x"),
+        (0, "https://a.com/y"),
+        (0, "https://www.a.com/x"),      # same (domain, path) as row 0
+        (1, "https://a.com/x"),          # carried over
+        (1, "https://a.com/z"),          # new
+        (1, "https://b.com/x"),          # new domain -> new URL
+        (2, "https://a.com/z"),          # all carried over
+        (2, "https://b.com/x"),
+    ]
+    df = spark.createDataFrame(rows, "snapshot int, url string")
+    got = {
+        r.snapshot: (r.n_urls, r.n_new, r.novelty)
+        for r in path_novelty(df, period_col="snapshot").collect()
+    }
+    assert got == {
+        0: (2, 2, 1.0),                  # first snapshot: all new
+        1: (3, 2, pytest.approx(2 / 3, abs=1e-6)),
+        2: (2, 0, 0.0),                  # fully saturated
+    }
+
+    # NULL url / period rows excluded
+    withnull = spark.createDataFrame(
+        rows + [(None, "https://a.com/x"), (1, None)],
+        "snapshot int, url string",
+    )
+    assert {
+        r.snapshot: (r.n_urls, r.n_new, r.novelty)
+        for r in path_novelty(withnull, period_col="snapshot").collect()
+    } == got
+
+
+def test_ks_panel_vs_brute_force(spark):
+    from dwds_livestream_spark.operators.curation import ks_panel
+
+    sample = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 2), ("b", 7), ("b", 9)],
+        "source string, n_chars long",
+    )
+    ref = spark.createDataFrame(
+        [(v,) for v in (1, 2, 4, 4, 5)], "n_chars long"
+    )
+    got = {
+        r.source: (r.n_sample, r.n_ref, r.ks)
+        for r in ks_panel(sample, ref).collect()
+    }
+
+    def ks(vals, rvals):
+        pts = sorted(set(vals) | set(rvals))
+        def e(vs, x):
+            return sum(1 for v in vs if v <= x) / len(vs)
+        return round(max(abs(e(vals, x) - e(rvals, x)) for x in pts), 6)
+
+    assert got.keys() == {"a", "b"}
+    assert got["a"] == (3, 5, pytest.approx(ks([1, 2, 2], [1, 2, 4, 4, 5]), abs=1e-9))
+    # b's support is fully above the reference -> ks 1.0
+    assert got["b"] == (2, 5, 1.0)
+
+    # each group against itself as reference -> 0 for the full match
+    same = {
+        r.source: r.ks
+        for r in ks_panel(
+            sample.where("source = 'a'"),
+            sample.where("source = 'a'").select("n_chars"),
+        ).collect()
+    }
+    assert same == {"a": 0.0}
+
+    # degenerate reference (empty): truthful counts, NULL ks
+    empty = spark.createDataFrame([], "n_chars long")
+    rows = ks_panel(sample, empty).collect()
+    assert {(r.source, r.n_sample, r.n_ref, r.ks) for r in rows} == {
+        ("a", 3, 0, None), ("b", 2, 0, None)
+    }
+
+    # NULL groups / NULL values excluded
+    withnull = spark.createDataFrame(
+        [("a", 1), ("a", None), (None, 5)], "source string, n_chars long"
+    )
+    (only,) = ks_panel(withnull, ref).collect()
+    assert (only.source, only.n_sample) == ("a", 1)

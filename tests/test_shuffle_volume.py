@@ -519,3 +519,36 @@ def test_quota_sample_ks_histogram_bounded(spark):
     r = _measure(spark, "quota_sample_ks")
     assert r["scan_rows"] > 0
     assert r["shuffle_records"] <= r["scan_rows"] * 2, r
+
+
+def test_temporal_path_drift_key_bounded(spark):
+    # the corpus folds ONCE to distinct (domain, snapshot, path)
+    # tuples; every later exchange (sizes, intersection, outer
+    # assembly) is keyed on that distinct frame — short strings only,
+    # text never crosses the wire, no all-pairs fan-out
+    r = _measure(spark, "temporal_path_drift")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] <= r["scan_rows"] * 4, r
+    assert r["shuffle_bytes"] / max(r["shuffle_records"], 1) < 64, r
+
+
+def test_path_novelty_single_fold(spark):
+    # one distinct (domain, snapshot, path) fold; first-period min()
+    # and per-snapshot counts are map-side-combined key frames — no
+    # window, no text on the wire
+    r = _measure(spark, "path_novelty")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] <= r["scan_rows"] * 3, r
+    assert r["shuffle_bytes"] / max(r["shuffle_records"], 1) < 64, r
+
+
+def test_ks_source_panel_histogram_bounded(spark):
+    # per-source and corpus histograms fold map-side; the reference
+    # histogram and totals move by BROADCAST; ECDF windows are
+    # group-partitioned over (group x value-domain)-sized grids
+    r = _measure(spark, "ks_source_panel")
+    assert r["scan_rows"] > 0
+    # grid rows = groups x distinct values — bounded by a small
+    # multiple of the value-domain fold, far under corpus x groups
+    assert r["shuffle_records"] <= r["scan_rows"] * 30, r
+    assert r["broadcast_bytes"] > 0, "reference histogram must broadcast"
