@@ -755,10 +755,75 @@ def dup_rate_by_group(
     )
 
 
+
+def _ks_quantize(
+    sample: DataFrame,
+    reference: DataFrame,
+    value_col: str,
+    bins: int,
+    keep_cols: tuple[str, ...] = (),
+) -> tuple[DataFrame, DataFrame]:
+    """Shared binned-KS quantizer (the ``bins=`` path of
+    :func:`ks_distance` / :func:`ks_panel`): replace ``value_col`` on
+    BOTH inputs with a common equal-width bucket index over the
+    combined [min, max] range, so the downstream histogram fold is
+    ``bins``-bounded regardless of the value domain — the standard
+    binned-KS audit for continuous high-cardinality columns, as a
+    one-arg path instead of caller-side width_bucket homework.
+
+    The range comes from one 1-row min/max aggregate over the union
+    of both sides (a second corpus pass, the price of a common grid)
+    and moves by broadcast. Bucketing is plain double arithmetic
+    (subtract / divide / multiply / floor — bit-identical across
+    engines, so the oracle replicates exactly); v == max lands in the
+    top bucket, and a degenerate range (hi == lo) collapses to one
+    bucket (ks 0 against any same-range reference). Binned D is a
+    lower bound on exact D with grid error <= 1/bins.
+
+    Columns other than ``value_col`` and the sample's ``keep_cols``
+    (e.g. the panel's group key) are dropped — callers only read
+    those.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1: {bins}")
+    sv = sample.select(
+        *[F.col(c) for c in keep_cols], F.col(value_col).alias("__x")
+    )
+    rv = reference.select(F.col(value_col).alias("__x"))
+    stats = (
+        sv.select("__x").unionAll(rv)
+        .where(F.col("__x").isNotNull())
+        .agg(
+            F.min(F.col("__x").cast("double")).alias("__lo"),
+            F.max(F.col("__x").cast("double")).alias("__hi"),
+        )
+    )
+
+    def bucketed(df: DataFrame, keep: tuple[str, ...]) -> DataFrame:
+        x = F.col("__x").cast("double")
+        width_pos = (
+            F.floor((x - F.col("__lo")) / (F.col("__hi") - F.col("__lo"))
+                    * F.lit(float(bins)))
+            + F.lit(1)
+        )
+        b = (
+            F.when(F.col("__x").isNull(), F.lit(None).cast("int"))
+            .when(F.col("__hi") == F.col("__lo"), F.lit(1))
+            .when(x >= F.col("__hi"), F.lit(bins))
+            .otherwise(F.greatest(F.lit(1), width_pos).cast("int"))
+        )
+        return df.crossJoin(F.broadcast(stats)).select(
+            *[F.col(c) for c in keep], b.cast("int").alias(value_col)
+        )
+
+    return bucketed(sv, keep_cols), bucketed(rv, ())
+
+
 def ks_distance(
     sample: DataFrame,
     reference: DataFrame,
     value_col: str = "n_chars",
+    bins: int | None = None,
 ) -> DataFrame:
     """Exact two-sample Kolmogorov–Smirnov distance between a sample's
     and a reference corpus's empirical distributions of ``value_col``
@@ -788,7 +853,15 @@ def ks_distance(
 
     Output: one row — n_sample, n_ref, ks (6dp; NULL when either
     side is empty).
+
+    ``bins=`` is the documented quantize-first caveat as a one-arg
+    path: both sides are bucketed onto a common ``bins``-wide grid
+    (:func:`_ks_quantize`) before the fold, so a continuous
+    high-cardinality ``value_col`` still yields a ``bins``-bounded
+    histogram and ordered pass (binned D, grid error <= 1/bins).
     """
+    if bins is not None:
+        sample, reference = _ks_quantize(sample, reference, value_col, bins)
     va = (
         sample.where(F.col(value_col).isNotNull())
         .groupBy(F.col(value_col).alias("__v"))
@@ -846,6 +919,7 @@ def ks_panel(
     reference: DataFrame,
     group_col: str = "source",
     value_col: str = "n_chars",
+    bins: int | None = None,
 ) -> DataFrame:
     """Per-group two-sample KS panel: for EVERY group in ``sample``,
     the exact Kolmogorov–Smirnov distance between that group's
@@ -874,7 +948,18 @@ def ks_panel(
 
     Output: one row per group — <group_col>, n_sample, n_ref,
     ks (6dp).
+
+    ``bins=`` buckets BOTH sides onto one common grid spanning the
+    union of every group's values and the reference
+    (:func:`_ks_quantize` keeps only (group, bucket)), so the grid —
+    and with it each group's ECDF pass — is ``bins``-bounded on any
+    value domain; all groups stay comparable because they share the
+    grid.
     """
+    if bins is not None:
+        sample, reference = _ks_quantize(
+            sample, reference, value_col, bins, keep_cols=(group_col,)
+        )
     g = F.col(group_col)
     v = F.col(value_col)
     hg = (

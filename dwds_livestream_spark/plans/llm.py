@@ -3563,6 +3563,76 @@ GROUP BY 1, 2, 3
 """
 
 
+KS_BINS = 32
+
+
+def q_ks_value_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned per-group KS panel on a CONTINUOUS column
+    (operators/curation.ks_panel(bins=) — the quantize-first caveat
+    as a one-arg path): each event_type's `value` distribution vs all
+    events, bucketed onto one common 32-bin grid, so the histogram
+    and every ECDF pass are bins-bounded on any value domain."""
+    from ..operators.curation import ks_panel
+
+    ev = _t(spark, sf_dir, "events")
+    return ks_panel(
+        ev, ev, group_col="event_type", value_col="value", bins=KS_BINS
+    )
+
+
+ORACLE_KS_VALUE_BINNED = f"""
+WITH st AS (
+  SELECT min(value) AS lo, max(value) AS hi
+  FROM events WHERE value IS NOT NULL),
+sb AS (
+  SELECT event_type AS g,
+         CASE WHEN hi = lo THEN 1
+              WHEN value >= hi THEN {KS_BINS}
+              ELSE GREATEST(1,
+                CAST(FLOOR((value - lo) / (hi - lo) * {KS_BINS}.0)
+                     AS INT) + 1)
+         END AS v
+  FROM events, st
+  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+rb AS (
+  SELECT CASE WHEN hi = lo THEN 1
+              WHEN value >= hi THEN {KS_BINS}
+              ELSE GREATEST(1,
+                CAST(FLOOR((value - lo) / (hi - lo) * {KS_BINS}.0)
+                     AS INT) + 1)
+         END AS v
+  FROM events, st WHERE value IS NOT NULL),
+hg AS (SELECT g, v, count(*) AS ca FROM sb GROUP BY 1, 2),
+hr AS (SELECT v, count(*) AS cb FROM rb GROUP BY 1),
+grp AS (SELECT g, SUM(ca) AS n_sample FROM hg GROUP BY 1),
+rt AS (SELECT CAST(coalesce(SUM(cb), 0) AS BIGINT) AS n_ref FROM hr),
+grid AS (
+  SELECT g, v FROM hg
+  UNION
+  SELECT grp.g, hr.v FROM grp, hr),
+m AS (
+  SELECT grid.g, grid.v,
+         coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+  FROM grid
+  LEFT JOIN hg ON hg.g = grid.g AND hg.v = grid.v
+  LEFT JOIN hr ON hr.v = grid.v),
+c AS (
+  SELECT g,
+         SUM(ca) OVER (PARTITION BY g ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cca,
+         SUM(cb) OVER (PARTITION BY g ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS ccb
+  FROM m)
+SELECT g AS event_type,
+       CAST(n_sample AS BIGINT) AS n_sample,
+       n_ref,
+       ROUND(MAX(ABS(cca * 1.0 / n_sample - ccb * 1.0 / n_ref)), 6)
+         + 0.0 AS ks
+FROM c JOIN grp USING (g) CROSS JOIN rt
+GROUP BY 1, 2, 3
+"""
+
+
 RBO_DRIFT_DEPTH = 20
 
 

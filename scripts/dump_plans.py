@@ -66,6 +66,27 @@ HEADLINE = {
         "binned-KS audit — before the fold. Degenerate inputs (either side "
         "empty/all-NULL) return one row with true counts and NULL ks"
     ),
+    "temporal_path_drift": (
+        "per-domain URL-set Jaccard across consecutive snapshots: one "
+        "distinct (domain, snapshot, path) fold, calendar-bounded broadcast "
+        "pair frame, one equi intersection join, jaccard-0 births/deaths"
+    ),
+    "path_novelty": (
+        "per-snapshot first-seen fraction: the prefix scan collapses into a "
+        "min() keyed on (domain, path) — Window-free, all aggregates "
+        "map-side combined"
+    ),
+    "ks_source_panel": (
+        "grouped KS panel: per-source histograms + broadcast reference "
+        "histogram, union evaluation grid, ECDF windows PARTITIONED BY "
+        "GROUP — no single-partition pass (contrast quota_sample_ks)"
+    ),
+    "ks_value_binned": (
+        "binned KS on a continuous column: both sides bucket onto one "
+        "32-bin grid (1-row min/max broadcast, engine-identical double "
+        "arithmetic) — histogram and ECDF passes bins-bounded on any "
+        "value domain; the quantize-first caveat as a one-arg path"
+    ),
 }
 
 

@@ -317,6 +317,25 @@ AUDITS: dict[str, str] = {
         "histograms before the merge; the ordered pass runs on the "
         "histogram, never corpus rows"
     ),
+    "temporal_path_drift": (
+        "snapshot drift: one distinct (domain, snapshot, path) fold; "
+        "pair frame broadcast; intersection is an equi join on short "
+        "strings - text never shuffles, no all-pairs"
+    ),
+    "path_novelty": (
+        "crawl novelty: the distinct fold plus keyed min()/count() "
+        "aggregates only - Window-free, every exchange key-sized"
+    ),
+    "ks_source_panel": (
+        "grouped KS panel: per-source histograms shuffle; reference "
+        "histogram + totals broadcast; ECDF windows partitioned by "
+        "group over the (group x value) grid"
+    ),
+    "ks_value_binned": (
+        "binned KS: continuous values bucket onto one 32-bin grid "
+        "(1-row min/max broadcast) before the fold - histograms and "
+        "ECDF passes bins-bounded on any value domain"
+    ),
 }
 
 def audit_one(spark, name: str, sf_dir: str) -> dict:

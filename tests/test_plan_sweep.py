@@ -47,6 +47,10 @@ NESTED_LOOP_OK = {
     "regex_antijoin": "pattern table broadcast-small by contract",
     "countmin_words": "1-row bounds cross join",
     "quota_sample_ks": "1-row ECDF-totals cross join",
+    "ks_source_panel": "1-row reference-total cross join (the per-group "
+                       "frames join by key; only the scalar n_ref crosses)",
+    "ks_value_binned": "1-row bin-range + reference-total cross joins "
+                       "(scalars broadcast; histograms join by key)",
     "bm25_topk": "1-row corpus-stats cross join",
     "lm_perplexity": "1-row model-stats cross join",
     "ppl_buckets": "1-row tercile-bounds cross join",

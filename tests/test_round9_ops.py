@@ -165,3 +165,53 @@ def test_ks_panel_vs_brute_force(spark):
     )
     (only,) = ks_panel(withnull, ref).collect()
     assert (only.source, only.n_sample) == ("a", 1)
+
+
+def test_ks_binned_matches_exact_on_integer_grid(spark):
+    """With bins >= the distinct-value count and integer values, the
+    binned D must be ordinally equivalent to exact D wherever the grid
+    separates the same values; with a coarse grid it is a lower bound
+    on exact D."""
+    from dwds_livestream_spark.operators.curation import (
+        ks_distance,
+        ks_panel,
+    )
+
+    a = spark.createDataFrame(
+        [(v,) for v in (1, 2, 2, 3, 7)], "n_chars long"
+    )
+    b = spark.createDataFrame(
+        [(v,) for v in (1, 2, 4, 4, 5, 9)], "n_chars long"
+    )
+    (exact,) = ks_distance(a, b).collect()
+    # 1024 bins over [1, 9]: every integer lands in its own bucket
+    (fine,) = ks_distance(a, b, bins=1024).collect()
+    assert fine.ks == pytest.approx(exact.ks, abs=1e-9)
+    assert (fine.n_sample, fine.n_ref) == (5, 6)
+    # a coarse grid can only merge evaluation points -> lower bound
+    (coarse,) = ks_distance(a, b, bins=2).collect()
+    assert coarse.ks <= exact.ks + 1e-9
+
+    # degenerate range (all values equal) -> one bucket, ks 0
+    c = spark.createDataFrame([(5,), (5,)], "n_chars long")
+    (dg,) = ks_distance(c, c, bins=8).collect()
+    assert dg.ks == 0.0
+
+    # panel: same grid across groups, group keys survive
+    s = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 8.5), ("b", 9.0)],
+        "source string, n_chars double",
+    )
+    r = spark.createDataFrame(
+        [(v,) for v in (1.0, 2.0, 8.5, 9.0)], "n_chars double"
+    )
+    rows = {x.source: x for x in ks_panel(s, r, bins=512).collect()}
+    assert set(rows) == {"a", "b"}
+    assert rows["a"].n_sample == 2 and rows["a"].n_ref == 4
+    # group a occupies the bottom of the shared grid: D = |1 - 0.5|
+    assert rows["a"].ks == pytest.approx(0.5, abs=1e-6)
+    assert rows["b"].ks == pytest.approx(0.5, abs=1e-6)
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ks_distance(a, b, bins=0)

@@ -552,3 +552,13 @@ def test_ks_source_panel_histogram_bounded(spark):
     # multiple of the value-domain fold, far under corpus x groups
     assert r["shuffle_records"] <= r["scan_rows"] * 30, r
     assert r["broadcast_bytes"] > 0, "reference histogram must broadcast"
+
+
+def test_ks_value_binned_grid_bounded(spark):
+    # continuous values bucket onto ONE 32-bin grid before the fold:
+    # per-group histograms are <= groups x bins rows; the bin-range
+    # stats and reference totals move as 1-row broadcasts
+    r = _measure(spark, "ks_value_binned")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] < r["scan_rows"], r
+    assert r["broadcast_bytes"] > 0, "bin range must broadcast"
