@@ -810,7 +810,15 @@ def _ks_quantize(
             F.when(F.col("__x").isNull(), F.lit(None).cast("int"))
             .when(F.col("__hi") == F.col("__lo"), F.lit(1))
             .when(x >= F.col("__hi"), F.lit(bins))
-            .otherwise(F.greatest(F.lit(1), width_pos).cast("int"))
+            # clamp BOTH ends: (x-lo)/(hi-lo) can round to exactly 1.0
+            # for x strictly below hi (wide ranges), so without the
+            # least() a near-max value lands in bucket bins+1 —
+            # breaking the documented [1, bins] bound (review r9 #1)
+            .otherwise(
+                F.least(
+                    F.lit(bins), F.greatest(F.lit(1), width_pos)
+                ).cast("int")
+            )
         )
         return df.crossJoin(F.broadcast(stats)).select(
             *[F.col(c) for c in keep], b.cast("int").alias(value_col)

@@ -277,6 +277,29 @@ def path_neardup_pairs(
     )
 
 
+
+def _distinct_domain_period_paths(
+    df: DataFrame, url_col: str, period_col: str
+) -> DataFrame:
+    """Shared snapshot fold of :func:`path_drift` /
+    :func:`path_novelty`: the corpus reduced ONCE to DISTINCT
+    (domain, __p, __path) tuples — short strings only, text never
+    shuffles (the module's candidate-fold contract); NULL url/period
+    rows excluded. Lazily checkpointed because every caller fans it
+    out to multiple consumers (the multi-consumer convention)."""
+    u = F.col(url_col)
+    return (
+        df.where(u.isNotNull() & F.col(period_col).isNotNull())
+        .select(
+            registered_domain(url_host(u)).alias("domain"),
+            F.col(period_col).alias("__p"),
+            url_path(u).alias("__path"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+
 def path_drift(
     df: DataFrame,
     url_col: str = "url",
@@ -315,20 +338,7 @@ def path_drift(
     from pyspark.sql import Window
 
     next_col = f"next_{period_col}"
-    u = F.col(url_col)
-    keyed = (
-        df.where(u.isNotNull() & F.col(period_col).isNotNull())
-        .select(
-            registered_domain(url_host(u)).alias("domain"),
-            F.col(period_col).alias("__p"),
-            url_path(u).alias("__path"),
-        )
-        .distinct()
-        # feeds periods, sizes and both join sides; pin so the corpus
-        # scan + distinct fold run once (the module's multi-consumer
-        # convention)
-        .localCheckpoint(eager=False)
-    )
+    keyed = _distinct_domain_period_paths(df, url_col, period_col)
     periods = keyed.select("__p").distinct()
     pairs = periods.select(
         "__p",
@@ -401,18 +411,7 @@ def path_novelty(
     novelty (6dp = n_new / n_urls; n_urls >= 1 whenever the row
     exists, so the division is ANSI-safe).
     """
-    u = F.col(url_col)
-    keyed = (
-        df.where(u.isNotNull() & F.col(period_col).isNotNull())
-        .select(
-            registered_domain(url_host(u)).alias("domain"),
-            F.col(period_col).alias("__p"),
-            url_path(u).alias("__path"),
-        )
-        .distinct()
-        # feeds the per-snapshot counts and the first-period fold
-        .localCheckpoint(eager=False)
-    )
+    keyed = _distinct_domain_period_paths(df, url_col, period_col)
     first = keyed.groupBy("domain", "__path").agg(
         F.min("__p").alias("__first")
     )

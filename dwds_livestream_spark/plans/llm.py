@@ -2758,12 +2758,14 @@ def q_lm_artifact_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (ROADMAP r8 / VERDICT r7 #3): registered BEFORE the r8 window froze,
 # each with the full evidence kit the day it landed.
 
-def _url_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The documents table with a deterministic derived ``url`` column
-    (the table carries none): subdomain / ccSLD tld / port /
-    trailing-slash / query variants all exercised, every piece a pure
-    function of (doc_id, source, lang) so the oracles re-derive the
-    SAME string in SQL. Shared by the URL-family registry queries."""
+def _url_host_cols() -> tuple:
+    """The shared deterministic host recipe of every URL-family
+    fixture (``_url_documents``, ``_slug_url_documents``,
+    ``_snapshot_url_documents`` — review r9 #3 deduplicated the three
+    verbatim copies): subdomain by doc_id % 4, ccSLD-exercising tld
+    by lang; both pure functions of (doc_id, lang) so the DuckDB
+    oracles re-derive the SAME strings in SQL. Returns (sub, tld)
+    Columns."""
     d = F.col("doc_id")
     sub = (
         F.when(d % 4 == 0, "www.")
@@ -2779,6 +2781,17 @@ def _url_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("lang") == "fr", "fr")
         .otherwise("org")
     )
+    return sub, tld
+
+
+def _url_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table with a deterministic derived ``url`` column
+    (the table carries none): subdomain / ccSLD tld / port /
+    trailing-slash / query variants all exercised, every piece a pure
+    function of (doc_id, source, lang) so the oracles re-derive the
+    SAME string in SQL. Shared by the URL-family registry queries."""
+    d = F.col("doc_id")
+    sub, tld = _url_host_cols()
     url = F.concat(
         F.lit("https://"),
         sub,
@@ -3292,20 +3305,7 @@ def _slug_url_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     path-segment Jaccard a meaningful near-dup signal instead of the
     degenerate '/doc/<n>' two-segment path."""
     d = F.col("doc_id")
-    sub = (
-        F.when(d % 4 == 0, "www.")
-        .when(d % 4 == 1, "cdn.")
-        .when(d % 4 == 2, "api.")
-        .otherwise("")
-    )
-    tld = (
-        F.when(F.col("lang") == "en", "com")
-        .when(F.col("lang") == "de", "co.uk")
-        .when(F.col("lang") == "es", "com.es")
-        .when(F.col("lang") == "zh", "com.cn")
-        .when(F.col("lang") == "fr", "fr")
-        .otherwise("org")
-    )
+    sub, tld = _url_host_cols()
     # sanitize tokens to URL-safe chars so the oracle's raw-token
     # segment model and the operator's URL parsing (strip at ?/#,
     # split on /, drop empties) can never diverge on metacharacters
@@ -3393,20 +3393,7 @@ def _snapshot_url_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id % 3 — three interleaved crawls of the same sites, so
     consecutive-snapshot path sets drift without being disjoint."""
     d = F.col("doc_id")
-    sub = (
-        F.when(d % 4 == 0, "www.")
-        .when(d % 4 == 1, "cdn.")
-        .when(d % 4 == 2, "api.")
-        .otherwise("")
-    )
-    tld = (
-        F.when(F.col("lang") == "en", "com")
-        .when(F.col("lang") == "de", "co.uk")
-        .when(F.col("lang") == "es", "com.es")
-        .when(F.col("lang") == "zh", "com.cn")
-        .when(F.col("lang") == "fr", "fr")
-        .otherwise("org")
-    )
+    sub, tld = _url_host_cols()
     sec = F.regexp_replace(
         F.regexp_extract(F.lower(F.col("text")), r"^([^ ]*)", 1),
         "[^a-z0-9]",
@@ -3588,18 +3575,18 @@ sb AS (
   SELECT event_type AS g,
          CASE WHEN hi = lo THEN 1
               WHEN value >= hi THEN {KS_BINS}
-              ELSE GREATEST(1,
+              ELSE LEAST({KS_BINS}, GREATEST(1,
                 CAST(FLOOR((value - lo) / (hi - lo) * {KS_BINS}.0)
-                     AS INT) + 1)
+                     AS INT) + 1))
          END AS v
   FROM events, st
   WHERE value IS NOT NULL AND event_type IS NOT NULL),
 rb AS (
   SELECT CASE WHEN hi = lo THEN 1
               WHEN value >= hi THEN {KS_BINS}
-              ELSE GREATEST(1,
+              ELSE LEAST({KS_BINS}, GREATEST(1,
                 CAST(FLOOR((value - lo) / (hi - lo) * {KS_BINS}.0)
-                     AS INT) + 1)
+                     AS INT) + 1))
          END AS v
   FROM events, st WHERE value IS NOT NULL),
 hg AS (SELECT g, v, count(*) AS ca FROM sb GROUP BY 1, 2),

@@ -215,3 +215,23 @@ def test_ks_binned_matches_exact_on_integer_grid(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         ks_distance(a, b, bins=0)
+
+
+def test_ks_quantize_clamps_top_bucket(spark):
+    """Review r9 #1: (x-lo)/(hi-lo) can round to exactly 1.0 for x
+    strictly below hi, so the bucket expression must clamp BOTH ends
+    to [1, bins] — reproduced with the exact doubles from the review."""
+    import math
+
+    from dwds_livestream_spark.operators.curation import _ks_quantize
+
+    lo = -731.2715117751975
+    hi = 116.16237772829822
+    x = math.nextafter(hi, -math.inf)   # strictly below hi
+    s = spark.createDataFrame([(lo,), (x,)], "n_chars double")
+    r = spark.createDataFrame([(hi,)], "n_chars double")
+    qs, qr = _ks_quantize(s, r, "n_chars", 32)
+    sample_buckets = sorted(row.n_chars for row in qs.collect())
+    (ref_bucket,) = [row.n_chars for row in qr.collect()]
+    assert ref_bucket == 32
+    assert sample_buckets == [1, 32]    # was [1, 33] before the clamp
