@@ -1039,3 +1039,57 @@ def ks_panel(
         "n_ref",
         "ks",
     )
+
+
+def content_drift(
+    df: DataFrame,
+    text_col: str = "text",
+    period_col: str = "snapshot",
+    group_col: str = "source",
+    n: int = 3,
+) -> DataFrame:
+    """Per-group CONTENT drift between consecutive snapshots: Jaccard
+    between the DISTINCT word-n-gram sets a group (source / crawl
+    shard / domain) contributes in snapshot t and in the NEXT one —
+    the content twin of ``operators/urls.path_drift`` (ROADMAP r10
+    candidate): path drift sees URL-space churn, this sees what the
+    TEXT under those URLs did ("did the site actually republish, or
+    just reshuffle its routes?"). One row per (group, consecutive
+    snapshot pair); births/deaths emit jaccard-0 rows; NULL
+    group/period rows are excluded.
+
+    Distributed shape: the corpus folds ONCE to DISTINCT
+    (group, period, md5(gram)) tuples — gram text reduces to a
+    fixed-width digest BEFORE the exchange (md5, engine-independent,
+    so the oracle re-derives identical keys; the module's
+    text-never-shuffles contract), then the shared
+    ``operators/drift.set_drift`` assembly runs: calendar-bounded
+    broadcast pair frame, ONE equi intersection join, key-sized outer
+    assembly. Documents shorter than ``n`` tokens contribute no grams
+    and cannot pair — same exclusion as ``ngram_novelty``.
+
+    Output: <group_col>, <period_col>, next_<period_col>, n_prev,
+    n_next, n_common, jaccard (6dp).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    from .drift import set_drift
+
+    g = F.col(group_col)
+    p = F.col(period_col)
+    keyed = (
+        _with_shingles(
+            df.where(g.isNotNull() & p.isNotNull()), text_col, n
+        )
+        .select(
+            g.alias("__k"),
+            p.alias("__p"),
+            F.explode("__sh").alias("__gram"),
+        )
+        .select("__k", "__p", F.md5("__gram").alias("__i"))
+        .distinct()
+        # feeds the pair frame, sizes and both join sides (the
+        # multi-consumer pin set_drift's contract expects)
+        .localCheckpoint(eager=False)
+    )
+    return set_drift(keyed, key_out=group_col, period_out=period_col)

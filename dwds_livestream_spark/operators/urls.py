@@ -283,7 +283,8 @@ def _distinct_domain_period_paths(
 ) -> DataFrame:
     """Shared snapshot fold of :func:`path_drift` /
     :func:`path_novelty`: the corpus reduced ONCE to DISTINCT
-    (domain, __p, __path) tuples — short strings only, text never
+    (__k=domain, __p=period, __i=path) tuples — the
+    ``operators/drift.set_drift`` contract, short strings only, text never
     shuffles (the module's candidate-fold contract); NULL url/period
     rows excluded. Lazily checkpointed because every caller fans it
     out to multiple consumers (the multi-consumer convention)."""
@@ -291,9 +292,9 @@ def _distinct_domain_period_paths(
     return (
         df.where(u.isNotNull() & F.col(period_col).isNotNull())
         .select(
-            registered_domain(url_host(u)).alias("domain"),
+            registered_domain(url_host(u)).alias("__k"),
             F.col(period_col).alias("__p"),
-            url_path(u).alias("__path"),
+            url_path(u).alias("__i"),
         )
         .distinct()
         .localCheckpoint(eager=False)
@@ -335,53 +336,10 @@ def path_drift(
     Output: domain, <period_col>, next_<period_col>, n_prev, n_next,
     n_common, jaccard (6dp).
     """
-    from pyspark.sql import Window
+    from .drift import set_drift
 
-    next_col = f"next_{period_col}"
     keyed = _distinct_domain_period_paths(df, url_col, period_col)
-    periods = keyed.select("__p").distinct()
-    pairs = periods.select(
-        "__p",
-        F.lead("__p").over(Window.orderBy("__p")).alias("__np"),
-    ).where(F.col("__np").isNotNull())
-    sizes = keyed.groupBy("domain", "__p").agg(F.count("*").alias("__n"))
-    cur = keyed.join(F.broadcast(pairs), "__p")
-    nxt = keyed.select("domain", F.col("__p").alias("__np"), "__path")
-    common = (
-        cur.join(nxt, ["domain", "__np", "__path"])
-        .groupBy("domain", "__p", "__np")
-        .agg(F.count("*").alias("__c"))
-    )
-    a = sizes.join(F.broadcast(pairs), "__p").select(
-        "domain", "__p", "__np", F.col("__n").alias("__na")
-    )
-    b = (
-        sizes.withColumnRenamed("__p", "__np")
-        .join(F.broadcast(pairs), "__np")
-        .select("domain", "__p", "__np", F.col("__n").alias("__nb"))
-    )
-    merged = (
-        a.join(b, ["domain", "__p", "__np"], "full_outer")
-        .join(common, ["domain", "__p", "__np"], "left")
-        .select(
-            "domain",
-            F.col("__p").alias(period_col),
-            F.col("__np").alias(next_col),
-            F.coalesce("__na", F.lit(0)).cast("long").alias("n_prev"),
-            F.coalesce("__nb", F.lit(0)).cast("long").alias("n_next"),
-            F.coalesce("__c", F.lit(0)).cast("long").alias("n_common"),
-        )
-    )
-    jac = F.round(
-        F.col("n_common")
-        / (F.col("n_prev") + F.col("n_next") - F.col("n_common")),
-        6,
-    ) + F.lit(0.0)
-    return merged.select(
-        "domain", period_col, next_col,
-        "n_prev", "n_next", "n_common",
-        jac.alias("jaccard"),
-    )
+    return set_drift(keyed, key_out="domain", period_out=period_col)
 
 
 def path_novelty(
@@ -412,7 +370,7 @@ def path_novelty(
     exists, so the division is ANSI-safe).
     """
     keyed = _distinct_domain_period_paths(df, url_col, period_col)
-    first = keyed.groupBy("domain", "__path").agg(
+    first = keyed.groupBy("__k", "__i").agg(
         F.min("__p").alias("__first")
     )
     new_counts = first.groupBy(F.col("__first").alias("__p")).agg(

@@ -3550,6 +3550,64 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_content_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source content drift across consecutive snapshots
+    (operators/curation.content_drift — the content twin of
+    temporal_path_drift, via the shared set_drift assembly): Jaccard
+    of each source's distinct word-3-gram set between snapshot t and
+    t+1, gram text reduced to md5 digests before any exchange."""
+    from ..operators.curation import content_drift
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "snapshot", (F.col("doc_id") % 3).cast("int")
+    )
+    return content_drift(
+        docs, text_col="text", period_col="snapshot",
+        group_col="source", n=3,
+    )
+
+
+ORACLE_CONTENT_DRIFT = r"""
+WITH toks AS (
+  SELECT CAST(doc_id % 3 AS INT) AS snapshot, source,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> len(x) > 0) AS w
+  FROM documents WHERE source IS NOT NULL),
+d AS (
+  SELECT DISTINCT source, snapshot,
+         md5(array_to_string(w[i:i+2], ' ')) AS h
+  FROM toks, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)),
+per AS (SELECT DISTINCT snapshot FROM d),
+pairs AS (
+  SELECT snapshot, lead(snapshot) OVER (ORDER BY snapshot) AS next_snapshot
+  FROM per QUALIFY next_snapshot IS NOT NULL),
+sizes AS (SELECT source, snapshot, count(*) AS n FROM d GROUP BY 1, 2),
+common AS (
+  SELECT a.source, p.snapshot, p.next_snapshot, count(*) AS c
+  FROM pairs p
+  JOIN d a ON a.snapshot = p.snapshot
+  JOIN d b ON b.source = a.source AND b.h = a.h
+          AND b.snapshot = p.next_snapshot
+  GROUP BY 1, 2, 3),
+doms AS (
+  SELECT DISTINCT p.snapshot, p.next_snapshot, s.source
+  FROM pairs p JOIN sizes s ON s.snapshot IN (p.snapshot, p.next_snapshot))
+SELECT dm.source, dm.snapshot, dm.next_snapshot,
+       CAST(coalesce(sa.n, 0) AS BIGINT) AS n_prev,
+       CAST(coalesce(sb.n, 0) AS BIGINT) AS n_next,
+       CAST(coalesce(c.c, 0) AS BIGINT) AS n_common,
+       ROUND(coalesce(c.c, 0) * 1.0
+             / (coalesce(sa.n, 0) + coalesce(sb.n, 0) - coalesce(c.c, 0)),
+             6) + 0.0 AS jaccard
+FROM doms dm
+LEFT JOIN sizes sa ON sa.source = dm.source AND sa.snapshot = dm.snapshot
+LEFT JOIN sizes sb ON sb.source = dm.source
+                  AND sb.snapshot = dm.next_snapshot
+LEFT JOIN common c ON c.source = dm.source AND c.snapshot = dm.snapshot
+                  AND c.next_snapshot = dm.next_snapshot
+"""
+
+
 KS_BINS = 32
 
 

@@ -87,6 +87,11 @@ HEADLINE = {
         "arithmetic) — histogram and ECDF passes bins-bounded on any "
         "value domain; the quantize-first caveat as a one-arg path"
     ),
+    "content_drift": (
+        "per-source n-gram-set drift: md5-digest fold, shared set_drift "
+        "assembly (calendar-bounded broadcast pair frame, one equi "
+        "intersection join) — the content twin of temporal_path_drift"
+    ),
 }
 
 

@@ -336,6 +336,11 @@ AUDITS: dict[str, str] = {
         "(1-row min/max broadcast) before the fold - histograms and "
         "ECDF passes bins-bounded on any value domain"
     ),
+    "content_drift": (
+        "content drift: gram text reduces to md5 digests before the "
+        "distinct fold; all exchanges (group, snapshot, digest)-keyed "
+        "- document text never crosses the wire"
+    ),
 }
 
 def audit_one(spark, name: str, sf_dir: str) -> dict:

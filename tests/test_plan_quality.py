@@ -459,3 +459,17 @@ def test_ks_source_panel_group_partitioned_ecdf(spark, sf_dir):
     # degenerate-safe divisions, as in ks_distance (ADVICE r8)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("try_divide") == 2
+
+
+def test_content_drift_shared_assembly_shape(spark, sf_dir):
+    """content_drift inherits set_drift's shape: the only Window is
+    the calendar lead over DISTINCT snapshots; no cartesian; the pair
+    frame broadcasts."""
+    from dwds_livestream_spark.plans import llm as L
+
+    plan = _plan(L.q_content_drift(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window [") >= 1
+    assert plan.count("Window [") == plan.count("Window [lead(__p")
+    assert "BroadcastExchange" in plan

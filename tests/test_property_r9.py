@@ -144,3 +144,62 @@ def test_ks_panel_matches_naive(spark, samp, ref):
         ks = round(max(abs(ecdf(vals, x) - ecdf(ref, x)) for x in pts), 6)
         assert got[g][:2] == (len(vals), len(ref)), g
         assert abs(got[g][2] - ks) < 1e-9, g
+
+
+# (snapshot, group idx, token-index tuple) documents — tiny vocab
+# forces gram overlap across snapshots
+doc_corpora = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=0, max_value=1),
+        st.lists(st.integers(min_value=0, max_value=3), min_size=0,
+                 max_size=6),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@SET
+@given(rows=doc_corpora)
+def test_content_drift_matches_naive(spark, rows):
+    from dwds_livestream_spark.operators.curation import content_drift
+
+    n = 2
+    data = [
+        (s, f"g{g}", " ".join(f"w{t}" for t in toks))
+        for s, g, toks in rows
+    ]
+    df = spark.createDataFrame(
+        data, "snapshot int, source string, text string"
+    )
+    got = {
+        (r.source, r.snapshot, r.next_snapshot): (
+            r.n_prev, r.n_next, r.n_common, r.jaccard
+        )
+        for r in content_drift(
+            df, period_col="snapshot", n=n
+        ).collect()
+    }
+
+    by = collections.defaultdict(set)
+    for s, g, toks in rows:
+        words = [f"w{t}" for t in toks]
+        for i in range(len(words) - n + 1):
+            by[(f"g{g}", s)].add(" ".join(words[i:i + n]))
+    # groups with zero grams in a snapshot contribute no set row
+    by = {k: v for k, v in by.items() if v}
+    snaps = sorted({s for (_, s) in by})
+    expect = {}
+    for a, b in zip(snaps, snaps[1:]):
+        gs = {g for (g, s) in by if s in (a, b)}
+        for g in gs:
+            pa, pb = by.get((g, a), set()), by.get((g, b), set())
+            c = len(pa & pb)
+            expect[(g, a, b)] = (
+                len(pa), len(pb), c, round(c / len(pa | pb), 6)
+            )
+    assert set(got) == set(expect)
+    for k, (na, nb, c, j) in expect.items():
+        assert got[k][:3] == (na, nb, c), k
+        assert abs(got[k][3] - j) < 1e-9, k

@@ -235,3 +235,50 @@ def test_ks_quantize_clamps_top_bucket(spark):
     (ref_bucket,) = [row.n_chars for row in qr.collect()]
     assert ref_bucket == 32
     assert sample_buckets == [1, 32]    # was [1, 33] before the clamp
+
+
+def test_content_drift_vs_brute_force(spark):
+    from dwds_livestream_spark.operators.curation import content_drift
+
+    rows = [
+        # src a, snap 0: grams of "x y z w" = {x y z, y z w}
+        (0, "a", "x y z w"),
+        # snap 1 doc shares one gram: "x y z" -> {x y z}
+        (1, "a", "x y z"),
+        # snap 1 also adds a disjoint doc
+        (1, "a", "p q r"),
+        # src b: identical text both snaps -> jaccard 1
+        (0, "b", "m n o"),
+        (1, "b", "m n o"),
+        # src c: only in snap 0 -> death row
+        (0, "c", "d e f"),
+        # too-short doc contributes nothing
+        (1, "c", "hi"),
+    ]
+    df = spark.createDataFrame(rows, "snapshot int, source string, text string")
+    got = {
+        (r.source, r.snapshot, r.next_snapshot): (
+            r.n_prev, r.n_next, r.n_common, r.jaccard
+        )
+        for r in content_drift(df, period_col="snapshot", n=3).collect()
+    }
+    assert got == {
+        # a: prev {xyz, yzw}, next {xyz, pqr} -> common 1, union 3
+        ("a", 0, 1): (2, 2, 1, pytest.approx(1 / 3, abs=1e-6)),
+        ("b", 0, 1): (1, 1, 1, 1.0),
+        ("c", 0, 1): (1, 0, 0, 0.0),   # the short doc adds no grams
+    }
+
+    # NULL group / period rows excluded
+    withnull = spark.createDataFrame(
+        rows + [(None, "a", "x y z"), (0, None, "x y z")],
+        "snapshot int, source string, text string",
+    )
+    assert {
+        (r.source, r.snapshot, r.next_snapshot)
+        for r in content_drift(withnull, period_col="snapshot", n=3).collect()
+    } == set(got)
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        content_drift(df, n=0)

@@ -562,3 +562,14 @@ def test_ks_value_binned_grid_bounded(spark):
     assert r["scan_rows"] > 0
     assert r["shuffle_records"] < r["scan_rows"], r
     assert r["broadcast_bytes"] > 0, "bin range must broadcast"
+
+
+def test_content_drift_digest_bounded(spark):
+    # gram text reduces to md5 digests BEFORE the distinct fold; all
+    # later exchanges are (source, snapshot, digest)-keyed — document
+    # text never crosses the wire, no all-pairs fan-out
+    r = _measure(spark, "content_drift")
+    assert r["scan_rows"] > 0
+    # digests per doc ~ tokens; bounded by a small multiple of corpus
+    # token volume, and bytes/record stays digest-sized
+    assert r["shuffle_bytes"] / max(r["shuffle_records"], 1) < 80, r
