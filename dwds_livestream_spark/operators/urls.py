@@ -242,13 +242,23 @@ def path_neardup_pairs(
         id_col, "domain", F.explode("__segs").alias("__seg")
     )
     if max_segment_df is not None:
-        dfreq = seg.groupBy("domain", "__seg").agg(
-            F.count("*").alias("__df")
+        # postings cap as a BANNED-KEY anti join (r9 perf audit): the
+        # over-cap keys are rare by construction (<= postings/cap), so
+        # they broadcast and the postings frame is filtered map-side —
+        # no second shuffle of the postings, and the df count itself is
+        # a partial-combined hash agg (skew-safe where a window count
+        # would buffer a hot (domain, segment) partition whole). The
+        # lazy checkpoint shares the explode between the count and the
+        # probe; measured 2.3-2.5 s -> 1.2-1.6 s at sf0.1 (the cap is
+        # now ~free against the uncapped path).
+        seg = seg.localCheckpoint(eager=False)
+        banned = (
+            seg.groupBy("domain", "__seg")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") > max_segment_df)
+            .select("domain", "__seg")
         )
-        seg = seg.join(
-            dfreq.where(F.col("__df") <= max_segment_df),
-            ["domain", "__seg"],
-        ).select(id_col, "domain", "__seg")
+        seg = seg.join(banned, ["domain", "__seg"], "left_anti")
     # sizes AFTER the cap (containment_pairs convention): Jaccard is
     # over the sets the index actually pairs on
     sizes = seg.groupBy(id_col).agg(F.count("*").alias("__n"))
