@@ -718,7 +718,7 @@ def zipf_fit(
 
 def dup_rate_by_group(
     df: DataFrame,
-    group_col: str = "source",
+    group_col: "str | list[str]" = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -726,6 +726,8 @@ def dup_rate_by_group(
     of ``exact_dedup`` (which crawl shard / source is feeding us
     copies?): n_docs, n_unique (distinct md5 digests), n_dup_docs
     (docs beyond the first per digest) and dup_rate per group.
+    ``group_col`` may be a list for composite keys — e.g.
+    ``["source", "snapshot"]``, the :func:`dup_rate_drift` fold.
 
     One groupBy(group) with a two-phase distinct over 16-byte digests
     — text never shuffles; per-group skew is safe because only
@@ -734,10 +736,11 @@ def dup_rate_by_group(
     ``keeper_id`` is the group's min ``id_col`` — the same canonical-
     survivor convention as ``exact_dedup`` / ``domain_dedup``.
     """
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
     digest = F.md5(F.col(text_col))
     return (
-        df.select(F.col(group_col), digest.alias("__d"), F.col(id_col))
-        .groupBy(group_col)
+        df.select(*[F.col(g) for g in groups], digest.alias("__d"), F.col(id_col))
+        .groupBy(*groups)
         .agg(
             F.count("*").alias("n_docs"),
             F.countDistinct("__d").alias("n_unique"),
@@ -1093,3 +1096,77 @@ def content_drift(
         .localCheckpoint(eager=False)
     )
     return set_drift(keyed, key_out=group_col, period_out=period_col)
+
+
+def dup_rate_drift(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    period_col: str = "snapshot",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group exact-duplicate-mass drift between consecutive
+    snapshots: each group's ``dup_rate`` in snapshot t next to its
+    rate in t+1 and the delta — the exact-dup leg of the temporal
+    audit family (``path_drift`` watches URL churn, ``content_drift``
+    watches n-gram churn, this watches whether a shard STARTED
+    feeding copies — the classic crawler-loop / mirror-onboarding
+    regression signal). NULL group/period rows are excluded.
+
+    Distributed shape: one :func:`dup_rate_by_group` fold on the
+    composite (group, period) key — two-phase distinct over md5
+    digests, text never shuffles — then the ``rbo_drift``-style
+    consecutive-pair frame (lead() over DISTINCT periods, calendar-
+    bounded, broadcast) and ONE group-period-keyed join between the
+    two sides. Unlike the set-drift family a group absent from one
+    side has NO defined rate (not 0), so pairs emit only where the
+    group has docs in BOTH snapshots — births/deaths belong to
+    ``path_drift``/``content_drift``'s jaccard-0 rows, rate deltas
+    don't fabricate them.
+
+    Output: <group_col>, <period_col>, next_<period_col>, n_docs,
+    next_n_docs, dup_rate, next_dup_rate, delta (6dp,
+    next_dup_rate - dup_rate; both rates are already 6dp so the
+    difference is exact).
+    """
+    from pyspark.sql import Window
+
+    next_col = f"next_{period_col}"
+    g = F.col(group_col)
+    p = F.col(period_col)
+    stats = dup_rate_by_group(
+        df.where(g.isNotNull() & p.isNotNull()),
+        group_col=[group_col, period_col],
+        text_col=text_col,
+        id_col=id_col,
+    ).select(
+        group_col, period_col, "n_docs", "dup_rate"
+    ).localCheckpoint(eager=False)
+    periods = stats.select(period_col).distinct()
+    pairs = periods.select(
+        period_col,
+        F.lead(period_col).over(Window.orderBy(period_col)).alias(next_col),
+    ).where(F.col(next_col).isNotNull())
+    cur = stats.join(F.broadcast(pairs), period_col)
+    nxt = stats.select(
+        g,
+        p.alias(next_col),
+        F.col("n_docs").alias("next_n_docs"),
+        F.col("dup_rate").alias("next_dup_rate"),
+    )
+    return (
+        cur.join(nxt, [group_col, next_col])
+        .select(
+            group_col,
+            period_col,
+            next_col,
+            "n_docs",
+            "next_n_docs",
+            "dup_rate",
+            "next_dup_rate",
+            (
+                F.round(F.col("next_dup_rate") - F.col("dup_rate"), 6)
+                + F.lit(0.0)
+            ).alias("delta"),
+        )
+    )

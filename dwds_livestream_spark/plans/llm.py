@@ -3608,6 +3608,45 @@ LEFT JOIN common c ON c.source = dm.source AND c.snapshot = dm.snapshot
 """
 
 
+def q_dup_rate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-dup-mass drift across consecutive snapshots
+    (operators/curation.dup_rate_drift — the exact-dup leg of the
+    temporal audit family): each source's md5-digest dup_rate in
+    snapshot t vs t+1 plus the delta; pairs emit only where the
+    source has docs in BOTH snapshots."""
+    from ..operators.curation import dup_rate_drift
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "snapshot", (F.col("doc_id") % 3).cast("int")
+    )
+    return dup_rate_drift(
+        docs, text_col="text", group_col="source",
+        period_col="snapshot", id_col="doc_id",
+    )
+
+
+ORACLE_DUP_RATE_DRIFT = """
+WITH s AS (
+  SELECT source, CAST(doc_id % 3 AS INT) AS snapshot,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         ROUND((count(*) - count(DISTINCT md5(text))) * 1.0 / count(*),
+               6) + 0.0 AS dup_rate
+  FROM documents WHERE source IS NOT NULL
+  GROUP BY 1, 2),
+per AS (SELECT DISTINCT snapshot FROM s),
+pairs AS (
+  SELECT snapshot, lead(snapshot) OVER (ORDER BY snapshot) AS next_snapshot
+  FROM per QUALIFY next_snapshot IS NOT NULL)
+SELECT a.source, p.snapshot, p.next_snapshot,
+       a.n_docs, b.n_docs AS next_n_docs,
+       a.dup_rate, b.dup_rate AS next_dup_rate,
+       ROUND(b.dup_rate - a.dup_rate, 6) + 0.0 AS delta
+FROM pairs p
+JOIN s a ON a.snapshot = p.snapshot
+JOIN s b ON b.source = a.source AND b.snapshot = p.next_snapshot
+"""
+
+
 KS_BINS = 32
 
 

@@ -92,6 +92,11 @@ HEADLINE = {
         "assembly (calendar-bounded broadcast pair frame, one equi "
         "intersection join) — the content twin of temporal_path_drift"
     ),
+    "dup_rate_drift": (
+        "per-source dup-rate drift: composite-key digest fold, broadcast "
+        "pair frame, one keyed join — the exact-dup leg of the temporal "
+        "audit family"
+    ),
 }
 
 

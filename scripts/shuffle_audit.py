@@ -341,6 +341,11 @@ AUDITS: dict[str, str] = {
         "distinct fold; all exchanges (group, snapshot, digest)-keyed "
         "- document text never crosses the wire"
     ),
+    "dup_rate_drift": (
+        "dup-rate drift: one composite-key digest fold (two-phase "
+        "distinct); pair frame broadcasts; drift join is (groups x "
+        "snapshots)-sized"
+    ),
 }
 
 def audit_one(spark, name: str, sf_dir: str) -> dict:

@@ -473,3 +473,14 @@ def test_content_drift_shared_assembly_shape(spark, sf_dir):
     assert plan.count("Window [") >= 1
     assert plan.count("Window [") == plan.count("Window [lead(__p")
     assert "BroadcastExchange" in plan
+
+
+def test_dup_rate_drift_calendar_window_only(spark, sf_dir):
+    """The only Window is the calendar lead over DISTINCT snapshots;
+    the digest distinct is a two-phase hash aggregate, no cartesian."""
+    from dwds_livestream_spark.plans import llm as L
+
+    plan = _plan(L.q_dup_rate_drift(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window [") >= 1
+    assert plan.count("Window [") == plan.count("Window [lead(snapshot")

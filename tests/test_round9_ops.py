@@ -282,3 +282,67 @@ def test_content_drift_vs_brute_force(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         content_drift(df, n=0)
+
+
+def test_dup_rate_drift_vs_brute_force(spark):
+    from dwds_livestream_spark.operators.curation import dup_rate_drift
+
+    rows = [
+        # src a snap 0: 3 docs, one dup pair -> rate 1/3
+        (0, "a", 10, "t1"), (0, "a", 11, "t1"), (0, "a", 12, "t2"),
+        # src a snap 1: 2 distinct docs -> rate 0
+        (1, "a", 13, "t3"), (1, "a", 14, "t4"),
+        # src b in snap 0 only -> no pair row (rate undefined in 1)
+        (0, "b", 15, "t5"),
+        # src c: all-dup snap 1 pairizes with snap 2
+        (1, "c", 16, "t6"), (1, "c", 17, "t6"),
+        (2, "c", 18, "t7"),
+    ]
+    df = spark.createDataFrame(
+        rows, "snapshot int, source string, doc_id long, text string"
+    )
+    got = {
+        (r.source, r.snapshot, r.next_snapshot): (
+            r.n_docs, r.next_n_docs, r.dup_rate, r.next_dup_rate, r.delta
+        )
+        for r in dup_rate_drift(df).collect()
+    }
+    third = round(1 / 3, 6)
+    assert got == {
+        ("a", 0, 1): (3, 2, third, 0.0, -third),
+        ("c", 1, 2): (2, 1, 0.5, 0.0, -0.5),
+    }
+    assert ("b", 0, 1) not in got  # absent side -> no fabricated row
+
+    # NULL group / period rows excluded
+    withnull = spark.createDataFrame(
+        rows + [(None, "a", 99, "t1"), (0, None, 98, "t1")],
+        "snapshot int, source string, doc_id long, text string",
+    )
+    assert {
+        (r.source, r.snapshot, r.next_snapshot)
+        for r in dup_rate_drift(withnull).collect()
+    } == set(got)
+
+
+def test_dup_rate_by_group_composite_key(spark):
+    """The list-valued group_col is the dup_rate_drift fold and must
+    agree with per-slice scalar calls."""
+    from dwds_livestream_spark.operators.curation import dup_rate_by_group
+
+    df = spark.createDataFrame(
+        [("a", 0, 1, "x"), ("a", 0, 2, "x"), ("a", 1, 3, "x"),
+         ("b", 0, 4, "y")],
+        "source string, snapshot int, doc_id long, text string",
+    )
+    rows = {
+        (r.source, r.snapshot): (r.n_docs, r.n_dup_docs, r.dup_rate)
+        for r in dup_rate_by_group(
+            df, group_col=["source", "snapshot"]
+        ).collect()
+    }
+    assert rows == {
+        ("a", 0): (2, 1, 0.5),
+        ("a", 1): (1, 0, 0.0),
+        ("b", 0): (1, 0, 0.0),
+    }

@@ -573,3 +573,12 @@ def test_content_drift_digest_bounded(spark):
     # digests per doc ~ tokens; bounded by a small multiple of corpus
     # token volume, and bytes/record stays digest-sized
     assert r["shuffle_bytes"] / max(r["shuffle_records"], 1) < 80, r
+
+
+def test_dup_rate_drift_digest_fold_bounded(spark):
+    # one (source, snapshot)-keyed fold with a two-phase distinct over
+    # md5 digests; the pair frame broadcasts and the drift join is
+    # (groups x snapshots)-sized — text never crosses the wire
+    r = _measure(spark, "dup_rate_drift")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_bytes"] / max(r["shuffle_records"], 1) < 80, r
