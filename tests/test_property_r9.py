@@ -203,3 +203,59 @@ def test_content_drift_matches_naive(spark, rows):
     for k, (na, nb, c, j) in expect.items():
         assert got[k][:3] == (na, nb, c), k
         assert abs(got[k][3] - j) < 1e-9, k
+
+
+# (snapshot, group idx, text idx) docs — tiny text alphabet forces
+# duplicates within and across (group, snapshot) cells
+dup_corpora = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=0, max_value=1),
+        st.integers(min_value=0, max_value=3),
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@SET
+@given(rows=dup_corpora)
+def test_dup_rate_drift_matches_naive(spark, rows):
+    from dwds_livestream_spark.operators.curation import dup_rate_drift
+
+    data = [
+        (s, f"g{g}", i, f"text body {t}")
+        for i, (s, g, t) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "snapshot int, source string, doc_id long, text string"
+    )
+    got = {
+        (r.source, r.snapshot, r.next_snapshot): (
+            r.n_docs, r.next_n_docs, r.dup_rate, r.next_dup_rate, r.delta
+        )
+        for r in dup_rate_drift(df).collect()
+    }
+
+    cells = collections.defaultdict(list)
+    for s, g, t in rows:
+        cells[(f"g{g}", s)].append(t)
+    snaps = sorted({s for s, _, _ in rows})
+
+    def rate(ts):
+        return round((len(ts) - len(set(ts))) / len(ts), 6)
+
+    expect = {}
+    for a, b in zip(snaps, snaps[1:]):
+        for g in {g for (g, s) in cells}:
+            ta, tb = cells.get((g, a)), cells.get((g, b))
+            if ta and tb:   # both sides present, else no row
+                ra, rb = rate(ta), rate(tb)
+                expect[(g, a, b)] = (
+                    len(ta), len(tb), ra, rb, round(rb - ra, 6)
+                )
+    assert set(got) == set(expect)
+    for k, v in expect.items():
+        assert got[k][:2] == v[:2], k
+        for i in (2, 3, 4):
+            assert abs(got[k][i] - v[i]) < 1e-9, k
