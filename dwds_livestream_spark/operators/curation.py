@@ -1170,3 +1170,125 @@ def dup_rate_drift(
             ).alias("delta"),
         )
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+    period_col: str = "snapshot",
+    pin: bool = True,
+) -> DataFrame:
+    """Per-group DISTRIBUTIONAL drift between consecutive snapshots:
+    the exact two-sample KS distance between each group's
+    ``value_col`` distribution in snapshot t and in t+1 — the fourth
+    leg of the temporal audit family (``path_drift`` = URL churn,
+    ``content_drift`` = n-gram churn, ``dup_rate_drift`` = copy mass,
+    this = shape of the length/score distribution: "did src3's docs
+    suddenly get shorter between crawls?"). Like ``dup_rate_drift``,
+    pairs emit only where the group has values in BOTH snapshots — a
+    distribution is undefined for an absent side. NULL
+    value/group/period rows are excluded.
+
+    Distributed shape: ONE (group, period, value) histogram fold
+    (map-side-combined, distinct-value sized — quantize first for
+    continuous domains, or feed pre-bucketed values; the
+    ``ks_distance`` caveat applies per cell), pinned for its four
+    consumers; the ``rbo_drift`` calendar pair frame (lead over
+    DISTINCT periods, broadcast); a per-(group, pair) union value
+    grid; and ECDF cumulative windows PARTITIONED BY
+    (group, period-pair) — parallel histogram-sized passes, no
+    single-partition stage (the ``ks_panel`` property).
+
+    Output: <group_col>, <period_col>, next_<period_col>, n_prev,
+    n_next, ks (6dp).
+
+    ``pin=False`` skips the two lazy localCheckpoints (which truncate
+    the visible plan lineage to a LogicalRDD) so plan-shape tests can
+    assert on the full window/join structure; production callers keep
+    the default (each pinned frame has multiple consumers).
+    """
+    g = F.col(group_col)
+    p = F.col(period_col)
+    v = F.col(value_col)
+    next_col = f"next_{period_col}"
+    hg = (
+        df.where(g.isNotNull() & p.isNotNull() & v.isNotNull())
+        .groupBy(g.alias("__g"), p.alias("__p"), v.alias("__v"))
+        .agg(F.count("*").alias("__c"))
+    )
+    if pin:
+        hg = hg.localCheckpoint(eager=False)
+    periods = hg.select("__p").distinct()
+    pairs = periods.select(
+        "__p",
+        F.lead("__p").over(Window.orderBy("__p")).alias("__np"),
+    ).where(F.col("__np").isNotNull())
+    a = hg.join(F.broadcast(pairs), "__p").select(
+        "__g", "__p", "__np", "__v", F.col("__c").alias("__ca")
+    )
+    b = (
+        hg.withColumnRenamed("__p", "__np")
+        .join(F.broadcast(pairs), "__np")
+        .select("__g", "__p", "__np", "__v", F.col("__c").alias("__cb"))
+    )
+    grid = (
+        a.select("__g", "__p", "__np", "__v")
+        .union(b.select("__g", "__p", "__np", "__v"))
+        .distinct()
+    )
+    merged = (
+        grid.join(a, ["__g", "__p", "__np", "__v"], "left")
+        .join(b, ["__g", "__p", "__np", "__v"], "left")
+        .select(
+            "__g", "__p", "__np", "__v",
+            F.coalesce("__ca", F.lit(0)).alias("__ca"),
+            F.coalesce("__cb", F.lit(0)).alias("__cb"),
+        )
+    )
+    w = (
+        Window.partitionBy("__g", "__p", "__np")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = merged.select(
+        "__g", "__p", "__np",
+        F.sum("__ca").over(w).alias("__cca"),
+        F.sum("__cb").over(w).alias("__ccb"),
+    )
+    if pin:
+        # feeds the totals fold and the ks join; pin so the grid +
+        # window pass run once
+        cum = cum.localCheckpoint(eager=False)
+    # per-side totals are the final cumulative values on the shared
+    # grid (pair-bounded frames, map-side-combined max)
+    totals = cum.groupBy("__g", "__p", "__np").agg(
+        F.max("__cca").cast("long").alias("n_prev"),
+        F.max("__ccb").cast("long").alias("n_next"),
+    )
+    out = (
+        cum.join(totals, ["__g", "__p", "__np"])
+        .groupBy("__g", "__p", "__np", "n_prev", "n_next")
+        .agg(
+            (
+                F.round(
+                    F.max(
+                        F.abs(
+                            F.try_divide("__cca", F.col("n_prev"))
+                            - F.try_divide("__ccb", F.col("n_next"))
+                        )
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("ks"),
+        )
+        # both-sides-present contract (the dup_rate_drift convention)
+        .where((F.col("n_prev") > 0) & (F.col("n_next") > 0))
+    )
+    return out.select(
+        F.col("__g").alias(group_col),
+        F.col("__p").alias(period_col),
+        F.col("__np").alias(next_col),
+        "n_prev", "n_next", "ks",
+    )

@@ -3647,6 +3647,73 @@ JOIN s b ON b.source = a.source AND b.snapshot = p.next_snapshot
 """
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distributional drift across consecutive snapshots
+    (operators/curation.ks_drift — the fourth leg of the temporal
+    audit family): exact two-sample KS between each source's n_chars
+    distribution in snapshot t and t+1; pairs emit only where the
+    source has values in BOTH snapshots."""
+    from ..operators.curation import ks_drift
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "snapshot", (F.col("doc_id") % 3).cast("int")
+    )
+    return ks_drift(
+        docs, value_col="n_chars", group_col="source",
+        period_col="snapshot",
+    )
+
+
+ORACLE_KS_DRIFT = """
+WITH hg AS (
+  SELECT source AS g, CAST(doc_id % 3 AS INT) AS p, n_chars AS v,
+         count(*) AS c
+  FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY 1, 2, 3),
+per AS (SELECT DISTINCT p FROM hg),
+pairs AS (
+  SELECT p, lead(p) OVER (ORDER BY p) AS np
+  FROM per QUALIFY np IS NOT NULL),
+a AS (SELECT hg.g, hg.p, pairs.np, hg.v, hg.c AS ca
+      FROM hg JOIN pairs USING (p)),
+b AS (SELECT hg.g, pairs.p, hg.p AS np, hg.v, hg.c AS cb
+      FROM hg JOIN pairs ON hg.p = pairs.np),
+grid AS (
+  SELECT g, p, np, v FROM a
+  UNION
+  SELECT g, p, np, v FROM b),
+m AS (
+  SELECT grid.g, grid.p, grid.np, grid.v,
+         coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+  FROM grid
+  LEFT JOIN a ON a.g = grid.g AND a.p = grid.p AND a.np = grid.np
+             AND a.v = grid.v
+  LEFT JOIN b ON b.g = grid.g AND b.p = grid.p AND b.np = grid.np
+             AND b.v = grid.v),
+c AS (
+  SELECT g, p, np,
+         SUM(ca) OVER (PARTITION BY g, p, np ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cca,
+         SUM(cb) OVER (PARTITION BY g, p, np ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS ccb
+  FROM m),
+t AS (
+  SELECT g, p, np,
+         CAST(MAX(cca) AS BIGINT) AS n_prev,
+         CAST(MAX(ccb) AS BIGINT) AS n_next
+  FROM c GROUP BY 1, 2, 3)
+SELECT c.g AS source, c.p AS snapshot, c.np AS next_snapshot,
+       t.n_prev, t.n_next,
+       ROUND(MAX(ABS(cca * 1.0 / n_prev - ccb * 1.0 / n_next)), 6)
+         + 0.0 AS ks
+FROM c
+JOIN t ON t.g = c.g AND t.p = c.p AND t.np = c.np
+WHERE t.n_prev > 0 AND t.n_next > 0
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
 KS_BINS = 32
 
 

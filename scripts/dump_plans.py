@@ -97,6 +97,11 @@ HEADLINE = {
         "pair frame, one keyed join — the exact-dup leg of the temporal "
         "audit family"
     ),
+    "ks_drift": (
+        "per-source KS between consecutive snapshots: histogram fold, "
+        "per-(group, pair) grids, group-pair-partitioned ECDF windows — "
+        "the distributional leg of the temporal audit family"
+    ),
 }
 
 

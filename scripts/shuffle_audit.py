@@ -346,6 +346,11 @@ AUDITS: dict[str, str] = {
         "distinct); pair frame broadcasts; drift join is (groups x "
         "snapshots)-sized"
     ),
+    "ks_drift": (
+        "KS drift: one (group, period, value) histogram fold; "
+        "per-(group, pair) grids; ECDF windows partitioned by "
+        "(group, pair) - no single-partition pass"
+    ),
 }
 
 def audit_one(spark, name: str, sf_dir: str) -> dict:

@@ -484,3 +484,32 @@ def test_dup_rate_drift_calendar_window_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("Window [") >= 1
     assert plan.count("Window [") == plan.count("Window [lead(snapshot")
+
+
+def test_ks_drift_group_pair_partitioned_ecdf(spark, sf_dir):
+    """ks_drift's windows: the calendar lead over DISTINCT snapshots
+    plus (group, pair)-PARTITIONED ECDF cumsums — never a global
+    ordered pass; divisions are try_divide."""
+    from dwds_livestream_spark.plans import llm as L
+
+    # pin=False keeps the full lineage visible (localCheckpoint
+    # truncates the plan to a LogicalRDD)
+    from dwds_livestream_spark.operators.curation import ks_drift
+    from pyspark.sql import functions as F2
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "snapshot", (F2.col("doc_id") % 3).cast("int")
+    )
+    df = ks_drift(docs, pin=False)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # every windowspec is either the calendar lead (ordered by __p
+    # only, over the distinct-period frame) or partitioned by __g
+    specs = plan.count("windowspecdefinition(")
+    assert specs >= 2
+    assert specs == (
+        plan.count("windowspecdefinition(__p")
+        + plan.count("windowspecdefinition(__g")
+    )
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("try_divide") == 2

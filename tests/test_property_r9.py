@@ -259,3 +259,43 @@ def test_dup_rate_drift_matches_naive(spark, rows):
         assert got[k][:2] == v[:2], k
         for i in (2, 3, 4):
             assert abs(got[k][i] - v[i]) < 1e-9, k
+
+
+@SET
+@given(samp=panel_samples)
+def test_ks_drift_matches_naive(spark, samp):
+    """samp: (group idx, value) pairs; snapshot = value % 3 gives a
+    deterministic but irregular period assignment."""
+    from dwds_livestream_spark.operators.curation import ks_drift
+
+    data = [(v % 3, f"g{g}", v) for g, v in samp]
+    df = spark.createDataFrame(
+        data, "snapshot int, source string, n_chars long"
+    )
+    got = {
+        (r.source, r.snapshot, r.next_snapshot): (r.n_prev, r.n_next, r.ks)
+        for r in ks_drift(df).collect()
+    }
+
+    cells = collections.defaultdict(list)
+    for s, g, v in data:
+        cells[(g, s)].append(v)
+    snaps = sorted({s for s, _, _ in data})
+
+    def ecdf(vs, x):
+        return sum(1 for v in vs if v <= x) / len(vs)
+
+    expect = {}
+    for a, b in zip(snaps, snaps[1:]):
+        for g in {g for (g, s) in cells}:
+            va, vb = cells.get((g, a)), cells.get((g, b))
+            if va and vb:
+                pts = sorted(set(va) | set(vb))
+                ks = round(
+                    max(abs(ecdf(va, x) - ecdf(vb, x)) for x in pts), 6
+                )
+                expect[(g, a, b)] = (len(va), len(vb), ks)
+    assert set(got) == set(expect)
+    for k, (na, nb, ks) in expect.items():
+        assert got[k][:2] == (na, nb), k
+        assert abs(got[k][2] - ks) < 1e-9, k

@@ -346,3 +346,36 @@ def test_dup_rate_by_group_composite_key(spark):
         ("a", 1): (1, 0, 0.0),
         ("b", 0): (1, 0, 0.0),
     }
+
+
+def test_ks_drift_vs_brute_force(spark):
+    from dwds_livestream_spark.operators.curation import ks_drift
+
+    rows = [
+        (0, "a", 1), (0, "a", 2), (0, "a", 2),
+        (1, "a", 7), (1, "a", 9),          # fully shifted -> ks 1
+        (0, "b", 5), (1, "b", 5),          # identical -> ks 0
+        (0, "c", 3),                        # absent in 1 -> no row
+        (2, "a", 7),                        # a: {7,9} -> {7}
+    ]
+    df = spark.createDataFrame(rows, "snapshot int, source string, n_chars long")
+    got = {
+        (r.source, r.snapshot, r.next_snapshot): (r.n_prev, r.n_next, r.ks)
+        for r in ks_drift(df).collect()
+    }
+    assert got == {
+        ("a", 0, 1): (3, 2, 1.0),
+        ("a", 1, 2): (2, 1, 0.5),   # ECDF gap at v=7: |0.5 - 1.0|
+        ("b", 0, 1): (1, 1, 0.0),
+    }
+    assert not any(k[0] == "c" for k in got)
+
+    # NULL value/group/period rows excluded
+    withnull = spark.createDataFrame(
+        rows + [(0, "a", None), (None, "a", 1), (0, None, 1)],
+        "snapshot int, source string, n_chars long",
+    )
+    assert {
+        (r.source, r.snapshot, r.next_snapshot): (r.n_prev, r.n_next, r.ks)
+        for r in ks_drift(withnull).collect()
+    } == got

@@ -582,3 +582,13 @@ def test_dup_rate_drift_digest_fold_bounded(spark):
     r = _measure(spark, "dup_rate_drift")
     assert r["scan_rows"] > 0
     assert r["shuffle_bytes"] / max(r["shuffle_records"], 1) < 80, r
+
+
+def test_ks_drift_histogram_bounded(spark):
+    # one (group, period, value) histogram fold; pair-scoped grids and
+    # ECDF windows partitioned by (group, pair) — no single-partition
+    # pass, no corpus rows past the fold
+    r = _measure(spark, "ks_drift")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] <= r["scan_rows"] * 20, r
+    assert r["broadcast_bytes"] > 0, "pair frame must broadcast"
