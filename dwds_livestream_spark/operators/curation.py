@@ -761,11 +761,11 @@ def dup_rate_by_group(
 
 def _ks_quantize(
     sample: DataFrame,
-    reference: DataFrame,
+    reference: "DataFrame | None",
     value_col: str,
     bins: int,
     keep_cols: tuple[str, ...] = (),
-) -> tuple[DataFrame, DataFrame]:
+) -> "tuple[DataFrame, DataFrame | None]":
     """Shared binned-KS quantizer (the ``bins=`` path of
     :func:`ks_distance` / :func:`ks_panel`): replace ``value_col`` on
     BOTH inputs with a common equal-width bucket index over the
@@ -785,16 +785,23 @@ def _ks_quantize(
 
     Columns other than ``value_col`` and the sample's ``keep_cols``
     (e.g. the panel's group key) are dropped — callers only read
-    those.
+    those. ``reference=None`` (the single-frame callers, e.g.
+    :func:`ks_drift`) derives the grid from the sample alone and
+    returns ``None`` for the reference slot.
     """
     if bins < 1:
         raise ValueError(f"bins must be >= 1: {bins}")
     sv = sample.select(
         *[F.col(c) for c in keep_cols], F.col(value_col).alias("__x")
     )
-    rv = reference.select(F.col(value_col).alias("__x"))
+    rv = (
+        reference.select(F.col(value_col).alias("__x"))
+        if reference is not None
+        else None
+    )
+    both = sv.select("__x") if rv is None else sv.select("__x").unionAll(rv)
     stats = (
-        sv.select("__x").unionAll(rv)
+        both
         .where(F.col("__x").isNotNull())
         .agg(
             F.min(F.col("__x").cast("double")).alias("__lo"),
@@ -827,7 +834,10 @@ def _ks_quantize(
             *[F.col(c) for c in keep], b.cast("int").alias(value_col)
         )
 
-    return bucketed(sv, keep_cols), bucketed(rv, ())
+    return (
+        bucketed(sv, keep_cols),
+        bucketed(rv, ()) if rv is not None else None,
+    )
 
 
 def ks_distance(
@@ -1177,6 +1187,7 @@ def ks_drift(
     value_col: str = "n_chars",
     group_col: str = "source",
     period_col: str = "snapshot",
+    bins: "int | None" = None,
     pin: bool = True,
 ) -> DataFrame:
     """Per-group DISTRIBUTIONAL drift between consecutive snapshots:
@@ -1203,11 +1214,22 @@ def ks_drift(
     Output: <group_col>, <period_col>, next_<period_col>, n_prev,
     n_next, ks (6dp).
 
+    ``bins=`` buckets ``value_col`` onto one common equal-width grid
+    derived from the WHOLE frame (one 1-row min/max broadcast,
+    :func:`_ks_quantize` with no reference side) before the fold, so
+    a continuous high-cardinality column still yields bins-bounded
+    per-cell histograms — and every (group, pair) cell shares the
+    grid, keeping scores comparable across the panel.
+
     ``pin=False`` skips the two lazy localCheckpoints (which truncate
     the visible plan lineage to a LogicalRDD) so plan-shape tests can
     assert on the full window/join structure; production callers keep
     the default (each pinned frame has multiple consumers).
     """
+    if bins is not None:
+        df, _ = _ks_quantize(
+            df, None, value_col, bins, keep_cols=(group_col, period_col)
+        )
     g = F.col(group_col)
     p = F.col(period_col)
     v = F.col(value_col)

@@ -3717,6 +3717,82 @@ GROUP BY 1, 2, 3, 4, 5
 KS_BINS = 32
 
 
+def q_ks_drift_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned distributional drift on a CONTINUOUS column
+    (operators/curation.ks_drift(bins=) — the quantizer threaded into
+    the temporal leg): per-event_type KS of `value` between
+    consecutive DAYS, all cells sharing one 32-bin grid derived from
+    the whole frame, so per-cell histograms are bins-bounded on any
+    value domain."""
+    from ..operators.curation import ks_drift
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    return ks_drift(
+        ev, value_col="value", group_col="event_type",
+        period_col="day", bins=KS_BINS,
+    )
+
+
+ORACLE_KS_DRIFT_BINNED = f"""
+WITH st AS (
+  SELECT min(value) AS lo, max(value) AS hi
+  FROM events WHERE value IS NOT NULL),
+q AS (
+  SELECT event_type AS g,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS p,
+         CASE WHEN hi = lo THEN 1
+              WHEN value >= hi THEN {KS_BINS}
+              ELSE LEAST({KS_BINS}, GREATEST(1,
+                CAST(FLOOR((value - lo) / (hi - lo) * {KS_BINS}.0)
+                     AS INT) + 1))
+         END AS v
+  FROM events, st
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+    AND ts IS NOT NULL),
+hg AS (SELECT g, p, v, count(*) AS c FROM q GROUP BY 1, 2, 3),
+per AS (SELECT DISTINCT p FROM hg),
+pairs AS (
+  SELECT p, lead(p) OVER (ORDER BY p) AS np
+  FROM per QUALIFY np IS NOT NULL),
+a AS (SELECT hg.g, hg.p, pairs.np, hg.v, hg.c AS ca
+      FROM hg JOIN pairs USING (p)),
+b AS (SELECT hg.g, pairs.p, hg.p AS np, hg.v, hg.c AS cb
+      FROM hg JOIN pairs ON hg.p = pairs.np),
+grid AS (
+  SELECT g, p, np, v FROM a
+  UNION
+  SELECT g, p, np, v FROM b),
+m AS (
+  SELECT grid.g, grid.p, grid.np, grid.v,
+         coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+  FROM grid
+  LEFT JOIN a ON a.g = grid.g AND a.p = grid.p AND a.np = grid.np
+             AND a.v = grid.v
+  LEFT JOIN b ON b.g = grid.g AND b.p = grid.p AND b.np = grid.np
+             AND b.v = grid.v),
+c AS (
+  SELECT g, p, np,
+         SUM(ca) OVER (PARTITION BY g, p, np ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cca,
+         SUM(cb) OVER (PARTITION BY g, p, np ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS ccb
+  FROM m),
+t AS (
+  SELECT g, p, np,
+         CAST(MAX(cca) AS BIGINT) AS n_prev,
+         CAST(MAX(ccb) AS BIGINT) AS n_next
+  FROM c GROUP BY 1, 2, 3)
+SELECT c.g AS event_type, c.p AS day, c.np AS next_day,
+       t.n_prev, t.n_next,
+       ROUND(MAX(ABS(cca * 1.0 / n_prev - ccb * 1.0 / n_next)), 6)
+         + 0.0 AS ks
+FROM c
+JOIN t ON t.g = c.g AND t.p = c.p AND t.np = c.np
+WHERE t.n_prev > 0 AND t.n_next > 0
+GROUP BY 1, 2, 3, 4, 5
+"""
 def q_ks_value_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned per-group KS panel on a CONTINUOUS column
     (operators/curation.ks_panel(bins=) — the quantize-first caveat

@@ -102,6 +102,11 @@ HEADLINE = {
         "per-(group, pair) grids, group-pair-partitioned ECDF windows — "
         "the distributional leg of the temporal audit family"
     ),
+    "ks_drift_binned": (
+        "binned KS drift: the shared 32-bin quantize grid threaded into "
+        "the temporal leg — bins-bounded per-cell histograms on any "
+        "value domain"
+    ),
 }
 
 

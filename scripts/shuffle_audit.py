@@ -351,6 +351,10 @@ AUDITS: dict[str, str] = {
         "per-(group, pair) grids; ECDF windows partitioned by "
         "(group, pair) - no single-partition pass"
     ),
+    "ks_drift_binned": (
+        "binned KS drift: one shared 32-bin grid (1-row min/max "
+        "broadcast) bounds every (group, pair) histogram cell"
+    ),
 }
 
 def audit_one(spark, name: str, sf_dir: str) -> dict:

@@ -51,6 +51,8 @@ NESTED_LOOP_OK = {
                        "frames join by key; only the scalar n_ref crosses)",
     "ks_value_binned": "1-row bin-range + reference-total cross joins "
                        "(scalars broadcast; histograms join by key)",
+    "ks_drift_binned": "1-row bin-range cross join (scalar broadcast; "
+                       "everything downstream joins by key)",
     "bm25_topk": "1-row corpus-stats cross join",
     "lm_perplexity": "1-row model-stats cross join",
     "ppl_buckets": "1-row tercile-bounds cross join",

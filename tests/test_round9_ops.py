@@ -379,3 +379,31 @@ def test_ks_drift_vs_brute_force(spark):
         (r.source, r.snapshot, r.next_snapshot): (r.n_prev, r.n_next, r.ks)
         for r in ks_drift(withnull).collect()
     } == got
+
+
+def test_ks_drift_binned_vs_unbinned_on_integer_grid(spark):
+    """bins >= the distinct-value count on integer values reproduces
+    the exact drift; a coarse grid is a lower bound per cell."""
+    from dwds_livestream_spark.operators.curation import ks_drift
+
+    rows = [
+        (0, "a", 1.0), (0, "a", 2.0), (0, "a", 2.0),
+        (1, "a", 7.0), (1, "a", 9.0),
+        (0, "b", 5.0), (1, "b", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "snapshot int, source string, n_chars double")
+    exact = {
+        (r.source, r.snapshot): r.ks for r in ks_drift(df).collect()
+    }
+    fine = {
+        (r.source, r.snapshot): r.ks
+        for r in ks_drift(df, bins=1024).collect()
+    }
+    assert fine == pytest.approx(exact)
+    coarse = {
+        (r.source, r.snapshot): r.ks
+        for r in ks_drift(df, bins=2).collect()
+    }
+    assert set(coarse) == set(exact)
+    for k in coarse:
+        assert coarse[k] <= exact[k] + 1e-9

@@ -592,3 +592,12 @@ def test_ks_drift_histogram_bounded(spark):
     assert r["scan_rows"] > 0
     assert r["shuffle_records"] <= r["scan_rows"] * 20, r
     assert r["broadcast_bytes"] > 0, "pair frame must broadcast"
+
+
+def test_ks_drift_binned_grid_bounded(spark):
+    # the 32-bin quantize bounds every (group, pair) histogram cell;
+    # the bin-range stats move as a 1-row broadcast
+    r = _measure(spark, "ks_drift_binned")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] <= r["scan_rows"] * 4, r
+    assert r["broadcast_bytes"] > 0, "bin range + pair frame broadcast"
