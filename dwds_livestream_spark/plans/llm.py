@@ -3714,6 +3714,69 @@ GROUP BY 1, 2, 3, 4, 5
 """
 
 
+def q_drift_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift anomaly panel (ROADMAP r10 candidate; a pure COMPOSITION
+    over the landed path_drift — no new operator): z-score each
+    domain's snapshot-pair jaccard against that pair's population, so
+    the churners a flat threshold misses surface. Population stats
+    come from EXACT integer sums (jaccard is 6dp by construction, so
+    round(j*1e6) is a lossless long; sums and sums-of-squares are
+    order-independent integers), which makes the derived mean/stddev
+    — and therefore the 6dp z — bit-identical across engines and
+    partitionings where a naive double stddev would flake on
+    summation order. Pairs with zero variance (all domains drift
+    alike) emit z = 0. Population frames are (pair)-sized and move by
+    broadcast."""
+    from ..operators.urls import path_drift
+
+    docs = _snapshot_url_documents(spark, sf_dir)
+    base = path_drift(docs, url_col="url", period_col="snapshot")
+    j6 = F.round(F.col("jaccard") * 1e6).cast("long")
+    b = base.select(
+        "domain", "snapshot", "next_snapshot", "jaccard",
+        j6.alias("__j"),
+    )
+    pop = b.groupBy("snapshot", "next_snapshot").agg(
+        F.count("*").alias("__n"),
+        F.sum("__j").alias("__s1"),
+        F.sum(F.col("__j") * F.col("__j")).alias("__s2"),
+    )
+    nd = F.col("__n").cast("double")
+    s1d = F.col("__s1").cast("double")
+    s2d = F.col("__s2").cast("double")
+    jd = F.col("__j").cast("double")
+    var = (s2d - (s1d * s1d) / nd) / nd
+    z = F.when(var > 0, (jd - s1d / nd) / F.sqrt(var)).otherwise(F.lit(0.0))
+    return (
+        b.join(F.broadcast(pop), ["snapshot", "next_snapshot"])
+        .select(
+            "domain", "snapshot", "next_snapshot", "jaccard",
+            (F.round(z, 6) + F.lit(0.0)).alias("z"),
+        )
+    )
+
+
+ORACLE_DRIFT_ANOMALY = f"""
+WITH base AS ({ORACLE_TEMPORAL_PATH_DRIFT}),
+b AS (
+  SELECT domain, snapshot, next_snapshot, jaccard,
+         CAST(ROUND(jaccard * 1000000) AS BIGINT) AS j
+  FROM base),
+pop AS (
+  SELECT snapshot, next_snapshot,
+         count(*) AS n, SUM(j) AS s1, SUM(j * j) AS s2
+  FROM b GROUP BY 1, 2)
+SELECT b.domain, b.snapshot, b.next_snapshot, b.jaccard,
+       ROUND(CASE WHEN ((s2 * 1.0) - ((s1 * 1.0) * (s1 * 1.0))
+                        / (n * 1.0)) / (n * 1.0) > 0
+             THEN ((j * 1.0) - (s1 * 1.0) / (n * 1.0))
+                  / sqrt(((s2 * 1.0) - ((s1 * 1.0) * (s1 * 1.0))
+                          / (n * 1.0)) / (n * 1.0))
+             ELSE 0.0 END, 6) + 0.0 AS z
+FROM b JOIN pop USING (snapshot, next_snapshot)
+"""
+
+
 KS_BINS = 32
 
 

@@ -107,6 +107,10 @@ HEADLINE = {
         "the temporal leg — bins-bounded per-cell histograms on any "
         "value domain"
     ),
+    "drift_anomaly": (
+        "drift anomaly panel: per-pair population z-scores from exact "
+        "integer sums, broadcast stats join over path_drift's fold"
+    ),
 }
 
 

@@ -355,6 +355,10 @@ AUDITS: dict[str, str] = {
         "binned KS drift: one shared 32-bin grid (1-row min/max "
         "broadcast) bounds every (group, pair) histogram cell"
     ),
+    "drift_anomaly": (
+        "drift anomaly panel: path_drift's key-bounded fold plus a "
+        "broadcast (pair)-sized exact-integer stats join"
+    ),
 }
 
 def audit_one(spark, name: str, sf_dir: str) -> dict:

@@ -407,3 +407,30 @@ def test_ks_drift_binned_vs_unbinned_on_integer_grid(spark):
     assert set(coarse) == set(exact)
     for k in coarse:
         assert coarse[k] <= exact[k] + 1e-9
+
+
+def test_drift_anomaly_vs_brute_force(spark):
+    """The composition query's z-scores against a naive population
+    computation — exercised via the registry entry at sf0.001."""
+    import math
+
+    from dwds_livestream_spark.plans import llm as L
+
+    sf = "/root/testdata/sf0.001"
+    rows = L.q_drift_anomaly(spark, sf).collect()
+    assert rows
+    from collections import defaultdict
+    by_pair = defaultdict(list)
+    for r in rows:
+        by_pair[(r.snapshot, r.next_snapshot)].append(r)
+    for pair, rs in by_pair.items():
+        js = [round(r.jaccard * 1e6) for r in rs]
+        n = len(js)
+        mu = sum(js) / n
+        var = (sum(j * j for j in js) - sum(js) ** 2 / n) / n
+        for r in rs:
+            j = round(r.jaccard * 1e6)
+            want = 0.0 if var <= 0 else (j - mu) / math.sqrt(var)
+            assert abs(r.z - round(want, 6)) < 1e-9, (pair, r.domain)
+        # z-scores of a population are centered: sum ~ 0
+        assert abs(sum(r.z for r in rs)) < 1e-3 * max(n, 1)

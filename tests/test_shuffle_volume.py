@@ -601,3 +601,12 @@ def test_ks_drift_binned_grid_bounded(spark):
     assert r["scan_rows"] > 0
     assert r["shuffle_records"] <= r["scan_rows"] * 4, r
     assert r["broadcast_bytes"] > 0, "bin range + pair frame broadcast"
+
+
+def test_drift_anomaly_population_broadcast(spark):
+    # the pair-population stats frame is (snapshot-pair)-sized and
+    # broadcasts; everything upstream is path_drift's key-bounded fold
+    r = _measure(spark, "drift_anomaly")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_bytes"] / max(r["shuffle_records"], 1) < 64, r
+    assert r["broadcast_bytes"] > 0, "population stats must broadcast"
