@@ -807,6 +807,11 @@ def _ks_quantize(
             F.min(F.col("__x").cast("double")).alias("__lo"),
             F.max(F.col("__x").cast("double")).alias("__hi"),
         )
+        # the 1-row grid is consumed by TWO bucketed() crossJoins on
+        # the two-sided paths; pin it so the union scan + aggregate
+        # run once, not per consumer (the module's multi-consumer
+        # localCheckpoint convention — ADVICE r9)
+        .localCheckpoint(eager=False)
     )
 
     def bucketed(df: DataFrame, keep: tuple[str, ...]) -> DataFrame:

@@ -3432,7 +3432,7 @@ WITH u AS (
          '/' || regexp_replace(
            regexp_extract(lower(text), '^([^ ]*)', 1),
            '[^a-z0-9]', '', 'g') AS path
-  FROM documents),
+  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
 d AS (SELECT DISTINCT domain, snapshot, path FROM u),
 per AS (SELECT DISTINCT snapshot FROM d),
 pairs AS (
@@ -3487,7 +3487,7 @@ WITH u AS (
          '/' || regexp_replace(
            regexp_extract(lower(text), '^([^ ]*)', 1),
            '[^a-z0-9]', '', 'g') AS path
-  FROM documents),
+  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
 d AS (SELECT DISTINCT domain, snapshot, path FROM u),
 f AS (SELECT domain, path, MIN(snapshot) AS fs FROM d GROUP BY 1, 2),
 newc AS (SELECT fs AS snapshot, count(*) AS n_new FROM f GROUP BY 1),

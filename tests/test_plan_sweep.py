@@ -47,8 +47,11 @@ NESTED_LOOP_OK = {
     "regex_antijoin": "pattern table broadcast-small by contract",
     "countmin_words": "1-row bounds cross join",
     "quota_sample_ks": "1-row ECDF-totals cross join",
-    "ks_source_panel": "1-row reference-total cross join (the per-group "
-                       "frames join by key; only the scalar n_ref crosses)",
+    "ks_source_panel": "two bounded cross joins: the 1-row n_ref scalar, "
+                       "and the group x distinct-reference-value "
+                       "evaluation grid (value-domain-bounded, reference "
+                       "histogram broadcast); corpus-sized frames join "
+                       "by key",
     "ks_value_binned": "1-row bin-range + reference-total cross joins "
                        "(scalars broadcast; histograms join by key)",
     "ks_drift_binned": "1-row bin-range cross join (scalar broadcast; "
