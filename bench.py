@@ -16,6 +16,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import pandas as pd  # noqa: E402
+
 from pyspark.sql import functions as F  # noqa: E402
 
 from dwds_livestream_spark.plans import QUERIES  # noqa: E402
@@ -127,6 +129,30 @@ def main() -> None:
         # hot for ALL tables before the first timed query.
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         df.agg(*[F.count(F.col(c)) for c in df.columns]).collect()
+
+    # Python-worker / Arrow warmup: the first pandas_udf of the run
+    # pays worker-pool spawn + per-worker numpy import +
+    # ArrowEvalPython init — measured 4.1 s cold vs 0.16 s steady
+    # recompute (same JVM) on the minhash signature kernel. That cost
+    # must bill to the RUN, not to whichever query first leaves the
+    # JVM: in the r9 window minhash_jaccard_error ran directly after
+    # the 7 JVM-only parity queries and absorbed all of it (18.9 s
+    # driver first run vs ~4 s steady — the thrice-confirmed
+    # first-execution-spike pattern, VERDICT r9 #2/#3). One batch per
+    # core slot so the whole reusable worker pool comes up warm.
+    @F.pandas_udf("double")
+    def _warm_py(v: pd.Series) -> pd.Series:
+        import numpy as _np  # noqa: PLC0415  (warm the worker import)
+
+        return pd.Series(_np.asarray(v, dtype="float64") * 1.0)
+
+    (
+        spark.range(100_000)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(_warm_py(F.col("id").cast("double")).alias("x"))
+        .agg(F.sum("x"))
+        .collect()
+    )
 
     hb = _Heartbeat().start()
     timings: dict[str, float] = {}

@@ -804,11 +804,34 @@ def minhash_jaccard_error(
         df, text_col, id_col, n=n, k=k, bands=bands,
         threshold=0.0, hash_fn=hash_fn,
     ).localCheckpoint(eager=False)
-    # the (id, shingle) frame feeds three consumers (both sides of the
-    # intersection join + the per-doc sizes); deliberately NOT pinned:
-    # measured at sf0.1, re-deriving the explode from the parquet scan
-    # three times is cheaper than materializing the string rows
-    sh = shingles(df, text_col, id_col, n=n)
+    # the exact-Jaccard legs never expose shingle TEXT — only set
+    # membership — so the (id, shingle) frame carries xxhash64 over
+    # the token slice instead of the joined string (the
+    # _with_shingle_hashes trick from operators/curation.py): the
+    # intersection join shuffles 8-byte longs, not n-word strings,
+    # and skips the per-gram array_join build. A 64-bit collision
+    # INSIDE one candidate pair's shingle union (the only place it
+    # could perturb a count) is ~1e-13 even at book-length docs; the
+    # registry oracle computes the same Jaccard from raw strings, so
+    # the driver gate continuously certifies collision-freeness on
+    # the fixture. Three consumers (two join legs + sizes): pinned
+    # lazily — unlike the old string frame (measured cheaper to
+    # re-derive than materialize), the digest frame is 16 B/row, so
+    # one explode+hash execution beats three.
+    with_toks = df.withColumn("__toks", F.split(F.col(text_col), " "))
+    n_pos = F.greatest(F.size("__toks") - (n - 1), F.lit(0))
+    grams = F.when(
+        n_pos > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_pos),
+            lambda i: F.xxhash64(F.slice("__toks", i, n)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    sh = (
+        with_toks.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     pairs = est.select("doc_a", "doc_b")
     inter = (
