@@ -1319,3 +1319,90 @@ def ks_drift(
         F.col("__np").alias(next_col),
         "n_prev", "n_next", "ks",
     )
+
+
+def token_js_divergence(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group Jensen–Shannon divergence between the group's unigram
+    token distribution and the whole corpus's — the information-
+    theoretic lexical-bias audit: a source whose word mix diverges
+    from the corpus (template spam, wrong-language contamination, a
+    scraper stuck on one page type) surfaces with a high JS score
+    even when its length/quality stats look normal. JS rather than KL
+    because it is symmetric, bounded ([0, ln 2] in nats), and defined
+    when the group misses corpus words — exactly the comparison shape
+    mixture reweighting needs (cf. the DoReMi/DSIR domain-weighting
+    setups; operators/selection.py holds the importance-weighting
+    twin).
+
+    Exact-support algebra (the reason this never materializes
+    group x vocab): JS(p, q) = 0.5·Σ p·ln(p/m) + 0.5·Σ q·ln(q/m) with
+    m = (p+q)/2. Every token ABSENT from the group has p = 0 and
+    contributes exactly 0.5·q·ln 2, so the full second sum collapses
+    to 0.5·[Σ_{t∈G} q_t·ln(q_t/m_t) + ln 2·(1 − Σ_{t∈G} q_t)] — only
+    GROUP-support rows are ever evaluated; the absent-mass correction
+    is one subtraction from the group's corpus-coverage.
+
+    Distributed shape: one corpus scan folds to (group, token) counts
+    (map-side combined, pinned — it feeds the term rows, the global
+    token histogram AND the group totals); the global histogram is a
+    vocab-sized re-fold of that frame, NOT a second scan, and joins
+    back BY TOKEN KEY; group totals join by group; the single 1-row
+    corpus total moves by broadcast crossJoin. Nothing group x vocab,
+    nothing corpus-sized after the first fold.
+
+    Output: one row per non-NULL group with >= 1 token —
+    <group_col>, n_tokens, vocab, coverage (6dp — the corpus
+    probability mass the group's vocabulary covers), js (6dp, nats).
+
+    No reference parity: serves the brief's LLM-pipeline layer; the
+    distributional twin of ks_panel on the lexical axis.
+    """
+    tok = (
+        df.where(F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("__g"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("__t"),
+        )
+    )
+    gt = (
+        tok.groupBy("__g", "__t")
+        .agg(F.count("*").alias("__c"))
+        .localCheckpoint(eager=False)
+    )
+    glob = gt.groupBy("__t").agg(F.sum("__c").alias("__ct"))
+    gtot = gt.groupBy("__g").agg(
+        F.sum("__c").alias("__ng"),
+        F.count("*").alias("__vocab"),
+    )
+    tot = glob.agg(F.sum("__ct").alias("__nt"))
+    p = F.col("__c") / F.col("__ng")
+    q = F.col("__ct") / F.col("__nt")
+    m = (p + q) / F.lit(2.0)
+    term = p * F.log(p / m) + q * F.log(q / m)
+    per_group = (
+        gt.join(glob, "__t")
+        .join(gtot, "__g")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("__g")
+        .agg(
+            F.sum(term).alias("__s"),
+            F.sum(q).alias("__qcov"),
+            F.first("__ng").alias("__ngf"),
+            F.first("__vocab").alias("__vf"),
+        )
+    )
+    js = 0.5 * (
+        F.col("__s")
+        + F.log(F.lit(2.0)) * (F.lit(1.0) - F.col("__qcov"))
+    )
+    return per_group.select(
+        F.col("__g").alias(group_col),
+        F.col("__ngf").cast("long").alias("n_tokens"),
+        F.col("__vf").cast("long").alias("vocab"),
+        (F.round(F.col("__qcov"), 6) + F.lit(0.0)).alias("coverage"),
+        (F.round(js, 6) + F.lit(0.0)).alias("js"),
+    )

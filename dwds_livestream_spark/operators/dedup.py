@@ -285,14 +285,13 @@ def minhash_signatures(
     )
 
 
-def _minhash_band_candidates(
+def _minhash_band_buckets(
     sig: DataFrame, id_col: str, k: int, bands: int, hash_fn: str
 ) -> DataFrame:
-    """Banded-LSH candidate pairs (doc_a < doc_b, deduplicated) from a
-    signature frame. The bucket self-join moves only (id, band, key)
-    rows — never the k-int signatures (that would shuffle |docs·bands|
-    kB-sized rows); consumers re-attach whatever payload they need
-    (signatures, text) to the far fewer candidate pairs afterwards."""
+    """(id, band, key) LSH bucket rows from a signature frame — the
+    exchanged unit of every banded consumer: the self-join candidate
+    generator below and the incremental ledger replay both move these
+    small rows, never the k-int signatures."""
     # guard here (not only in minhash_lsh_pairs) so every consumer —
     # minhash_levenshtein_pairs included — fails fast instead of
     # silently truncating the signature to bands*(k//bands) positions
@@ -315,9 +314,20 @@ def _minhash_band_candidates(
             for b in range(bands)
         ]
     )
-    buckets = sig.select(id_col, F.explode(band_cols).alias("bk")).select(
+    return sig.select(id_col, F.explode(band_cols).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+
+
+def _minhash_band_candidates(
+    sig: DataFrame, id_col: str, k: int, bands: int, hash_fn: str
+) -> DataFrame:
+    """Banded-LSH candidate pairs (doc_a < doc_b, deduplicated) from a
+    signature frame. The bucket self-join moves only (id, band, key)
+    rows — never the k-int signatures (that would shuffle |docs·bands|
+    kB-sized rows); consumers re-attach whatever payload they need
+    (signatures, text) to the far fewer candidate pairs afterwards."""
+    buckets = _minhash_band_buckets(sig, id_col, k, bands, hash_fn)
     a = buckets.select(F.col(id_col).alias("doc_a"), "band", "key")
     b = buckets.select(F.col(id_col).alias("doc_b"), "band", "key")
     return (
@@ -703,6 +713,146 @@ def incremental_dedup_replay(
     replayed = df.where(F.col(batch_col).isin(batch_values))
     return replayed.join(ledger, key_col).select(
         id_col, batch_col, "keeper_id"
+    )
+
+
+def minhash_ledger_replay(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_col: str = "batch",
+    batch_values: list | None = None,
+    n: int = 5,
+    k: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Incremental cross-snapshot NEAR-dup ledger replay — the MinHash
+    extension of :func:`incremental_dedup_replay` (VERDICT r9 #4's
+    queued capability): crawl snapshots arrive in ``batch_values``
+    order; each new snapshot's documents are LSH-probed against the
+    accumulated ledger of surviving documents, near-dups (signature
+    estimate >= ``threshold`` against any ledger doc) are assigned
+    the LOWEST-id qualifying ledger keeper, and survivors append to
+    the ledger. This is "does the new crawl re-fetch what we already
+    have" as one batch-checkable plan: INTRA-batch pairs are
+    deliberately not deduped (that is minhash_lsh_pairs' job on the
+    snapshot itself; here the ledger answers only the cross-snapshot
+    question, and the unrolled SQL oracle certifies exactly these
+    semantics).
+
+    Output: one row per replayed document — <id_col>, <batch_col>,
+    keeper_id (itself for ledger entrants — including sub-``n``-token
+    docs, which have no signature, collide with nothing, and survive
+    trivially), est_jaccard (the keeper pair's eq/k estimate — an
+    exact dyadic rational, engine-identical; NULL for self-keepers).
+
+    Scale: signatures are computed ONCE for the whole replay and
+    cached (|docs| x (k+1) longs — the standard persisted MinHash
+    artifact); the (id, band, key) bucket frame derives from them and
+    is pinned lazily. Each step is ONE equi join of the new batch's
+    buckets against ledger buckets (band-key partitioned, text never
+    moves) + a candidate-sized signature re-attach + one anti-join;
+    the ledger itself is an ID LIST (not corpus rows), eagerly
+    localCheckpointed per step so replay length bounds lineage depth,
+    exactly the incremental_dedup_replay contract. ``batch_values``
+    is explicit driver-sized metadata; when omitted it is read from
+    the data with one distinct (snapshot inventories are
+    calendar-sized by construction).
+    """
+    if batch_values is None:
+        batch_values = [
+            r[0]
+            for r in df.select(batch_col)
+            .where(F.col(batch_col).isNotNull())
+            .distinct()
+            .orderBy(batch_col)
+            .collect()
+        ]
+    if not batch_values:
+        raise ValueError(
+            "minhash_ledger_replay needs at least one batch to replay "
+            "(batch_values is empty)"
+        )
+    replayed = df.where(F.col(batch_col).isin(batch_values))
+    ids = replayed.select(id_col, batch_col)
+    sig = minhash_signatures(
+        replayed, text_col, id_col, n=n, k=k, hash_fn=hash_fn
+    ).cache()
+    buckets = _minhash_band_buckets(
+        sig, id_col, k, bands, hash_fn
+    ).localCheckpoint(eager=False)
+    bucket_batch = buckets.join(ids, id_col)
+
+    eq = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+        )
+    )
+    sa = sig.select(F.col(id_col).alias("__new"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("__led"), F.col("sig").alias("sig_b"))
+
+    first, rest = batch_values[0], batch_values[1:]
+    ledger = ids.where(F.col(batch_col) == first).select(
+        F.col(id_col).alias("__led")
+    )
+    dup_frames: list[DataFrame] = []
+    for b in rest:
+        new_b = bucket_batch.where(F.col(batch_col) == b).select(
+            F.col(id_col).alias("__new"), "band", "key"
+        )
+        led_b = bucket_batch.select(
+            F.col(id_col).alias("__led"), "band", "key"
+        ).join(ledger, "__led")
+        cand = (
+            new_b.join(led_b, ["band", "key"])
+            .select("__new", "__led")
+            .dropDuplicates(["__new", "__led"])
+        )
+        scored = (
+            cand.join(sa, "__new")
+            .join(sb, "__led")
+            .select("__new", "__led", (eq / F.lit(k)).alias("__est"))
+            .where(F.col("__est") >= threshold)
+        )
+        dups = scored.groupBy("__new").agg(
+            F.min(F.struct("__led", "__est")).alias("__kp")
+        ).select(
+            "__new",
+            F.col("__kp.__led").alias("keeper_id"),
+            F.col("__kp.__est").alias("est_jaccard"),
+        )
+        survivors = (
+            ids.where(F.col(batch_col) == b)
+            .join(dups.select(F.col("__new").alias(id_col)), id_col, "left_anti")
+            .select(F.col(id_col).alias("__led"))
+        )
+        # the ledger is an id list — eager checkpoint per step bounds
+        # lineage depth to O(1) regardless of replay length
+        ledger = ledger.unionByName(survivors).localCheckpoint()
+        dup_frames.append(dups)
+
+    assigned = dup_frames[0] if dup_frames else None
+    for d in dup_frames[1:]:
+        assigned = assigned.unionByName(d)
+    if assigned is None:
+        return ids.select(
+            id_col,
+            batch_col,
+            F.col(id_col).alias("keeper_id"),
+            F.lit(None).cast("double").alias("est_jaccard"),
+        )
+    return (
+        ids.join(
+            assigned.withColumnRenamed("__new", id_col), id_col, "left"
+        )
+        .select(
+            id_col,
+            batch_col,
+            F.coalesce("keeper_id", F.col(id_col)).alias("keeper_id"),
+            "est_jaccard",
+        )
     )
 
 

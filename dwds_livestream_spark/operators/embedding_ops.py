@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "embedding_covariance",
     "quantile_normalize",
+    "centroid_drift",
     "embedding_pca",
     "dimension_bounds",
     "quantize_embeddings",
@@ -364,4 +365,112 @@ def quantile_normalize(
     )
     return ranked.join(means, [*keys, "rn"]).select(
         id_col, *keys, "dim", F.col("__mu").alias("qn")
+    )
+
+
+def centroid_drift(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    period_col: str = "snapshot",
+) -> DataFrame:
+    """Embedding-space drift between consecutive snapshots: for every
+    group (source, label, cluster), the cosine similarity and L2 shift
+    between its centroid in period t and period t+1 — the
+    representation-level leg of the temporal audit family. A crawl
+    whose URL/content sets look stable can still drift SEMANTICALLY
+    (topic mix shifts inside the same pages); conversely an embedding
+    refresh can silently re-center a source. This is the audit that
+    catches both before a mixture re-weight trains on it.
+
+    Distributed shape: the corpus folds ONCE to per-(group, period,
+    dim) centroid components — posexplode multiplies rows by d, but
+    the avg partial-aggregates map-side, so the shuffle carries
+    groups x periods x d rows of (sum, count), never corpus rows (the
+    ``embedding_centroids`` contract). The consecutive-pair frame is
+    a lead() over DISTINCT periods (calendar-sized, broadcast — the
+    set_drift convention) and the drift reduction is one equi join of
+    the two centroid frames on (group, dim) + a (group, pair)-keyed
+    fold to dot / norms / squared-distance. Everything after the fold
+    is (groups x d)-sized.
+
+    Pairs emit only where the group has vectors on BOTH sides
+    (a centroid is undefined for an absent side — births/deaths
+    belong to the set-drift family, the dup_rate_drift convention).
+    NULL group/period/vector rows are excluded. A zero-norm centroid
+    on either side yields cos_sim NULL (undefined angle), never a
+    division error. Output: <group_col>, <period_col>,
+    next_<period_col>, n_prev, n_next (vector counts), cos_sim (6dp),
+    l2_shift (6dp).
+
+    No reference parity: the reference has no embedding surface; this
+    serves the brief's LLM-pipeline layer (the per-source
+    embedding-drift capability VERDICT r9 #4 queued).
+    """
+    next_col = f"next_{period_col}"
+    base = df.where(
+        F.col(group_col).isNotNull()
+        & F.col(period_col).isNotNull()
+        & F.col(vec_col).isNotNull()
+    )
+    ex = base.select(
+        F.col(group_col).alias("__k"),
+        F.col(period_col).alias("__p"),
+        F.posexplode(vec_col).alias("__d", "__xf"),
+    ).select("__k", "__p", "__d", F.col("__xf").cast("double").alias("__x"))
+    # per-(group, period, dim) centroid component; feeds both sides of
+    # the pair join — pinned so the corpus fold runs once
+    cent = (
+        ex.groupBy("__k", "__p", "__d")
+        .agg(F.avg("__x").alias("__c"))
+        .localCheckpoint(eager=False)
+    )
+    periods = cent.select("__p").distinct()
+    pairs = periods.select(
+        "__p",
+        F.lead("__p").over(Window.orderBy("__p")).alias("__np"),
+    ).where(F.col("__np").isNotNull())
+    cur = cent.join(F.broadcast(pairs), "__p")
+    nxt = cent.select(
+        "__k", F.col("__p").alias("__np"), "__d", F.col("__c").alias("__cn")
+    )
+    m = (
+        cur.join(nxt, ["__k", "__np", "__d"])
+        .groupBy("__k", "__p", "__np")
+        .agg(
+            F.sum(F.col("__c") * F.col("__cn")).alias("__dot"),
+            F.sum(F.col("__c") * F.col("__c")).alias("__na2"),
+            F.sum(F.col("__cn") * F.col("__cn")).alias("__nb2"),
+            F.sum(
+                (F.col("__c") - F.col("__cn"))
+                * (F.col("__c") - F.col("__cn"))
+            ).alias("__d2"),
+        )
+    )
+    counts = base.groupBy(
+        F.col(group_col).alias("__k"), F.col(period_col).alias("__p")
+    ).agg(F.count("*").alias("__n"))
+    ca = counts.select("__k", "__p", F.col("__n").alias("n_prev"))
+    cb = counts.select(
+        "__k", F.col("__p").alias("__np"), F.col("__n").alias("n_next")
+    )
+    denom = F.sqrt(F.col("__na2")) * F.sqrt(F.col("__nb2"))
+    cos = F.when(
+        denom > F.lit(0.0),
+        F.round(F.col("__dot") / denom, 6) + F.lit(0.0),
+    )
+    return (
+        m.join(ca, ["__k", "__p"])
+        .join(cb, ["__k", "__np"])
+        .select(
+            F.col("__k").alias(group_col),
+            F.col("__p").alias(period_col),
+            F.col("__np").alias(next_col),
+            F.col("n_prev").cast("long").alias("n_prev"),
+            F.col("n_next").cast("long").alias("n_next"),
+            cos.alias("cos_sim"),
+            (F.round(F.sqrt(F.col("__d2")), 6) + F.lit(0.0)).alias(
+                "l2_shift"
+            ),
+        )
     )

@@ -356,6 +356,7 @@ def path_novelty(
     df: DataFrame,
     url_col: str = "url",
     period_col: str = "snapshot",
+    per_domain: bool = False,
 ) -> DataFrame:
     """Per-snapshot URL novelty: for each crawl snapshot, how much of
     its DISTINCT (domain, path) URL space is NEW — never seen in any
@@ -378,22 +379,37 @@ def path_novelty(
     n_urls (distinct URLs in the snapshot), n_new (first seen here),
     novelty (6dp = n_new / n_urls; n_urls >= 1 whenever the row
     exists, so the division is ANSI-safe).
+
+    ``per_domain=True`` keys the whole audit by registered domain
+    (one decay curve per site instead of one global curve — the input
+    :func:`novelty_half_life` fits): identical shape with ``domain``
+    prepended to every key, so the first-seen min() runs on the same
+    (domain, path) key and the count joins key by (domain, period).
+    Each domain's FIRST observed snapshot reports novelty 1.0.
     """
     keyed = _distinct_domain_period_paths(df, url_col, period_col)
     first = keyed.groupBy("__k", "__i").agg(
         F.min("__p").alias("__first")
     )
-    new_counts = first.groupBy(F.col("__first").alias("__p")).agg(
-        F.count("*").alias("n_new")
-    )
-    totals = keyed.groupBy("__p").agg(F.count("*").alias("n_urls"))
+    gk = ["__k"] if per_domain else []
+    new_counts = first.groupBy(
+        *gk, F.col("__first").alias("__p")
+    ).agg(F.count("*").alias("n_new"))
+    totals = keyed.groupBy(*gk, "__p").agg(F.count("*").alias("n_urls"))
     nov = F.round(F.col("n_new") / F.col("n_urls"), 6) + F.lit(0.0)
+    out_keys = (
+        [F.col("__k").alias("domain")] if per_domain else []
+    )
     return (
-        totals.join(new_counts, "__p", "left")
+        totals.join(new_counts, [*gk, "__p"], "left")
         .select(
+            *out_keys,
             F.col("__p").alias(period_col),
             F.col("n_urls").cast("long").alias("n_urls"),
             F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
         )
-        .select(period_col, "n_urls", "n_new", nov.alias("novelty"))
+        .select(
+            *(["domain"] if per_domain else []),
+            period_col, "n_urls", "n_new", nov.alias("novelty"),
+        )
     )

@@ -4119,3 +4119,369 @@ SELECT t.n_sample, t.n_ref,
          + 0.0 AS ks
 FROM c, t GROUP BY t.n_sample, t.n_ref
 """
+
+
+# ---------------------------------------------------------------------
+# round 10 post-window batch (registered AFTER the r10 DRIVER_WINDOW
+# froze — standing rule; they rotate into the r11 window as
+# never-driver-verified). VERDICT r9 #4's diversity ask: three NEW
+# operator families (embedding-space drift, incremental near-dup
+# ledger, lexical divergence) before the two queued compositions.
+
+
+def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-centroid drift between consecutive snapshots
+    (operators/embedding_ops.centroid_drift — the representation-level
+    leg of the temporal audit family, the 'per-source embedding/
+    centroid drift between snapshots' capability VERDICT r9 #4
+    queued): cosine similarity and L2 shift of each label's centroid
+    from snapshot t to t+1; snapshot = vec_id % 3 — three interleaved
+    refreshes of the same embedding space."""
+    from ..operators.embedding_ops import centroid_drift
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "snapshot", (F.col("vec_id") % 3).cast("int")
+    )
+    return centroid_drift(
+        emb, vec_col="embedding", group_col="label",
+        period_col="snapshot",
+    )
+
+
+ORACLE_CENTROID_DRIFT = """
+WITH ex AS (
+  SELECT label, CAST(vec_id % 3 AS INT) AS snapshot,
+         generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+  WHERE label IS NOT NULL AND vec_id IS NOT NULL
+    AND embedding IS NOT NULL),
+c AS (
+  SELECT label, snapshot, dim, AVG(x) AS c
+  FROM ex GROUP BY 1, 2, 3),
+per AS (SELECT DISTINCT snapshot FROM c),
+pairs AS (
+  SELECT snapshot, lead(snapshot) OVER (ORDER BY snapshot) AS next_snapshot
+  FROM per QUALIFY next_snapshot IS NOT NULL),
+m AS (
+  SELECT a.label, p.snapshot, p.next_snapshot,
+         SUM(a.c * b.c) AS dot,
+         SUM(a.c * a.c) AS na2,
+         SUM(b.c * b.c) AS nb2,
+         SUM((a.c - b.c) * (a.c - b.c)) AS d2
+  FROM pairs p
+  JOIN c a ON a.snapshot = p.snapshot
+  JOIN c b ON b.label = a.label AND b.dim = a.dim
+          AND b.snapshot = p.next_snapshot
+  GROUP BY 1, 2, 3),
+cnt AS (
+  SELECT label, CAST(vec_id % 3 AS INT) AS snapshot,
+         CAST(count(*) AS BIGINT) AS n
+  FROM embeddings
+  WHERE label IS NOT NULL AND vec_id IS NOT NULL
+    AND embedding IS NOT NULL
+  GROUP BY 1, 2)
+SELECT m.label, m.snapshot, m.next_snapshot,
+       ca.n AS n_prev, cb.n AS n_next,
+       CASE WHEN sqrt(na2) * sqrt(nb2) > 0
+            THEN ROUND(dot / (sqrt(na2) * sqrt(nb2)), 6) + 0.0
+       END AS cos_sim,
+       ROUND(sqrt(d2), 6) + 0.0 AS l2_shift
+FROM m
+JOIN cnt ca ON ca.label = m.label AND ca.snapshot = m.snapshot
+JOIN cnt cb ON cb.label = m.label AND cb.snapshot = m.next_snapshot
+"""
+
+
+MINHASH_LEDGER_THRESHOLD = 0.5
+
+
+def q_minhash_ledger_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-snapshot near-dup replay (operators/dedup.
+    minhash_ledger_replay — the MinHash extension of the exact-key
+    ledger, VERDICT r9 #4's queued capability): three crawl snapshots
+    (doc_id % 3) replay in order; each snapshot's docs LSH-probe the
+    accumulated survivor ledger, est >= 0.5 matches take the lowest-id
+    ledger keeper, survivors append. md5_64 hashing so the candidate
+    set is engine-independent; the oracle UNROLLS the three-step
+    replay in SQL and certifies the sequential ledger semantics."""
+    from ..operators.dedup import minhash_ledger_replay
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "batch", (F.col("doc_id") % 3).cast("int")
+    )
+    return minhash_ledger_replay(
+        docs, text_col="text", id_col="doc_id", batch_col="batch",
+        batch_values=[0, 1, 2], n=5, k=128, bands=32,
+        threshold=MINHASH_LEDGER_THRESHOLD, hash_fn="md5_64",
+    )
+
+
+def _oracle_minhash_ledger_replay(
+    n: int = 5, k: int = 128, bands: int = 32, thr: float = 0.5
+) -> str:
+    return f"""
+WITH {_minhash_cand_ctes(n, k, bands)},
+bat AS (
+  SELECT doc_id, CAST(doc_id % 3 AS INT) AS batch FROM documents),
+est AS (
+  SELECT doc_a, doc_b,
+         CAST(list_sum([CASE WHEN sa.s[i] = sb.s[i] THEN 1 ELSE 0 END
+                        FOR i IN range(1, {k} + 1)]) AS BIGINT)
+           / {k}.0 AS est
+  FROM cand
+  JOIN sig sa ON sa.doc_id = doc_a
+  JOIN sig sb ON sb.doc_id = doc_b),
+p AS (
+  SELECT CASE WHEN ba.batch < bb.batch THEN e.doc_b ELSE e.doc_a END
+           AS new_id,
+         CASE WHEN ba.batch < bb.batch THEN e.doc_a ELSE e.doc_b END
+           AS led_id,
+         greatest(ba.batch, bb.batch) AS new_batch,
+         least(ba.batch, bb.batch) AS led_batch,
+         e.est
+  FROM est e
+  JOIN bat ba ON ba.doc_id = e.doc_a
+  JOIN bat bb ON bb.doc_id = e.doc_b
+  WHERE ba.batch <> bb.batch AND e.est >= {thr}),
+d1 AS (
+  SELECT new_id, min(led_id) AS keeper
+  FROM p WHERE new_batch = 1 AND led_batch = 0 GROUP BY 1),
+d1e AS (
+  SELECT d1.new_id, d1.keeper, p.est
+  FROM d1 JOIN p ON p.new_id = d1.new_id AND p.led_id = d1.keeper
+              AND p.new_batch = 1 AND p.led_batch = 0),
+led2 AS (
+  SELECT doc_id FROM bat WHERE batch < 2
+  EXCEPT SELECT new_id FROM d1),
+d2 AS (
+  SELECT new_id, min(led_id) AS keeper
+  FROM p
+  WHERE new_batch = 2
+    AND led_id IN (SELECT doc_id FROM led2)
+  GROUP BY 1),
+d2e AS (
+  SELECT d2.new_id, d2.keeper, p.est
+  FROM d2 JOIN p ON p.new_id = d2.new_id AND p.led_id = d2.keeper
+              AND p.new_batch = 2),
+dups AS (
+  SELECT new_id, keeper, est FROM d1e
+  UNION ALL SELECT new_id, keeper, est FROM d2e)
+SELECT b.doc_id, b.batch,
+       COALESCE(d.keeper, b.doc_id) AS keeper_id,
+       d.est AS est_jaccard
+FROM bat b LEFT JOIN dups d ON d.new_id = b.doc_id
+"""
+
+
+ORACLE_MINHASH_LEDGER_REPLAY = _oracle_minhash_ledger_replay(
+    thr=MINHASH_LEDGER_THRESHOLD
+)
+
+
+def q_token_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical bias audit (operators/curation.
+    token_js_divergence): Jensen–Shannon divergence between each
+    source's unigram distribution and the whole corpus's, via the
+    exact-support algebra (absent tokens collapse to the ln2
+    correction term) so nothing source x vocab ever materializes."""
+    from ..operators.curation import token_js_divergence
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_js_divergence(docs, text_col="text", group_col="source")
+
+
+ORACLE_TOKEN_JS_DIVERGENCE = r"""
+WITH tok AS (
+  SELECT source AS g,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> len(x) > 0)) AS t
+  FROM documents WHERE source IS NOT NULL),
+gt AS (SELECT g, t, count(*) AS c FROM tok GROUP BY 1, 2),
+gl AS (SELECT t, SUM(c) AS ct FROM gt GROUP BY 1),
+gtot AS (SELECT g, SUM(c) AS ng, count(*) AS vocab FROM gt GROUP BY 1),
+tot AS (SELECT SUM(ct) AS nt FROM gl),
+terms AS (
+  SELECT gt.g,
+         (gt.c * 1.0 / ng) AS p,
+         (ct * 1.0 / nt) AS q
+  FROM gt JOIN gl USING (t) JOIN gtot USING (g), tot),
+agg AS (
+  SELECT g,
+         SUM(p * ln(p / ((p + q) / 2.0))
+             + q * ln(q / ((p + q) / 2.0))) AS s,
+         SUM(q) AS qcov
+  FROM terms GROUP BY 1)
+SELECT a.g AS source,
+       CAST(gtot.ng AS BIGINT) AS n_tokens,
+       CAST(gtot.vocab AS BIGINT) AS vocab,
+       ROUND(qcov, 6) + 0.0 AS coverage,
+       ROUND(0.5 * (s + ln(2.0) * (1.0 - qcov)), 6) + 0.0 AS js
+FROM agg a JOIN gtot ON gtot.g = a.g
+"""
+
+
+def q_novelty_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty half-life (ROADMAP r10 queued composition over
+    path_novelty(per_domain=True) — no new operator): fit ln(novelty)
+    ~ slope * snapshot per domain by least squares and convert to a
+    half-life (-ln 2 / slope) — 'how many more crawls until this site
+    stops yielding'. Domains whose novelty is not decaying (slope >=
+    0) emit a NULL half_life; fewer than 2 positive-novelty points
+    leaves the fit (and slope) undefined. The regression runs on the
+    6dp-rounded novelty values both engines already agree on, and the
+    sums are domain-keyed folds over calendar-sized point sets."""
+    from ..operators.urls import path_novelty
+
+    docs = _snapshot_url_documents(spark, sf_dir)
+    base = path_novelty(
+        docs, url_col="url", period_col="snapshot", per_domain=True
+    )
+    pts = base.where(F.col("novelty") > 0).select(
+        "domain",
+        F.col("snapshot").cast("double").alias("x"),
+        F.log("novelty").alias("y"),
+    )
+    agg = pts.groupBy("domain").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope_raw = F.when(den > F.lit(0.0), num / den)
+    half = F.when(
+        slope_raw < F.lit(0.0),
+        F.round(-F.log(F.lit(2.0)) / slope_raw, 6) + F.lit(0.0),
+    )
+    return agg.select(
+        "domain",
+        F.col("n").cast("long").alias("n_points"),
+        (F.round(slope_raw, 6) + F.lit(0.0)).alias("slope"),
+        half.alias("half_life"),
+    )
+
+
+ORACLE_NOVELTY_HALF_LIFE = """
+WITH u AS (
+  SELECT CAST(doc_id % 3 AS INT) AS snapshot,
+         source || '.' ||
+         CASE lang WHEN 'en' THEN 'com' WHEN 'de' THEN 'co.uk'
+                   WHEN 'es' THEN 'com.es' WHEN 'zh' THEN 'com.cn'
+                   WHEN 'fr' THEN 'fr' ELSE 'org' END AS domain,
+         '/' || regexp_replace(
+           regexp_extract(lower(text), '^([^ ]*)', 1),
+           '[^a-z0-9]', '', 'g') AS path
+  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+d AS (SELECT DISTINCT domain, snapshot, path FROM u),
+f AS (SELECT domain, path, MIN(snapshot) AS fs FROM d GROUP BY 1, 2),
+newc AS (
+  SELECT domain, fs AS snapshot, count(*) AS n_new
+  FROM f GROUP BY 1, 2),
+tot AS (
+  SELECT domain, snapshot, count(*) AS n_urls FROM d GROUP BY 1, 2),
+nov AS (
+  SELECT t.domain, t.snapshot,
+         ROUND(coalesce(n_new, 0) * 1.0 / n_urls, 6) + 0.0 AS novelty
+  FROM tot t LEFT JOIN newc USING (domain, snapshot)),
+pts AS (
+  SELECT domain, CAST(snapshot AS DOUBLE) AS x, ln(novelty) AS y
+  FROM nov WHERE novelty > 0),
+agg AS (
+  SELECT domain, count(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM pts GROUP BY 1)
+SELECT domain,
+       CAST(n AS BIGINT) AS n_points,
+       CASE WHEN n * sxx - sx * sx > 0
+            THEN ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                 + 0.0
+       END AS slope,
+       CASE WHEN n * sxx - sx * sx > 0
+             AND (n * sxy - sx * sy) / (n * sxx - sx * sx) < 0
+            THEN ROUND(-ln(2.0)
+                       / ((n * sxy - sx * sy) / (n * sxx - sx * sx)),
+                       6) + 0.0
+       END AS half_life
+FROM agg
+"""
+
+
+def q_domain_drift_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain drift dashboard (ROADMAP r10 queued composition over
+    path_drift + dup_rate_by_group — no new operator): one row per
+    (domain, consecutive snapshot pair) joining the URL-set jaccard
+    with the domain's exact-dup rate on each side of the pair and the
+    delta — the per-site health panel a crawl operator reads before
+    re-weighting ('set churned AND dup mass doubled' is a different
+    diagnosis than either alone). Sides where the domain has no docs
+    carry NULL dup legs (births/deaths keep their jaccard-0 rows)."""
+    from ..operators.curation import dup_rate_by_group
+    from ..operators.urls import path_drift, registered_domain, url_host
+
+    docs = _snapshot_url_documents(spark, sf_dir)
+    base = path_drift(docs, url_col="url", period_col="snapshot")
+    rates = dup_rate_by_group(
+        docs.withColumn(
+            "domain", registered_domain(url_host(F.col("url")))
+        ),
+        group_col=["domain", "snapshot"],
+        text_col="text",
+        id_col="doc_id",
+    ).select("domain", "snapshot", "n_docs", "dup_rate")
+    prev = rates.select(
+        "domain", "snapshot",
+        F.col("n_docs").alias("docs_prev"),
+        F.col("dup_rate").alias("dup_prev"),
+    )
+    nxt = rates.select(
+        "domain",
+        F.col("snapshot").alias("next_snapshot"),
+        F.col("n_docs").alias("docs_next"),
+        F.col("dup_rate").alias("dup_next"),
+    )
+    delta = F.round(
+        F.col("dup_next") - F.col("dup_prev"), 6
+    ) + F.lit(0.0)
+    return (
+        base.join(prev, ["domain", "snapshot"], "left")
+        .join(nxt, ["domain", "next_snapshot"], "left")
+        .select(
+            "domain", "snapshot", "next_snapshot",
+            "n_prev", "n_next", "jaccard",
+            F.col("docs_prev").cast("long").alias("docs_prev"),
+            F.col("docs_next").cast("long").alias("docs_next"),
+            "dup_prev", "dup_next",
+            delta.alias("dup_delta"),
+        )
+    )
+
+
+ORACLE_DOMAIN_DRIFT_PANEL = f"""
+WITH base AS ({ORACLE_TEMPORAL_PATH_DRIFT}),
+docs AS (
+  SELECT source || '.' ||
+         CASE lang WHEN 'en' THEN 'com' WHEN 'de' THEN 'co.uk'
+                   WHEN 'es' THEN 'com.es' WHEN 'zh' THEN 'com.cn'
+                   WHEN 'fr' THEN 'fr' ELSE 'org' END AS domain,
+         CAST(doc_id % 3 AS INT) AS snapshot,
+         text
+  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+rates AS (
+  SELECT domain, snapshot,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         ROUND((count(*) - count(DISTINCT md5(text))) * 1.0
+               / count(*), 6) + 0.0 AS dup_rate
+  FROM docs GROUP BY 1, 2)
+SELECT b.domain, b.snapshot, b.next_snapshot,
+       b.n_prev, b.n_next, b.jaccard,
+       p.n_docs AS docs_prev, n.n_docs AS docs_next,
+       p.dup_rate AS dup_prev, n.dup_rate AS dup_next,
+       ROUND(n.dup_rate - p.dup_rate, 6) + 0.0 AS dup_delta
+FROM base b
+LEFT JOIN rates p ON p.domain = b.domain AND p.snapshot = b.snapshot
+LEFT JOIN rates n ON n.domain = b.domain
+                 AND n.snapshot = b.next_snapshot
+"""
