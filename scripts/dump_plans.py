@@ -111,6 +111,29 @@ HEADLINE = {
         "drift anomaly panel: per-pair population z-scores from exact "
         "integer sums, broadcast stats join over path_drift's fold"
     ),
+    "centroid_drift": (
+        "embedding centroid drift: map-side-combined (label, snapshot, "
+        "dim) avg fold, broadcast pair frame, (group, dim)-keyed drift "
+        "reduction — vectors never shuffle"
+    ),
+    "minhash_ledger_replay": (
+        "incremental near-dup ledger: cached signatures, (id, band, "
+        "key) bucket joins per step, id-list ledger checkpointed per "
+        "batch — text never crosses an exchange"
+    ),
+    "token_js_divergence": (
+        "lexical JS divergence: (group, token) fold pinned for three "
+        "consumers, vocab-sized global re-fold, 1-row corpus total "
+        "broadcast — exact-support algebra, nothing group x vocab"
+    ),
+    "novelty_half_life": (
+        "novelty decay fit: Window-free first-seen min(), keyed "
+        "novelty counts, one domain-keyed regression fold"
+    ),
+    "domain_drift_panel": (
+        "domain drift dashboard: path_drift fold + (domain, snapshot) "
+        "digest dup rates, (domain, period)-keyed LEFT joins"
+    ),
 }
 
 

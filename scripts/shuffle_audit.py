@@ -359,6 +359,30 @@ AUDITS: dict[str, str] = {
         "drift anomaly panel: path_drift's key-bounded fold plus a "
         "broadcast (pair)-sized exact-integer stats join"
     ),
+    "centroid_drift": (
+        "embedding centroid drift: one map-side-combined (label, "
+        "snapshot, dim) avg fold; pair frame broadcast; drift "
+        "reduction is (labels x dims)-sized - vectors never shuffle"
+    ),
+    "minhash_ledger_replay": (
+        "incremental near-dup ledger: signatures cached once; every "
+        "exchange is (id, band, key) buckets, candidate pairs or the "
+        "id-list ledger - text never crosses the wire"
+    ),
+    "token_js_divergence": (
+        "lexical JS divergence: one (group, token) map-side-combined "
+        "fold; global histogram re-folds that frame (vocab-sized); "
+        "only the 1-row corpus total crosses as broadcast"
+    ),
+    "novelty_half_life": (
+        "novelty decay fit: the distinct URL fold, keyed novelty "
+        "counts, then a domain-keyed regression fold over <= "
+        "|snapshots| points - every exchange key-sized"
+    ),
+    "domain_drift_panel": (
+        "domain panel: path_drift's fold + a (domain, snapshot) "
+        "digest dup-rate fold, joined on (domain, period) keys"
+    ),
 }
 
 def audit_one(spark, name: str, sf_dir: str) -> dict:

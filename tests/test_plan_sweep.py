@@ -47,6 +47,9 @@ NESTED_LOOP_OK = {
     "regex_antijoin": "pattern table broadcast-small by contract",
     "countmin_words": "1-row bounds cross join",
     "quota_sample_ks": "1-row ECDF-totals cross join",
+    "token_js_divergence": "1-row corpus-token-total cross join "
+                           "(scalar broadcast; counts join by token "
+                           "and group keys)",
     "ks_source_panel": "two bounded cross joins: the 1-row n_ref scalar, "
                        "and the group x distinct-reference-value "
                        "evaluation grid (value-domain-bounded, reference "

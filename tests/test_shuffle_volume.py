@@ -610,3 +610,60 @@ def test_drift_anomaly_population_broadcast(spark):
     assert r["scan_rows"] > 0
     assert r["shuffle_bytes"] / max(r["shuffle_records"], 1) < 64, r
     assert r["broadcast_bytes"] > 0, "population stats must broadcast"
+
+
+def test_centroid_drift_dim_fold_bounded(spark):
+    # the corpus folds once to (label, snapshot, dim) avg components
+    # with map-side combine, so the exchange carries at most
+    # partitions x labels x snapshots x dims partial rows — never
+    # corpus x dims explode output; the pair frame broadcasts
+    r = _measure(spark, "centroid_drift")
+    assert r["scan_rows"] > 0
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dims = len(emb.first()["embedding"])
+    labels = emb.select("label").distinct().count()
+    assert r["shuffle_records"] <= labels * 3 * dims * 40, r
+    assert r["broadcast_bytes"] > 0, "pair frame must broadcast"
+
+
+def test_minhash_ledger_replay_text_never_shuffles(spark):
+    # signatures are computed once and cached; every exchange carries
+    # (id, band, key) buckets, candidate pairs, or the id-list ledger
+    # — bytes/record stays bucket-row-sized, never document text
+    r = _measure(spark, "minhash_ledger_replay")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_bytes"] / max(r["shuffle_records"], 1) < 120, r
+
+
+def test_token_js_divergence_vocab_bounded(spark):
+    # one corpus scan folds map-side to (group, token) counts; the
+    # global histogram re-folds THAT frame (vocab-sized), and only the
+    # 1-row corpus total crosses as a broadcast — so shuffled records
+    # stay well under the corpus token volume
+    r = _measure(spark, "token_js_divergence")
+    assert r["scan_rows"] > 0
+    tok_volume = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .selectExpr("sum(size(split(lower(text), '\\\\s+')))")
+        .first()[0]
+    )
+    assert r["shuffle_records"] < tok_volume, r
+    assert r["broadcast_bytes"] > 0, "corpus total must broadcast"
+
+
+def test_novelty_half_life_key_sized_fit(spark):
+    # everything past the distinct (domain, snapshot, path) fold is
+    # domain-keyed and calendar-bounded; the regression sums are one
+    # domain-keyed aggregate over <= |snapshots| points
+    r = _measure(spark, "novelty_half_life")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_bytes"] / max(r["shuffle_records"], 1) < 80, r
+
+
+def test_domain_drift_panel_key_sized_joins(spark):
+    # path_drift's fold + a (domain, snapshot)-keyed dup-rate fold,
+    # joined on (domain, period) keys — no corpus rows past the folds
+    r = _measure(spark, "domain_drift_panel")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_bytes"] / max(r["shuffle_records"], 1) < 100, r
+    assert r["broadcast_bytes"] > 0, "pair frame must broadcast"
