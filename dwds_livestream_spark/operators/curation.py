@@ -1187,6 +1187,64 @@ def dup_rate_drift(
     )
 
 
+def _paired_value_counts(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    period_col: str,
+    pin: bool = True,
+) -> DataFrame:
+    """Shared temporal-histogram assembly (the ks_drift fold, extracted
+    for its psi/js siblings — the round-9 shared-assembly rule): ONE
+    (group, period, value) count fold (map-side combined, pinned for
+    its multiple consumers), the calendar pair frame (lead over
+    DISTINCT periods, broadcast), and the per-(group, pair) union
+    value grid with both sides' counts zero-filled. NULL
+    value/group/period rows excluded.
+
+    Returns the merged frame with columns __g, __p, __np, __v, __ca,
+    __cb — every downstream drift score (KS ECDF, PSI fold, JS fold)
+    is a (group, pair)-keyed reduction over it.
+    """
+    g = F.col(group_col)
+    p = F.col(period_col)
+    v = F.col(value_col)
+    hg = (
+        df.where(g.isNotNull() & p.isNotNull() & v.isNotNull())
+        .groupBy(g.alias("__g"), p.alias("__p"), v.alias("__v"))
+        .agg(F.count("*").alias("__c"))
+    )
+    if pin:
+        hg = hg.localCheckpoint(eager=False)
+    periods = hg.select("__p").distinct()
+    pairs = periods.select(
+        "__p",
+        F.lead("__p").over(Window.orderBy("__p")).alias("__np"),
+    ).where(F.col("__np").isNotNull())
+    a = hg.join(F.broadcast(pairs), "__p").select(
+        "__g", "__p", "__np", "__v", F.col("__c").alias("__ca")
+    )
+    b = (
+        hg.withColumnRenamed("__p", "__np")
+        .join(F.broadcast(pairs), "__np")
+        .select("__g", "__p", "__np", "__v", F.col("__c").alias("__cb"))
+    )
+    grid = (
+        a.select("__g", "__p", "__np", "__v")
+        .union(b.select("__g", "__p", "__np", "__v"))
+        .distinct()
+    )
+    return (
+        grid.join(a, ["__g", "__p", "__np", "__v"], "left")
+        .join(b, ["__g", "__p", "__np", "__v"], "left")
+        .select(
+            "__g", "__p", "__np", "__v",
+            F.coalesce("__ca", F.lit(0)).alias("__ca"),
+            F.coalesce("__cb", F.lit(0)).alias("__cb"),
+        )
+    )
+
+
 def ks_drift(
     df: DataFrame,
     value_col: str = "n_chars",
@@ -1235,43 +1293,9 @@ def ks_drift(
         df, _ = _ks_quantize(
             df, None, value_col, bins, keep_cols=(group_col, period_col)
         )
-    g = F.col(group_col)
-    p = F.col(period_col)
-    v = F.col(value_col)
     next_col = f"next_{period_col}"
-    hg = (
-        df.where(g.isNotNull() & p.isNotNull() & v.isNotNull())
-        .groupBy(g.alias("__g"), p.alias("__p"), v.alias("__v"))
-        .agg(F.count("*").alias("__c"))
-    )
-    if pin:
-        hg = hg.localCheckpoint(eager=False)
-    periods = hg.select("__p").distinct()
-    pairs = periods.select(
-        "__p",
-        F.lead("__p").over(Window.orderBy("__p")).alias("__np"),
-    ).where(F.col("__np").isNotNull())
-    a = hg.join(F.broadcast(pairs), "__p").select(
-        "__g", "__p", "__np", "__v", F.col("__c").alias("__ca")
-    )
-    b = (
-        hg.withColumnRenamed("__p", "__np")
-        .join(F.broadcast(pairs), "__np")
-        .select("__g", "__p", "__np", "__v", F.col("__c").alias("__cb"))
-    )
-    grid = (
-        a.select("__g", "__p", "__np", "__v")
-        .union(b.select("__g", "__p", "__np", "__v"))
-        .distinct()
-    )
-    merged = (
-        grid.join(a, ["__g", "__p", "__np", "__v"], "left")
-        .join(b, ["__g", "__p", "__np", "__v"], "left")
-        .select(
-            "__g", "__p", "__np", "__v",
-            F.coalesce("__ca", F.lit(0)).alias("__ca"),
-            F.coalesce("__cb", F.lit(0)).alias("__cb"),
-        )
+    merged = _paired_value_counts(
+        df, value_col, group_col, period_col, pin=pin
     )
     w = (
         Window.partitionBy("__g", "__p", "__np")
@@ -1405,4 +1429,205 @@ def token_js_divergence(
         F.col("__vf").cast("long").alias("vocab"),
         (F.round(F.col("__qcov"), 6) + F.lit(0.0)).alias("coverage"),
         (F.round(js, 6) + F.lit(0.0)).alias("js"),
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+    period_col: str = "snapshot",
+    bins: int = 32,
+    pin: bool = True,
+) -> DataFrame:
+    """Per-group Population Stability Index between consecutive
+    snapshots — the industry-standard drift score next to
+    :func:`ks_drift`: PSI = Σ_bins (p_i − q_i)·ln(p_i / q_i) over a
+    SHARED equal-width grid, weighting tail mass KS's supremum
+    ignores (the conventional read: < 0.1 stable, 0.1–0.25 drifting,
+    > 0.25 shifted). Same temporal contract as its siblings: pairs
+    emit only where the group has values on BOTH sides, NULLs
+    excluded.
+
+    Definedness: raw PSI is infinite when a bin is empty on exactly
+    one side, so every bin probability is additively smoothed —
+    p_i = (c_i + 0.5) / (n + bins/2) (Laplace 1/2; the standard PSI
+    epsilon-floor, made deterministic and oracle-replicable: plain
+    double arithmetic from exact integer counts, identical on any
+    engine). Bins empty on BOTH sides contribute exactly 0 under
+    smoothing (p_i = q_i happens only at equal counts and equal
+    totals — in general they contribute a totals-dependent constant,
+    so the fold runs over the FULL 1..bins range per pair, not just
+    observed bins; bins-bounded either way).
+
+    Distributed shape: the :func:`_ks_quantize` whole-frame grid
+    (1-row min/max broadcast) bounds the value domain; then the
+    shared :func:`_paired_value_counts` assembly (one histogram
+    fold, broadcast calendar pair frame, union grid) densified to
+    the full bin range by a (pair × bins) sequence explode —
+    calendar × bins sized, never corpus-sized; PSI is one
+    (group, pair)-keyed fold. Output: <group_col>, <period_col>,
+    next_<period_col>, n_prev, n_next, psi (6dp).
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1: {bins}")
+    q, _ = _ks_quantize(
+        df, None, value_col, bins, keep_cols=(group_col, period_col)
+    )
+    merged = _paired_value_counts(
+        q, value_col, group_col, period_col, pin=pin
+    )
+    totals = merged.groupBy("__g", "__p", "__np").agg(
+        F.sum("__ca").cast("long").alias("n_prev"),
+        F.sum("__cb").cast("long").alias("n_next"),
+    )
+    # densify to the full 1..bins grid: a bin empty on both sides
+    # still carries smoothed mass on each side, and the smoothed
+    # p != q whenever the totals differ
+    full = (
+        totals.select("__g", "__p", "__np")
+        .select(
+            "__g", "__p", "__np",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(int(bins)))
+            ).alias("__v"),
+        )
+    )
+    dense = full.join(
+        merged, ["__g", "__p", "__np", "__v"], "left"
+    ).select(
+        "__g", "__p", "__np",
+        F.coalesce("__ca", F.lit(0)).alias("__ca"),
+        F.coalesce("__cb", F.lit(0)).alias("__cb"),
+    )
+    half_bins = F.lit(bins / 2.0)
+    joined = dense.join(totals, ["__g", "__p", "__np"]).where(
+        (F.col("n_prev") > 0) & (F.col("n_next") > 0)
+    )
+    pa = (F.col("__ca") + F.lit(0.5)) / (F.col("n_prev") + half_bins)
+    pb = (F.col("__cb") + F.lit(0.5)) / (F.col("n_next") + half_bins)
+    term = (pa - pb) * F.log(pa / pb)
+    next_col = f"next_{period_col}"
+    return (
+        joined.groupBy("__g", "__p", "__np", "n_prev", "n_next")
+        .agg((F.round(F.sum(term), 6) + F.lit(0.0)).alias("psi"))
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__p").alias(period_col),
+            F.col("__np").alias(next_col),
+            "n_prev", "n_next", "psi",
+        )
+    )
+
+
+def js_drift(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    period_col: str = "snapshot",
+    pin: bool = True,
+) -> DataFrame:
+    """Per-group lexical distribution drift between consecutive
+    snapshots: Jensen–Shannon divergence between the group's unigram
+    token distribution in snapshot t and in t+1 — the temporal leg of
+    :func:`token_js_divergence` (which compares each source to the
+    corpus; this compares each source to ITSELF a crawl later). JS
+    over KL for the same reasons there: symmetric, bounded [0, ln 2],
+    defined on non-overlapping vocabularies (a token absent from one
+    side contributes exactly 0.5·q·ln 2 through the m = q/2 midpoint
+    — no smoothing needed, unlike PSI). Pairs emit only where the
+    group has tokens on BOTH sides; NULLs excluded.
+
+    Distributed shape: tokens reduce to xxhash64 digests BEFORE the
+    fold (the content_drift convention — grouping by digest yields
+    the same count multiset as grouping by string, 64-bit collisions
+    only perturb a term at ~1e-13 odds, and the oracle folds raw
+    strings so the driver gate continuously certifies it); then the
+    shared :func:`_paired_value_counts` assembly — the union support
+    IS the evaluation grid, nothing group × global-vocab
+    materializes; JS is one (group, pair)-keyed fold. Output:
+    <group_col>, <period_col>, next_<period_col>, n_prev, n_next
+    (token totals), js (6dp, nats).
+    """
+    tok = df.where(
+        F.col(group_col).isNotNull() & F.col(period_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__jg"),
+        F.col(period_col).alias("__jp"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("__jt"),
+    ).select(
+        F.col("__jg"), F.col("__jp"), F.xxhash64("__jt").alias("__jv")
+    )
+    merged = _paired_value_counts(tok, "__jv", "__jg", "__jp", pin=pin)
+    totals = merged.groupBy("__g", "__p", "__np").agg(
+        F.sum("__ca").cast("long").alias("n_prev"),
+        F.sum("__cb").cast("long").alias("n_next"),
+    )
+    joined = merged.join(totals, ["__g", "__p", "__np"]).where(
+        (F.col("n_prev") > 0) & (F.col("n_next") > 0)
+    )
+    p = F.col("__ca") / F.col("n_prev")
+    q = F.col("__cb") / F.col("n_next")
+    m = (p + q) / F.lit(2.0)
+    term = F.when(F.col("__ca") > 0, p * F.log(p / m)).otherwise(
+        F.lit(0.0)
+    ) + F.when(F.col("__cb") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    next_col = f"next_{period_col}"
+    return (
+        joined.groupBy("__g", "__p", "__np", "n_prev", "n_next")
+        .agg(
+            (F.round(F.lit(0.5) * F.sum(term), 6) + F.lit(0.0)).alias(
+                "js"
+            )
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__p").alias(period_col),
+            F.col("__np").alias(next_col),
+            "n_prev", "n_next", "js",
+        )
+    )
+
+
+def token_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    period_col: str = "snapshot",
+) -> DataFrame:
+    """Per-(group, snapshot) VOCABULARY novelty: the fraction of a
+    source's distinct token set first seen in that snapshot — the
+    lexical twin of ``operators/urls.path_novelty`` ("is this source
+    still producing new vocabulary, or re-crawling the same
+    language?"); novelty 1.0 on the group's first observed snapshot,
+    decaying toward 0 as the vocabulary saturates.
+
+    Distributed shape: the corpus folds ONCE to DISTINCT
+    (group, period, token-digest) tuples — tokens reduce to xxhash64
+    digests before the fold (the js_drift convention; the oracle
+    folds raw strings) — then the shared
+    ``operators/drift.set_novelty`` assembly: first-seen is a keyed
+    min() (Window-free), per-snapshot counts join key-sized frames.
+    Output: <group_col>, <period_col>, n_tokens, n_new, novelty (6dp).
+    """
+    from .drift import set_novelty
+
+    keyed = (
+        df.where(
+            F.col(group_col).isNotNull() & F.col(period_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("__k"),
+            F.col(period_col).alias("__p"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("__jt"),
+        )
+        .select("__k", "__p", F.xxhash64("__jt").alias("__i"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    return set_novelty(
+        keyed,
+        key_out=group_col,
+        period_out=period_col,
+        count_cols=("n_tokens", "n_new"),
     )

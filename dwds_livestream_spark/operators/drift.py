@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["set_drift"]
+__all__ = ["set_drift", "set_novelty"]
 
 
 def set_drift(
@@ -92,4 +92,55 @@ def set_drift(
         key_out, period_out, next_col,
         "n_prev", "n_next", "n_common",
         jac.alias("jaccard"),
+    )
+
+
+def set_novelty(
+    keyed: DataFrame,
+    key_out: str,
+    period_out: str,
+    count_cols: "tuple[str, str]" = ("n_urls", "n_new"),
+    per_key: bool = True,
+) -> DataFrame:
+    """First-seen novelty over a distinct item-set frame — the
+    cumulative complement of :func:`set_drift`, extracted from
+    ``operators/urls.path_novelty`` so its lexical twin
+    (``operators/curation.token_novelty``) shares the assembly.
+
+    ``keyed`` contract: exactly the columns ``__k`` (set key), ``__p``
+    (period), ``__i`` (set item) — already DISTINCT and lazily
+    checkpointed by the caller (it fans out to the first-seen fold
+    and the totals fold). An item's identity is ALWAYS (``__k``,
+    ``__i``); ``per_key`` only controls whether the output is keyed
+    (one novelty curve per key) or global (counts collapsed over
+    keys — the original path_novelty view).
+
+    Window-free: "seen before" is exactly "first_period < period", so
+    the prefix scan collapses into one keyed min(); per-period counts
+    join key-sized frames. First observed period reports novelty 1.0
+    by construction. Output: [<key_out>,] <period_out>,
+    <count_cols[0]>, <count_cols[1]>, novelty (6dp; the total is
+    >= 1 whenever the row exists, so the division is ANSI-safe).
+    """
+    n_tot, n_new = count_cols
+    first = keyed.groupBy("__k", "__i").agg(F.min("__p").alias("__first"))
+    gk = ["__k"] if per_key else []
+    new_counts = first.groupBy(
+        *gk, F.col("__first").alias("__p")
+    ).agg(F.count("*").alias(n_new))
+    totals = keyed.groupBy(*gk, "__p").agg(F.count("*").alias(n_tot))
+    nov = F.round(F.col(n_new) / F.col(n_tot), 6) + F.lit(0.0)
+    out_keys = [F.col("__k").alias(key_out)] if per_key else []
+    return (
+        totals.join(new_counts, [*gk, "__p"], "left")
+        .select(
+            *out_keys,
+            F.col("__p").alias(period_out),
+            F.col(n_tot).cast("long").alias(n_tot),
+            F.coalesce(n_new, F.lit(0)).cast("long").alias(n_new),
+        )
+        .select(
+            *([key_out] if per_key else []),
+            period_out, n_tot, n_new, nov.alias("novelty"),
+        )
     )

@@ -387,29 +387,13 @@ def path_novelty(
     (domain, path) key and the count joins key by (domain, period).
     Each domain's FIRST observed snapshot reports novelty 1.0.
     """
+    from .drift import set_novelty
+
     keyed = _distinct_domain_period_paths(df, url_col, period_col)
-    first = keyed.groupBy("__k", "__i").agg(
-        F.min("__p").alias("__first")
-    )
-    gk = ["__k"] if per_domain else []
-    new_counts = first.groupBy(
-        *gk, F.col("__first").alias("__p")
-    ).agg(F.count("*").alias("n_new"))
-    totals = keyed.groupBy(*gk, "__p").agg(F.count("*").alias("n_urls"))
-    nov = F.round(F.col("n_new") / F.col("n_urls"), 6) + F.lit(0.0)
-    out_keys = (
-        [F.col("__k").alias("domain")] if per_domain else []
-    )
-    return (
-        totals.join(new_counts, [*gk, "__p"], "left")
-        .select(
-            *out_keys,
-            F.col("__p").alias(period_col),
-            F.col("n_urls").cast("long").alias("n_urls"),
-            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
-        )
-        .select(
-            *(["domain"] if per_domain else []),
-            period_col, "n_urls", "n_new", nov.alias("novelty"),
-        )
+    return set_novelty(
+        keyed,
+        key_out="domain",
+        period_out=period_col,
+        count_cols=("n_urls", "n_new"),
+        per_key=per_domain,
     )

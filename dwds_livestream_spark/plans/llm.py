@@ -4485,3 +4485,176 @@ LEFT JOIN rates p ON p.domain = b.domain AND p.snapshot = b.snapshot
 LEFT JOIN rates n ON n.domain = b.domain
                  AND n.snapshot = b.next_snapshot
 """
+
+
+PSI_BINS = 32
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type Population Stability Index between consecutive
+    days (operators/curation.psi_drift): the industry-standard drift
+    score over the shared 32-bin _ks_quantize grid, Laplace-1/2
+    smoothed so every bin is defined — the tail-mass-weighting
+    companion to ks_drift_binned on the same fixture."""
+    from ..operators.curation import psi_drift
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    return psi_drift(
+        ev, value_col="value", group_col="event_type",
+        period_col="day", bins=PSI_BINS,
+    )
+
+
+ORACLE_PSI_DRIFT = f"""
+WITH st AS (
+  SELECT min(value) AS lo, max(value) AS hi
+  FROM events WHERE value IS NOT NULL),
+q AS (
+  SELECT event_type AS g,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS p,
+         CASE WHEN hi = lo THEN 1
+              WHEN value >= hi THEN {PSI_BINS}
+              ELSE LEAST({PSI_BINS}, GREATEST(1,
+                CAST(FLOOR((value - lo) / (hi - lo) * {PSI_BINS}.0)
+                     AS INT) + 1))
+         END AS v
+  FROM events, st
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+    AND ts IS NOT NULL),
+hg AS (SELECT g, p, v, count(*) AS c FROM q GROUP BY 1, 2, 3),
+per AS (SELECT DISTINCT p FROM hg),
+pairs AS (
+  SELECT p, lead(p) OVER (ORDER BY p) AS np
+  FROM per QUALIFY np IS NOT NULL),
+tot AS (
+  SELECT a.g, a.p, pairs.np,
+         CAST(SUM(a.c) AS BIGINT) AS n_prev
+  FROM hg a JOIN pairs USING (p) GROUP BY 1, 2, 3),
+totb AS (
+  SELECT b.g, pairs.p, b.p AS np,
+         CAST(SUM(b.c) AS BIGINT) AS n_next
+  FROM hg b JOIN pairs ON b.p = pairs.np GROUP BY 1, 2, 3),
+cells AS (
+  SELECT t.g, t.p, t.np, t.n_prev, tb.n_next, bins.v
+  FROM tot t
+  JOIN totb tb ON tb.g = t.g AND tb.p = t.p AND tb.np = t.np,
+  unnest(range(1, {PSI_BINS} + 1)) AS bins(v)),
+dense AS (
+  SELECT c.g, c.p, c.np, c.n_prev, c.n_next, c.v,
+         COALESCE(a.c, 0) AS ca, COALESCE(b.c, 0) AS cb
+  FROM cells c
+  LEFT JOIN hg a ON a.g = c.g AND a.p = c.p AND a.v = c.v
+  LEFT JOIN hg b ON b.g = c.g AND b.p = c.np AND b.v = c.v)
+SELECT g AS event_type, p AS day, np AS next_day, n_prev, n_next,
+       ROUND(SUM(((ca + 0.5) / (n_prev + {PSI_BINS} / 2.0)
+                  - (cb + 0.5) / (n_next + {PSI_BINS} / 2.0))
+                 * ln(((ca + 0.5) / (n_prev + {PSI_BINS} / 2.0))
+                      / ((cb + 0.5) / (n_next + {PSI_BINS} / 2.0)))),
+             6) + 0.0 AS psi
+FROM dense
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+def q_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical JS drift between consecutive snapshots
+    (operators/curation.js_drift — the temporal leg of
+    token_js_divergence): each source's unigram distribution in
+    snapshot t vs t+1 over the union support, token text reduced to
+    xxhash64 digests before the fold; the oracle folds raw strings."""
+    from ..operators.curation import js_drift
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "snapshot", (F.col("doc_id") % 3).cast("int")
+    )
+    return js_drift(
+        docs, text_col="text", group_col="source",
+        period_col="snapshot",
+    )
+
+
+ORACLE_JS_DRIFT = r"""
+WITH tok AS (
+  SELECT source AS g, CAST(doc_id % 3 AS INT) AS p,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> len(x) > 0)) AS t
+  FROM documents WHERE source IS NOT NULL),
+hg AS (SELECT g, p, t, count(*) AS c FROM tok GROUP BY 1, 2, 3),
+per AS (SELECT DISTINCT p FROM hg),
+pairs AS (
+  SELECT p, lead(p) OVER (ORDER BY p) AS np
+  FROM per QUALIFY np IS NOT NULL),
+a AS (SELECT hg.g, hg.p, pairs.np, hg.t, hg.c AS ca
+      FROM hg JOIN pairs USING (p)),
+b AS (SELECT hg.g, pairs.p, hg.p AS np, hg.t, hg.c AS cb
+      FROM hg JOIN pairs ON hg.p = pairs.np),
+grid AS (
+  SELECT g, p, np, t FROM a UNION SELECT g, p, np, t FROM b),
+m AS (
+  SELECT grid.g, grid.p, grid.np, grid.t,
+         COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+  FROM grid
+  LEFT JOIN a ON a.g = grid.g AND a.p = grid.p AND a.np = grid.np
+             AND a.t = grid.t
+  LEFT JOIN b ON b.g = grid.g AND b.p = grid.p AND b.np = grid.np
+             AND b.t = grid.t),
+tot AS (
+  SELECT g, p, np,
+         CAST(SUM(ca) AS BIGINT) AS n_prev,
+         CAST(SUM(cb) AS BIGINT) AS n_next
+  FROM m GROUP BY 1, 2, 3)
+SELECT m.g AS source, m.p AS snapshot, m.np AS next_snapshot,
+       tot.n_prev, tot.n_next,
+       ROUND(0.5 * SUM(
+         CASE WHEN ca > 0
+              THEN (ca * 1.0 / n_prev)
+                   * ln((ca * 1.0 / n_prev)
+                        / ((ca * 1.0 / n_prev + cb * 1.0 / n_next)
+                           / 2.0))
+              ELSE 0.0 END
+         + CASE WHEN cb > 0
+                THEN (cb * 1.0 / n_next)
+                     * ln((cb * 1.0 / n_next)
+                          / ((ca * 1.0 / n_prev + cb * 1.0 / n_next)
+                             / 2.0))
+                ELSE 0.0 END), 6) + 0.0 AS js
+FROM m
+JOIN tot ON tot.g = m.g AND tot.p = m.p AND tot.np = m.np
+WHERE n_prev > 0 AND n_next > 0
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+def q_token_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary novelty by snapshot (operators/curation.
+    token_novelty — path_novelty's lexical twin via the shared
+    drift.set_novelty assembly): the fraction of each source's
+    distinct token set first seen in that snapshot."""
+    from ..operators.curation import token_novelty
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "snapshot", (F.col("doc_id") % 3).cast("int")
+    )
+    return token_novelty(
+        docs, text_col="text", group_col="source",
+        period_col="snapshot",
+    )
+
+
+ORACLE_TOKEN_NOVELTY = r"""
+WITH d AS (
+  SELECT DISTINCT source AS g, CAST(doc_id % 3 AS INT) AS p,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> len(x) > 0)) AS t
+  FROM documents WHERE source IS NOT NULL),
+f AS (SELECT g, t, MIN(p) AS fs FROM d GROUP BY 1, 2),
+newc AS (SELECT g, fs AS p, count(*) AS n_new FROM f GROUP BY 1, 2),
+tot AS (SELECT g, p, count(*) AS n_tokens FROM d GROUP BY 1, 2)
+SELECT t.g AS source, t.p AS snapshot,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+       ROUND(COALESCE(n_new, 0) * 1.0 / n_tokens, 6) + 0.0 AS novelty
+FROM tot t LEFT JOIN newc ON newc.g = t.g AND newc.p = t.p
+"""

@@ -134,6 +134,18 @@ HEADLINE = {
         "domain drift dashboard: path_drift fold + (domain, snapshot) "
         "digest dup rates, (domain, period)-keyed LEFT joins"
     ),
+    "psi_drift": (
+        "PSI drift: quantize grid broadcast, shared paired-histogram "
+        "assembly, (pair x bins) densify, one keyed fold"
+    ),
+    "js_drift": (
+        "lexical JS drift: digest fold, union-support grid, one "
+        "(group, pair)-keyed fold"
+    ),
+    "token_novelty": (
+        "vocabulary novelty: distinct digest fold + set_novelty "
+        "(keyed min first-seen, Window-free)"
+    ),
 }
 
 

@@ -383,6 +383,20 @@ AUDITS: dict[str, str] = {
         "domain panel: path_drift's fold + a (domain, snapshot) "
         "digest dup-rate fold, joined on (domain, period) keys"
     ),
+    "psi_drift": (
+        "PSI drift: the 32-bin quantize grid (1-row broadcast) bounds "
+        "every cell; densify is a (pair x bins) sequence explode; PSI "
+        "is one (group, pair)-keyed fold"
+    ),
+    "js_drift": (
+        "lexical JS drift: token digests fold to (group, snapshot, "
+        "digest) counts; union support is the grid - text never "
+        "crosses, nothing group x global-vocab"
+    ),
+    "token_novelty": (
+        "vocabulary novelty: one distinct (source, snapshot, digest) "
+        "fold; first-seen = keyed min(), Window-free"
+    ),
 }
 
 def audit_one(spark, name: str, sf_dir: str) -> dict:

@@ -57,6 +57,9 @@ NESTED_LOOP_OK = {
                        "by key",
     "ks_value_binned": "1-row bin-range + reference-total cross joins "
                        "(scalars broadcast; histograms join by key)",
+    "psi_drift": "1-row bin-range cross join (the _ks_quantize grid "
+                 "scalar; the bin densify is a sequence explode over "
+                 "the pair frame, not a join)",
     "ks_drift_binned": "1-row bin-range cross join (scalar broadcast; "
                        "everything downstream joins by key)",
     "bm25_topk": "1-row corpus-stats cross join",

@@ -239,3 +239,172 @@ def test_path_novelty_per_domain_matches_naive(spark, rows):
         n_new = sum(1 for p in paths if first[(dom, p)] == s)
         expect[(dom, s)] = (len(paths), n_new)
     assert got == expect
+
+
+# ------------------------------------------------------------------
+# psi_drift vs naive (binning replicated in python)
+# ------------------------------------------------------------------
+
+psi_corpora = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),    # group
+        st.integers(min_value=0, max_value=2),    # snapshot
+        st.integers(min_value=0, max_value=9),    # value (int-valued)
+    ),
+    min_size=2,
+    max_size=16,
+)
+
+PSI_BINS_T = 4
+
+
+def _bucket(v, lo, hi, bins):
+    if hi == lo:
+        return 1
+    if v >= hi:
+        return bins
+    return min(bins, max(1, int((v - lo) / (hi - lo) * float(bins)) + 1))
+
+
+@SET
+@given(rows=psi_corpora)
+def test_psi_drift_matches_naive(spark, rows):
+    from dwds_livestream_spark.operators.curation import psi_drift
+
+    df = spark.createDataFrame(
+        [(f"g{g}", s, float(v)) for g, s, v in rows],
+        "source string, snapshot int, v double",
+    )
+    got = {
+        (r.source, r.snapshot, r.next_snapshot): (r.n_prev, r.n_next, r.psi)
+        for r in psi_drift(
+            df, value_col="v", group_col="source",
+            period_col="snapshot", bins=PSI_BINS_T,
+        ).collect()
+    }
+
+    lo, hi = float(min(v for _, _, v in rows)), float(max(v for _, _, v in rows))
+    by = collections.defaultdict(collections.Counter)
+    for g, s, v in rows:
+        by[(f"g{g}", s)][_bucket(float(v), lo, hi, PSI_BINS_T)] += 1
+    snaps = sorted({s for _, s, _ in rows})
+    expect = {}
+    for a, b in zip(snaps, snaps[1:]):
+        for grp in {g for (g, _) in by}:
+            ca, cb = by.get((grp, a)), by.get((grp, b))
+            if not ca or not cb:
+                continue
+            na, nb = sum(ca.values()), sum(cb.values())
+            psi = 0.0
+            for bin_ in range(1, PSI_BINS_T + 1):
+                pa = (ca.get(bin_, 0) + 0.5) / (na + PSI_BINS_T / 2.0)
+                pb = (cb.get(bin_, 0) + 0.5) / (nb + PSI_BINS_T / 2.0)
+                psi += (pa - pb) * math.log(pa / pb)
+            expect[(grp, a, b)] = (na, nb, psi)
+
+    assert set(got) == set(expect)
+    for k, (na, nb, psi) in expect.items():
+        gna, gnb, gpsi = got[k]
+        assert (gna, gnb) == (na, nb)
+        assert gpsi == pytest.approx(psi, abs=1e-6)
+        assert gpsi >= -1e-9   # PSI is non-negative
+
+
+# ------------------------------------------------------------------
+# js_drift vs naive two-sample JS
+# ------------------------------------------------------------------
+
+jsd_corpora = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),    # group
+        st.integers(min_value=0, max_value=2),    # snapshot
+        st.lists(
+            st.integers(min_value=0, max_value=4), min_size=1, max_size=5
+        ),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@SET
+@given(rows=jsd_corpora)
+def test_js_drift_matches_naive(spark, rows):
+    from dwds_livestream_spark.operators.curation import js_drift
+
+    df = spark.createDataFrame(
+        [
+            (f"g{g}", s, " ".join(f"w{t}" for t in toks))
+            for g, s, toks in rows
+        ],
+        "source string, snapshot int, text string",
+    )
+    got = {
+        (r.source, r.snapshot, r.next_snapshot): (r.n_prev, r.n_next, r.js)
+        for r in js_drift(df).collect()
+    }
+
+    by = collections.defaultdict(collections.Counter)
+    for g, s, toks in rows:
+        by[(f"g{g}", s)].update(f"w{t}" for t in toks)
+    snaps = sorted({s for _, s, _ in rows})
+    expect = {}
+    for a, b in zip(snaps, snaps[1:]):
+        for grp in {g for (g, _) in by}:
+            pa, pb = by.get((grp, a)), by.get((grp, b))
+            if not pa or not pb:
+                continue
+            na, nb = sum(pa.values()), sum(pb.values())
+            js = 0.0
+            for t in set(pa) | set(pb):
+                p = pa.get(t, 0) / na
+                q = pb.get(t, 0) / nb
+                m = (p + q) / 2
+                if p > 0:
+                    js += 0.5 * p * math.log(p / m)
+                if q > 0:
+                    js += 0.5 * q * math.log(q / m)
+            expect[(grp, a, b)] = (na, nb, js)
+
+    assert set(got) == set(expect)
+    for k, (na, nb, js) in expect.items():
+        gna, gnb, gjs = got[k]
+        assert (gna, gnb) == (na, nb)
+        assert gjs == pytest.approx(js, abs=1e-6)
+        assert -1e-9 <= gjs <= math.log(2) + 1e-9
+
+
+# ------------------------------------------------------------------
+# token_novelty vs naive first-seen
+# ------------------------------------------------------------------
+
+
+@SET
+@given(rows=jsd_corpora)
+def test_token_novelty_matches_naive(spark, rows):
+    from dwds_livestream_spark.operators.curation import token_novelty
+
+    df = spark.createDataFrame(
+        [
+            (f"g{g}", s, " ".join(f"w{t}" for t in toks))
+            for g, s, toks in rows
+        ],
+        "source string, snapshot int, text string",
+    )
+    got = {
+        (r.source, r.snapshot): (r.n_tokens, r.n_new)
+        for r in token_novelty(df).collect()
+    }
+
+    by = collections.defaultdict(set)
+    for g, s, toks in rows:
+        by[(f"g{g}", s)].update(f"w{t}" for t in toks)
+    first = {}
+    for (grp, s) in sorted(by, key=lambda k: k[1]):
+        for t in by[(grp, s)]:
+            first.setdefault((grp, t), s)
+    expect = {
+        (grp, s): (len(ts), sum(1 for t in ts if first[(grp, t)] == s))
+        for (grp, s), ts in by.items()
+    }
+    assert got == expect

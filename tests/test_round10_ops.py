@@ -378,3 +378,141 @@ def test_domain_drift_panel_agrees_with_its_components(spark):
             )
         else:
             assert row.dup_delta is None
+
+
+# ------------------------------------------------------------------
+# psi_drift
+# ------------------------------------------------------------------
+
+
+def test_psi_drift_vs_hand_computed(spark):
+    from dwds_livestream_spark.operators.curation import psi_drift
+
+    # bins=2 over values {0.0, 1.0}: 0.0 -> bin 1, 1.0 (== hi) -> bin 2
+    rows = (
+        [("g", 0, 0.0)] * 3 + [("g", 0, 1.0)]
+        + [("g", 1, 0.0)] + [("g", 1, 1.0)] * 3
+    )
+    df = spark.createDataFrame(rows, "source string, snapshot int, v double")
+    (r,) = psi_drift(
+        df, value_col="v", group_col="source", period_col="snapshot",
+        bins=2,
+    ).collect()
+    # smoothed: pa = (3.5/5, 1.5/5), pb = (1.5/5, 3.5/5)
+    want = 2 * (0.7 - 0.3) * math.log(0.7 / 0.3)
+    assert (r.n_prev, r.n_next) == (4, 4)
+    assert r.psi == pytest.approx(want, abs=1e-6)
+
+
+def test_psi_drift_identical_is_zero_and_contract(spark):
+    from dwds_livestream_spark.operators.curation import psi_drift
+
+    same = [("g", s, float(v)) for s in (0, 1) for v in (1, 2, 2, 3)]
+    df = spark.createDataFrame(same, "source string, snapshot int, v double")
+    (r,) = psi_drift(df, value_col="v", group_col="source",
+                     period_col="snapshot", bins=4).collect()
+    assert r.psi == 0.0
+
+    # a group absent from one side emits no pair row
+    oneside = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 1, 1.0), ("b", 0, 2.0)],
+        "source string, snapshot int, v double",
+    )
+    got = psi_drift(oneside, value_col="v", group_col="source",
+                    period_col="snapshot", bins=2).collect()
+    assert {r.source for r in got} == {"a"}
+
+    with pytest.raises(ValueError, match="bins"):
+        psi_drift(df, value_col="v", bins=0)
+
+
+def test_psi_drift_empty_both_sides_bins_contribute_by_totals(spark):
+    """A bin empty on BOTH sides still carries smoothed mass; with
+    EQUAL totals its term is exactly 0, so psi here reduces to the
+    occupied bins — the densify must not change equal-totals cases."""
+    from dwds_livestream_spark.operators.curation import psi_drift
+
+    # values span [0, 3] with bins=4; bins 2 and 3 stay empty
+    rows = [("g", 0, 0.0), ("g", 0, 3.0), ("g", 1, 0.0), ("g", 1, 3.0)]
+    df = spark.createDataFrame(rows, "source string, snapshot int, v double")
+    (r,) = psi_drift(df, value_col="v", group_col="source",
+                     period_col="snapshot", bins=4).collect()
+    assert r.psi == 0.0
+
+
+# ------------------------------------------------------------------
+# js_drift
+# ------------------------------------------------------------------
+
+
+def _js_two(pa: dict, pb: dict) -> float:
+    na, nb = sum(pa.values()), sum(pb.values())
+    js = 0.0
+    for t in set(pa) | set(pb):
+        p = pa.get(t, 0) / na
+        q = pb.get(t, 0) / nb
+        m = (p + q) / 2
+        if p > 0:
+            js += 0.5 * p * math.log(p / m)
+        if q > 0:
+            js += 0.5 * q * math.log(q / m)
+    return js
+
+
+def test_js_drift_vs_naive_two_sample(spark):
+    from collections import Counter
+
+    from dwds_livestream_spark.operators.curation import js_drift
+
+    snap0 = "the cat sat on the mat".split()
+    snap1 = "the dog and the cat ran far away".split()
+    df = spark.createDataFrame(
+        [("g", 0, " ".join(snap0)), ("g", 1, " ".join(snap1))],
+        "source string, snapshot int, text string",
+    )
+    (r,) = js_drift(df, group_col="source", period_col="snapshot").collect()
+    assert (r.n_prev, r.n_next) == (len(snap0), len(snap1))
+    assert r.js == pytest.approx(
+        _js_two(Counter(snap0), Counter(snap1)), abs=1e-6
+    )
+
+
+def test_js_drift_identical_zero_disjoint_ln2(spark):
+    from dwds_livestream_spark.operators.curation import js_drift
+
+    df = spark.createDataFrame(
+        [("same", 0, "a b c"), ("same", 1, "a b c"),
+         ("disj", 0, "x y"), ("disj", 1, "p q r"),
+         ("born", 1, "only here")],          # absent side -> no row
+        "source string, snapshot int, text string",
+    )
+    got = {r.source: r.js for r in js_drift(df).collect()}
+    assert got["same"] == 0.0
+    assert got["disj"] == pytest.approx(math.log(2), abs=1e-6)
+    assert "born" not in got
+
+
+# ------------------------------------------------------------------
+# token_novelty
+# ------------------------------------------------------------------
+
+
+def test_token_novelty_vs_brute_force(spark):
+    from dwds_livestream_spark.operators.curation import token_novelty
+
+    df = spark.createDataFrame(
+        [("g", 0, "a b"), ("g", 1, "a c C"),   # c/C fold via lower()
+         ("g", 2, "a b c"),
+         ("h", 1, "z")],
+        "source string, snapshot int, text string",
+    )
+    got = {
+        (r.source, r.snapshot): (r.n_tokens, r.n_new, r.novelty)
+        for r in token_novelty(df).collect()
+    }
+    assert got == {
+        ("g", 0): (2, 2, 1.0),     # {a, b}
+        ("g", 1): (2, 1, 0.5),     # {a, c}: c new
+        ("g", 2): (3, 0, 0.0),     # {a, b, c}: all seen
+        ("h", 1): (1, 1, 1.0),     # h's first snapshot
+    }

@@ -667,3 +667,28 @@ def test_domain_drift_panel_key_sized_joins(spark):
     assert r["scan_rows"] > 0
     assert r["shuffle_bytes"] / max(r["shuffle_records"], 1) < 100, r
     assert r["broadcast_bytes"] > 0, "pair frame must broadcast"
+
+
+def test_psi_drift_bins_bounded(spark):
+    # the _ks_quantize grid bounds every histogram cell; the densify
+    # explode is (pair x bins)-sized; the 1-row min/max broadcasts
+    r = _measure(spark, "psi_drift")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] <= r["scan_rows"] * 4, r
+    assert r["broadcast_bytes"] > 0, "bin range + pair frame broadcast"
+
+
+def test_js_drift_digest_bounded(spark):
+    # tokens reduce to xxhash64 digests before the fold; all exchanges
+    # are (group, snapshot, digest)-keyed counts — text never crosses
+    r = _measure(spark, "js_drift")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_bytes"] / max(r["shuffle_records"], 1) < 80, r
+
+
+def test_token_novelty_digest_fold_bounded(spark):
+    # one distinct (source, snapshot, digest) fold; first-seen is a
+    # keyed min() — Window-free, every exchange key-sized
+    r = _measure(spark, "token_novelty")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_bytes"] / max(r["shuffle_records"], 1) < 80, r
