@@ -760,6 +760,12 @@ def minhash_ledger_replay(
     is explicit driver-sized metadata; when omitted it is read from
     the data with one distinct (snapshot inventories are
     calendar-sized by construction).
+
+    Precondition: ``id_col`` is unique across the whole replay (the
+    snapshot-corpus contract — a doc re-fetched in a later crawl has
+    a NEW id, which is exactly what the ledger detects); an id
+    repeated across batches would double its signature row and fan
+    the keeper joins out.
     """
     if batch_values is None:
         batch_values = [

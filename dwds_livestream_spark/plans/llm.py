@@ -4658,3 +4658,68 @@ SELECT t.g AS source, t.p AS snapshot,
        ROUND(COALESCE(n_new, 0) * 1.0 / n_tokens, 6) + 0.0 AS novelty
 FROM tot t LEFT JOIN newc ON newc.g = t.g AND newc.p = t.p
 """
+
+
+def q_embedding_drift_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift anomaly panel (a pure COMPOSITION over
+    centroid_drift — the drift_anomaly recipe carried to the
+    representation axis, no new operator): z-score each label's
+    centroid L2 shift against its snapshot-pair population, so the
+    one label whose embedding re-centered surfaces even when every
+    label drifts a little. Same exact-integer trick: the 6dp l2_shift
+    scales to lossless longs, so the population mean/stddev — and the
+    6dp z — are bit-identical across engines and partitionings;
+    zero-variance pairs emit z = 0. Population frames are
+    (pair)-sized and move by broadcast."""
+    from ..operators.embedding_ops import centroid_drift
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "snapshot", (F.col("vec_id") % 3).cast("int")
+    )
+    base = centroid_drift(
+        emb, vec_col="embedding", group_col="label",
+        period_col="snapshot",
+    )
+    j6 = F.round(F.col("l2_shift") * 1e6).cast("long")
+    b = base.select(
+        "label", "snapshot", "next_snapshot", "l2_shift",
+        j6.alias("__j"),
+    )
+    pop = b.groupBy("snapshot", "next_snapshot").agg(
+        F.count("*").alias("__n"),
+        F.sum("__j").alias("__s1"),
+        F.sum(F.col("__j") * F.col("__j")).alias("__s2"),
+    )
+    nd = F.col("__n").cast("double")
+    s1d = F.col("__s1").cast("double")
+    s2d = F.col("__s2").cast("double")
+    jd = F.col("__j").cast("double")
+    var = (s2d - (s1d * s1d) / nd) / nd
+    z = F.when(var > 0, (jd - s1d / nd) / F.sqrt(var)).otherwise(
+        F.lit(0.0)
+    )
+    return b.join(F.broadcast(pop), ["snapshot", "next_snapshot"]).select(
+        "label", "snapshot", "next_snapshot", "l2_shift",
+        (F.round(z, 6) + F.lit(0.0)).alias("z"),
+    )
+
+
+ORACLE_EMBEDDING_DRIFT_ANOMALY = f"""
+WITH base AS ({ORACLE_CENTROID_DRIFT}),
+b AS (
+  SELECT label, snapshot, next_snapshot, l2_shift,
+         CAST(ROUND(l2_shift * 1000000) AS BIGINT) AS j
+  FROM base),
+pop AS (
+  SELECT snapshot, next_snapshot,
+         count(*) AS n, SUM(j) AS s1, SUM(j * j) AS s2
+  FROM b GROUP BY 1, 2)
+SELECT b.label, b.snapshot, b.next_snapshot, b.l2_shift,
+       ROUND(CASE WHEN ((s2 * 1.0) - ((s1 * 1.0) * (s1 * 1.0))
+                        / (n * 1.0)) / (n * 1.0) > 0
+             THEN ((j * 1.0) - (s1 * 1.0) / (n * 1.0))
+                  / sqrt(((s2 * 1.0) - ((s1 * 1.0) * (s1 * 1.0))
+                          / (n * 1.0)) / (n * 1.0))
+             ELSE 0.0 END, 6) + 0.0 AS z
+FROM b JOIN pop USING (snapshot, next_snapshot)
+"""

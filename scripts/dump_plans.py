@@ -146,6 +146,10 @@ HEADLINE = {
         "vocabulary novelty: distinct digest fold + set_novelty "
         "(keyed min first-seen, Window-free)"
     ),
+    "embedding_drift_anomaly": (
+        "embedding anomaly panel: exact-integer population z over "
+        "centroid_drift, stats broadcast"
+    ),
 }
 
 

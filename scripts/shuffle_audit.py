@@ -397,6 +397,10 @@ AUDITS: dict[str, str] = {
         "vocabulary novelty: one distinct (source, snapshot, digest) "
         "fold; first-seen = keyed min(), Window-free"
     ),
+    "embedding_drift_anomaly": (
+        "embedding anomaly panel: centroid_drift's dim fold + a "
+        "broadcast (pair)-sized exact-integer stats join"
+    ),
 }
 
 def audit_one(spark, name: str, sf_dir: str) -> dict:

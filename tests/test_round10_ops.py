@@ -516,3 +516,67 @@ def test_token_novelty_vs_brute_force(spark):
         ("g", 2): (3, 0, 0.0),     # {a, b, c}: all seen
         ("h", 1): (1, 1, 1.0),     # h's first snapshot
     }
+
+
+# ------------------------------------------------------------------
+# embedding_drift_anomaly (composition consistency)
+# ------------------------------------------------------------------
+
+
+def test_embedding_drift_anomaly_vs_brute_force(spark):
+    """The composition query's z-scores against a naive population
+    computation over its own centroid_drift base — exercised via the
+    registry entry at sf0.001 (the drift_anomaly test recipe on the
+    embedding axis)."""
+    from collections import defaultdict
+
+    from dwds_livestream_spark.plans import llm as L
+
+    rows = L.q_embedding_drift_anomaly(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    by_pair = defaultdict(list)
+    for r in rows:
+        by_pair[(r.snapshot, r.next_snapshot)].append(r)
+    for pair, rs in by_pair.items():
+        js = [round(r.l2_shift * 1e6) for r in rs]
+        n = len(js)
+        mu = sum(js) / n
+        var = (sum(j * j for j in js) - sum(js) ** 2 / n) / n
+        for r in rs:
+            j = round(r.l2_shift * 1e6)
+            want = 0.0 if var <= 0 else (j - mu) / math.sqrt(var)
+            assert abs(r.z - round(want, 6)) < 1e-9, (pair, r.label)
+        assert abs(sum(r.z for r in rs)) < 1e-3 * max(n, 1)
+
+
+def test_embedding_drift_anomaly_zero_variance_emits_zero(spark):
+    """Two labels drifting identically -> var 0 -> z = 0 exactly."""
+    from dwds_livestream_spark.plans import llm as L
+    from dwds_livestream_spark.operators.embedding_ops import centroid_drift
+    import pyspark.sql.functions as SF
+
+    df = spark.createDataFrame(
+        [(0, 0, [0.0]), (0, 1, [1.0]), (1, 0, [5.0]), (1, 1, [6.0])],
+        "label int, snapshot int, embedding array<double>",
+    )
+    base = centroid_drift(df, group_col="label")
+    j6 = SF.round(SF.col("l2_shift") * 1e6).cast("long")
+    b = base.select("label", "snapshot", "next_snapshot", "l2_shift",
+                    j6.alias("__j"))
+    pop = b.groupBy("snapshot", "next_snapshot").agg(
+        SF.count("*").alias("__n"), SF.sum("__j").alias("__s1"),
+        SF.sum(SF.col("__j") * SF.col("__j")).alias("__s2"),
+    )
+    nd, s1d, s2d = (SF.col("__n").cast("double"),
+                    SF.col("__s1").cast("double"),
+                    SF.col("__s2").cast("double"))
+    var = (s2d - (s1d * s1d) / nd) / nd
+    z = SF.when(var > 0,
+                (SF.col("__j").cast("double") - s1d / nd) / SF.sqrt(var)
+                ).otherwise(SF.lit(0.0))
+    got = (b.join(SF.broadcast(pop), ["snapshot", "next_snapshot"])
+           .select("label", (SF.round(z, 6) + SF.lit(0.0)).alias("z"))
+           .collect())
+    assert {r.z for r in got} == {0.0}

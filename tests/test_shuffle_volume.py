@@ -692,3 +692,11 @@ def test_token_novelty_digest_fold_bounded(spark):
     r = _measure(spark, "token_novelty")
     assert r["scan_rows"] > 0
     assert r["shuffle_bytes"] / max(r["shuffle_records"], 1) < 80, r
+
+
+def test_embedding_drift_anomaly_population_broadcast(spark):
+    # centroid_drift's fold + a broadcast (pair)-sized exact-integer
+    # stats join — vectors never shuffle, same contract as the base
+    r = _measure(spark, "embedding_drift_anomaly")
+    assert r["scan_rows"] > 0
+    assert r["broadcast_bytes"] > 0, "population stats must broadcast"
