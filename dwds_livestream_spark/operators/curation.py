@@ -1368,7 +1368,10 @@ def token_js_divergence(
     contributes exactly 0.5·q·ln 2, so the full second sum collapses
     to 0.5·[Σ_{t∈G} q_t·ln(q_t/m_t) + ln 2·(1 − Σ_{t∈G} q_t)] — only
     GROUP-support rows are ever evaluated; the absent-mass correction
-    is one subtraction from the group's corpus-coverage.
+    is one subtraction from the group's corpus-coverage. The Σ of ln
+    terms is an IEEE sum — ~ulp order-variation absorbed by the 6dp
+    round (the embedding_covariance determinism class, swept
+    per-round).
 
     Distributed shape: one corpus scan folds to (group, token) counts
     (map-side combined, pinned — it feeds the term rows, the global
@@ -1452,9 +1455,14 @@ def psi_drift(
     Definedness: raw PSI is infinite when a bin is empty on exactly
     one side, so every bin probability is additively smoothed —
     p_i = (c_i + 0.5) / (n + bins/2) (Laplace 1/2; the standard PSI
-    epsilon-floor, made deterministic and oracle-replicable: plain
-    double arithmetic from exact integer counts, identical on any
-    engine). Bins empty on BOTH sides contribute exactly 0 under
+    epsilon-floor, made oracle-replicable: each TERM is plain double
+    arithmetic from exact integer counts, bit-identical on any
+    engine; the final Σ over bins is an IEEE sum whose ~ulp
+    order-variation the 6dp round absorbs — the embedding_covariance
+    determinism class, guarded per-round by the shuffle-order
+    determinism sweep, NOT the lossless-integer-sum class
+    drift_anomaly achieves on its already-6dp inputs). Bins empty on
+    BOTH sides contribute exactly 0 under
     smoothing (p_i = q_i happens only at equal counts and equal
     totals — in general they contribute a totals-dependent constant,
     so the fold runs over the FULL 1..bins range per pair, not just
@@ -1485,25 +1493,27 @@ def psi_drift(
     # still carries smoothed mass on each side, and the smoothed
     # p != q whenever the totals differ
     full = (
-        totals.select("__g", "__p", "__np")
+        totals.where((F.col("n_prev") > 0) & (F.col("n_next") > 0))
         .select(
-            "__g", "__p", "__np",
+            "__g", "__p", "__np", "n_prev", "n_next",
             F.explode(
                 F.sequence(F.lit(1), F.lit(int(bins)))
             ).alias("__v"),
         )
     )
-    dense = full.join(
+    # the totals ride through the densify select (the explode's
+    # partition columns ARE totals' key), so no re-join is needed to
+    # recover them — and filtering the both-sides-present contract
+    # BEFORE the explode skips densifying one-sided pairs entirely
+    # (review r10)
+    joined = full.join(
         merged, ["__g", "__p", "__np", "__v"], "left"
     ).select(
-        "__g", "__p", "__np",
+        "__g", "__p", "__np", "n_prev", "n_next",
         F.coalesce("__ca", F.lit(0)).alias("__ca"),
         F.coalesce("__cb", F.lit(0)).alias("__cb"),
     )
     half_bins = F.lit(bins / 2.0)
-    joined = dense.join(totals, ["__g", "__p", "__np"]).where(
-        (F.col("n_prev") > 0) & (F.col("n_next") > 0)
-    )
     pa = (F.col("__ca") + F.lit(0.5)) / (F.col("n_prev") + half_bins)
     pb = (F.col("__cb") + F.lit(0.5)) / (F.col("n_next") + half_bins)
     term = (pa - pb) * F.log(pa / pb)
@@ -1545,7 +1555,10 @@ def js_drift(
     strings so the driver gate continuously certifies it); then the
     shared :func:`_paired_value_counts` assembly — the union support
     IS the evaluation grid, nothing group × global-vocab
-    materializes; JS is one (group, pair)-keyed fold. Output:
+    materializes; JS is one (group, pair)-keyed fold whose Σ of ln
+    terms is an IEEE sum — ~ulp order-variation absorbed by the 6dp
+    round (the embedding_covariance determinism class, swept
+    per-round). Output:
     <group_col>, <period_col>, next_<period_col>, n_prev, n_next
     (token totals), js (6dp, nats).
     """

@@ -808,7 +808,11 @@ def minhash_ledger_replay(
         new_b = bucket_batch.where(F.col(batch_col) == b).select(
             F.col(id_col).alias("__new"), "band", "key"
         )
-        led_b = bucket_batch.select(
+        # the ledger side needs no batch tag — probe the raw bucket
+        # frame (pinned) semi-joined to the ledger id list, not the
+        # ids-joined frame (review r10: that join only re-derived a
+        # column the next select dropped)
+        led_b = buckets.select(
             F.col(id_col).alias("__led"), "band", "key"
         ).join(ledger, "__led")
         cand = (
@@ -828,7 +832,11 @@ def minhash_ledger_replay(
             "__new",
             F.col("__kp.__led").alias("keeper_id"),
             F.col("__kp.__est").alias("est_jaccard"),
-        )
+        # dups feeds TWO consumers — the survivors anti-join (evaluated
+        # eagerly by the ledger checkpoint below) and the final union —
+        # so an unpinned frame would run the whole probe pipeline twice
+        # per batch (review r10; the module's multi-consumer rule)
+        ).localCheckpoint(eager=False)
         survivors = (
             ids.where(F.col(batch_col) == b)
             .join(dups.select(F.col("__new").alias(id_col)), id_col, "left_anti")
@@ -925,6 +933,37 @@ def paragraph_dedup(
     )
 
 
+def _shingle_digest_rows(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """Distinct (id, shingle-digest) rows: xxhash64 over each word
+    n-gram's token slice, exploded to long format — the membership
+    form of a document's shingle set for exact-Jaccard joins that
+    never expose shingle text (the dedup-module analogue of
+    curation.py's _with_shingle_hashes, which cannot be reused here
+    because it lowercases through tokens()).
+
+    MUST tokenize exactly like shingles()/minhash_signatures (plain
+    single-space split, no case fold): a consumer that mixes this
+    frame with signature estimates (minhash_jaccard_error) needs both
+    sides over the SAME shingle universe or the error surface
+    silently skews. The when-guard mirrors shingles(): sequence(1, 0)
+    is DESCENDING in Spark, so sub-n-token docs must hit the typed
+    empty branch, not crash slice(.., 0)."""
+    with_toks = df.withColumn("__toks", F.split(F.col(text_col), " "))
+    n_pos = F.greatest(F.size("__toks") - (n - 1), F.lit(0))
+    grams = F.when(
+        n_pos > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_pos),
+            lambda i: F.xxhash64(F.slice("__toks", i, n)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return with_toks.select(
+        F.col(id_col), F.explode(grams).alias("shingle")
+    ).distinct()
+
+
 def minhash_jaccard_error(
     df: DataFrame,
     text_col: str = "text",
@@ -974,19 +1013,8 @@ def minhash_jaccard_error(
     # lazily — unlike the old string frame (measured cheaper to
     # re-derive than materialize), the digest frame is 16 B/row, so
     # one explode+hash execution beats three.
-    with_toks = df.withColumn("__toks", F.split(F.col(text_col), " "))
-    n_pos = F.greatest(F.size("__toks") - (n - 1), F.lit(0))
-    grams = F.when(
-        n_pos > 0,
-        F.transform(
-            F.sequence(F.lit(1), n_pos),
-            lambda i: F.xxhash64(F.slice("__toks", i, n)),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    sh = (
-        with_toks.select(F.col(id_col), F.explode(grams).alias("shingle"))
-        .distinct()
-        .localCheckpoint(eager=False)
+    sh = _shingle_digest_rows(df, text_col, id_col, n).localCheckpoint(
+        eager=False
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     pairs = est.select("doc_a", "doc_b")

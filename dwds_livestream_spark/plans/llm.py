@@ -4330,7 +4330,9 @@ def q_novelty_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
     0) emit a NULL half_life; fewer than 2 positive-novelty points
     leaves the fit (and slope) undefined. The regression runs on the
     6dp-rounded novelty values both engines already agree on, and the
-    sums are domain-keyed folds over calendar-sized point sets."""
+    sums are domain-keyed folds over calendar-sized point sets (IEEE
+    sums of <= |snapshots| ln terms; the final 6dp round absorbs
+    order-variation — the embedding_covariance determinism class)."""
     from ..operators.urls import path_novelty
 
     docs = _snapshot_url_documents(spark, sf_dir)
