@@ -1644,3 +1644,68 @@ def token_novelty(
         period_out=period_col,
         count_cols=("n_tokens", "n_new"),
     )
+
+
+def unigram_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document unigram (Shannon) entropy — the compression-proxy
+    quality signal: boilerplate, keyword-stuffed and template pages
+    compress well (low entropy for their length) while natural prose
+    sits near the language's ceiling; the classic cheap filter next to
+    Gopher's repetition rules (:func:`repetition_stats`) when no LM is
+    in reach (``operators/lm.py`` holds the heavier perplexity twin).
+
+    Computed as H = ln(n) − (Σ_w c_w·ln c_w)/n (nats) over the IN-ROW
+    word histogram — the repetition_stats shape: distinct words ×
+    filter-count inside higher-order array functions, so the operator
+    is a map-only projection with NO shuffle at any scale (the
+    histogram never leaves the row). norm_entropy = H / ln(vocab)
+    rescales to [0, 1] against the doc's own uniform ceiling (NULL
+    for single-word vocabularies, whose H is identically 0). Per-term
+    double arithmetic is engine-exact; the per-doc Σ over c·ln c terms
+    is an IEEE sum in array order vs the oracle's group order —
+    ~ulp variation absorbed by the 6dp round (the
+    embedding_covariance determinism class, swept per-round).
+
+    Zero-token docs (empty/NULL text) drop out — entropy of an empty
+    distribution is undefined. Output: <id_col>, n_tokens, vocab,
+    entropy (6dp), norm_entropy (6dp | NULL).
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    counts = F.transform(
+        F.array_distinct(toks),
+        lambda w: F.size(F.filter(toks, lambda t: t == w)),
+    )
+    s = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc
+        + c.cast("double") * F.log(c.cast("double")),
+    )
+    h = F.log(n.cast("double")) - s / n.cast("double")
+    vocab = F.size(F.array_distinct(toks))
+    norm = F.when(
+        vocab > 1,
+        F.round(h / F.log(vocab.cast("double")), 6) + F.lit(0.0),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            n.alias("__n"),
+            vocab.alias("__v"),
+            (F.round(h, 6) + F.lit(0.0)).alias("entropy"),
+            norm.alias("norm_entropy"),
+        )
+        .where(F.col("__n") > 0)
+        .select(
+            id_col,
+            F.col("__n").cast("long").alias("n_tokens"),
+            F.col("__v").cast("long").alias("vocab"),
+            "entropy",
+            "norm_entropy",
+        )
+    )

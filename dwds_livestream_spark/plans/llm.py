@@ -4725,3 +4725,36 @@ SELECT b.label, b.snapshot, b.next_snapshot, b.l2_shift,
              ELSE 0.0 END, 6) + 0.0 AS z
 FROM b JOIN pop USING (snapshot, next_snapshot)
 """
+
+
+def q_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram entropy quality score (operators/curation.
+    unigram_entropy): the compression-proxy signal from the in-row
+    word histogram — map-only, zero shuffle, the repetition_stats
+    shape with Shannon arithmetic."""
+    from ..operators.curation import unigram_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_entropy(docs, text_col="text", id_col="doc_id")
+
+
+ORACLE_UNIGRAM_ENTROPY = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> len(x) > 0)) AS t
+  FROM documents),
+c AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS vocab,
+         SUM(c * ln(c)) AS s
+  FROM c GROUP BY 1)
+SELECT doc_id, n AS n_tokens, vocab,
+       ROUND(ln(n) - s / n, 6) + 0.0 AS entropy,
+       CASE WHEN vocab > 1
+            THEN ROUND((ln(n) - s / n) / ln(vocab), 6) + 0.0
+       END AS norm_entropy
+FROM agg
+"""

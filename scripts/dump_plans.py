@@ -150,6 +150,10 @@ HEADLINE = {
         "embedding anomaly panel: exact-integer population z over "
         "centroid_drift, stats broadcast"
     ),
+    "unigram_entropy": (
+        "per-doc Shannon entropy: in-row histogram, map-only "
+        "projection, zero Exchange"
+    ),
 }
 
 

@@ -401,6 +401,10 @@ AUDITS: dict[str, str] = {
         "embedding anomaly panel: centroid_drift's dim fold + a "
         "broadcast (pair)-sized exact-integer stats join"
     ),
+    "unigram_entropy": (
+        "per-doc entropy: in-row word histogram (higher-order array "
+        "functions) - map-only, ZERO rows shuffled at any scale"
+    ),
 }
 
 def audit_one(spark, name: str, sf_dir: str) -> dict:

@@ -408,3 +408,36 @@ def test_token_novelty_matches_naive(spark, rows):
         for (grp, s), ts in by.items()
     }
     assert got == expect
+
+
+# ------------------------------------------------------------------
+# unigram_entropy vs naive Counter entropy
+# ------------------------------------------------------------------
+
+ent_corpora = st.lists(
+    st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=12),
+    min_size=1,
+    max_size=6,
+)
+
+
+@SET
+@given(docs=ent_corpora)
+def test_unigram_entropy_matches_naive(spark, docs):
+    from dwds_livestream_spark.operators.curation import unigram_entropy
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{t}" for t in toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.vocab, r.entropy)
+        for r in unigram_entropy(df).collect()
+    }
+    for i, toks in enumerate(docs):
+        cnt = collections.Counter(f"w{t}" for t in toks)
+        n = sum(cnt.values())
+        h = math.log(n) - sum(c * math.log(c) for c in cnt.values()) / n
+        gn, gv, gh = got[i]
+        assert (gn, gv) == (n, len(cnt))
+        assert gh == pytest.approx(h, abs=1e-6)

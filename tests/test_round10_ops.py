@@ -580,3 +580,57 @@ def test_embedding_drift_anomaly_zero_variance_emits_zero(spark):
            .select("label", (SF.round(z, 6) + SF.lit(0.0)).alias("z"))
            .collect())
     assert {r.z for r in got} == {0.0}
+
+
+# ------------------------------------------------------------------
+# unigram_entropy
+# ------------------------------------------------------------------
+
+
+def test_unigram_entropy_vs_hand_computed(spark):
+    from dwds_livestream_spark.operators.curation import unigram_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a b"),            # H = ln3 - (2 ln2)/3
+            (2, "a b c"),            # uniform -> H = ln3, norm 1.0
+            (3, "a a a"),            # single word -> H = 0, norm NULL
+            (4, ""),                 # zero tokens -> excluded
+            (5, None),               # NULL text -> excluded
+            (6, "A a"),              # case folds -> one word
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.vocab, r.entropy, r.norm_entropy)
+        for r in unigram_entropy(df).collect()
+    }
+    h1 = math.log(3) - (2 * math.log(2)) / 3
+    assert set(got) == {1, 2, 3, 6}
+    assert got[1][:2] == (3, 2)
+    assert got[1][2] == pytest.approx(h1, abs=1e-6)
+    assert got[1][3] == pytest.approx(h1 / math.log(2), abs=1e-6)
+    assert got[2] == (
+        3, 3,
+        pytest.approx(math.log(3), abs=1e-6),
+        pytest.approx(1.0, abs=1e-6),
+    )
+    assert got[3] == (3, 1, 0.0, None)
+    assert got[6] == (2, 1, 0.0, None)
+
+
+def test_unigram_entropy_bounds_and_monotonicity(spark):
+    """0 <= H <= ln(vocab) always; repeating a doc's text twice leaves
+    its distribution — and so its entropy — unchanged."""
+    from dwds_livestream_spark.operators.curation import unigram_entropy
+
+    base = "the cat sat on the mat and the dog sat too"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " " + base)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in unigram_entropy(df).collect()}
+    for r in got.values():
+        assert -1e-9 <= r.entropy <= math.log(r.vocab) + 1e-9
+    assert got[2].n_tokens == 2 * got[1].n_tokens
+    assert got[2].vocab == got[1].vocab
+    assert got[2].entropy == pytest.approx(got[1].entropy, abs=1e-6)

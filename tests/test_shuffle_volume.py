@@ -700,3 +700,11 @@ def test_embedding_drift_anomaly_population_broadcast(spark):
     r = _measure(spark, "embedding_drift_anomaly")
     assert r["scan_rows"] > 0
     assert r["broadcast_bytes"] > 0, "population stats must broadcast"
+
+
+def test_unigram_entropy_is_map_only(spark):
+    # the word histogram never leaves the row (higher-order array
+    # functions) — a quality scan over 100 TB shuffles NOTHING
+    r = _measure(spark, "unigram_entropy")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] == 0, r
