@@ -1659,32 +1659,56 @@ def unigram_entropy(
     in reach (``operators/lm.py`` holds the heavier perplexity twin).
 
     Computed as H = ln(n) − (Σ_w c_w·ln c_w)/n (nats) over the IN-ROW
-    word histogram — the repetition_stats shape: distinct words ×
-    filter-count inside higher-order array functions, so the operator
-    is a map-only projection with NO shuffle at any scale (the
-    histogram never leaves the row). norm_entropy = H / ln(vocab)
-    rescales to [0, 1] against the doc's own uniform ceiling (NULL
-    for single-word vocabularies, whose H is identically 0). Per-term
-    double arithmetic is engine-exact; the per-doc Σ over c·ln c terms
-    is an IEEE sum in array order vs the oracle's group order —
-    ~ulp variation absorbed by the 6dp round (the
-    embedding_covariance determinism class, swept per-round).
+    word histogram, so the operator is a map-only projection with NO
+    shuffle at any scale (the histogram never leaves the row). The
+    Σ c·ln c fold runs over the SORTED token array with a run-length
+    state (prev token, run, acc) — one O(n log n) array_sort + one
+    linear aggregate per document — replacing the original
+    array_distinct × filter form whose O(n_tokens × vocab) per-row
+    cost was effectively quadratic on long low-redundancy documents
+    (advisor r10; tests cover a 10⁵-token doc). norm_entropy =
+    H / ln(vocab) rescales to [0, 1] against the doc's own uniform
+    ceiling (NULL for single-word vocabularies, whose H is
+    identically 0). Per-term double arithmetic is engine-exact; the
+    per-doc Σ over c·ln c terms is an IEEE sum in sorted-run order vs
+    the oracle's group order — ~ulp variation absorbed by the 6dp
+    round (the embedding_covariance determinism class, swept
+    per-round).
 
     Zero-token docs (empty/NULL text) drop out — entropy of an empty
-    distribution is undefined. Output: <id_col>, n_tokens, vocab,
+    distribution is undefined — and so do NULL-id rows (a per-doc
+    signal keyed by <id_col> is undefined without one; the oracle
+    replicates both drops). Output: <id_col>, n_tokens, vocab,
     entropy (6dp), norm_entropy (6dp | NULL).
     """
     toks = tokens(F.lower(F.col(text_col)))
     n = F.size(toks)
-    counts = F.transform(
-        F.array_distinct(toks),
-        lambda w: F.size(F.filter(toks, lambda t: t == w)),
-    )
+    run_term = lambda acc: F.when(  # noqa: E731 — Σ of the closing run
+        acc["run"] > 0,
+        acc["run"].cast("double") * F.log(acc["run"].cast("double")),
+    ).otherwise(F.lit(0.0))
     s = F.aggregate(
-        counts,
-        F.lit(0.0),
-        lambda acc, c: acc
-        + c.cast("double") * F.log(c.cast("double")),
+        F.array_sort(toks),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0.0).alias("acc"),
+        ),
+        lambda acc, t: F.when(
+            acc["prev"] == t,  # NULL prev (first token) falls through
+            F.struct(
+                t.alias("prev"),
+                (acc["run"] + F.lit(1)).alias("run"),
+                acc["acc"].alias("acc"),
+            ),
+        ).otherwise(
+            F.struct(
+                t.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                (acc["acc"] + run_term(acc)).alias("acc"),
+            )
+        ),
+        lambda acc: acc["acc"] + run_term(acc),
     )
     h = F.log(n.cast("double")) - s / n.cast("double")
     vocab = F.size(F.array_distinct(toks))
@@ -1693,7 +1717,8 @@ def unigram_entropy(
         F.round(h / F.log(vocab.cast("double")), 6) + F.lit(0.0),
     )
     return (
-        df.select(
+        df.where(F.col(id_col).isNotNull())
+        .select(
             F.col(id_col),
             n.alias("__n"),
             vocab.alias("__v"),

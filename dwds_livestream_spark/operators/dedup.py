@@ -847,6 +847,13 @@ def minhash_ledger_replay(
         ledger = ledger.unionByName(survivors).localCheckpoint()
         dup_frames.append(dups)
 
+    # every per-step probe has run (each eager ledger checkpoint above
+    # materialized its dups frame, pinning it and truncating lineage),
+    # so the cached signature frame has served its purpose — release
+    # it here rather than leaking one |docs| x (k+1) block into
+    # executor storage per invocation (advisor r10)
+    sig.unpersist()
+
     assigned = dup_frames[0] if dup_frames else None
     for d in dup_frames[1:]:
         assigned = assigned.unionByName(d)
@@ -990,7 +997,11 @@ def minhash_jaccard_error(
     abs_err is one IEEE subtraction of two exactly-determined doubles
     (eq/k dyadic, i/(na+nb-i) from exact integers), so round(6) is
     engine-identical. Output: doc_a, doc_b, est_jaccard, jaccard,
-    abs_err.
+    abs_err — where ``jaccard`` (and hence ``abs_err``) is computed
+    over 64-bit xxhash64 shingle DIGESTS, not raw shingle strings:
+    exact up to a ~1e-13 per-pair collision probability (the comment
+    below quantifies it; the registry oracle folds raw strings, so
+    the driver gate certifies collision-freeness on the fixture).
     """
     # est feeds two consumers (the pair routing below + the final
     # join); a lazy checkpoint makes the LSH chain run once — est is

@@ -4582,7 +4582,10 @@ WITH tok AS (
   SELECT source AS g, CAST(doc_id % 3 AS INT) AS p,
          unnest(list_filter(string_split_regex(lower(text), '\s+'),
                             x -> len(x) > 0)) AS t
-  FROM documents WHERE source IS NOT NULL),
+  FROM documents
+  -- doc_id IS NOT NULL replicates the operator's NULL-period drop
+  -- (the derived snapshot doc_id % 3 is NULL exactly when doc_id is)
+  WHERE source IS NOT NULL AND doc_id IS NOT NULL),
 hg AS (SELECT g, p, t, count(*) AS c FROM tok GROUP BY 1, 2, 3),
 per AS (SELECT DISTINCT p FROM hg),
 pairs AS (
@@ -4650,7 +4653,10 @@ WITH d AS (
   SELECT DISTINCT source AS g, CAST(doc_id % 3 AS INT) AS p,
          unnest(list_filter(string_split_regex(lower(text), '\s+'),
                             x -> len(x) > 0)) AS t
-  FROM documents WHERE source IS NOT NULL),
+  FROM documents
+  -- doc_id IS NOT NULL replicates the operator's NULL-period drop
+  -- (the derived snapshot doc_id % 3 is NULL exactly when doc_id is)
+  WHERE source IS NOT NULL AND doc_id IS NOT NULL),
 f AS (SELECT g, t, MIN(p) AS fs FROM d GROUP BY 1, 2),
 newc AS (SELECT g, fs AS p, count(*) AS n_new FROM f GROUP BY 1, 2),
 tot AS (SELECT g, p, count(*) AS n_tokens FROM d GROUP BY 1, 2)
@@ -4743,7 +4749,11 @@ WITH tok AS (
   SELECT doc_id,
          unnest(list_filter(string_split_regex(lower(text), '\s+'),
                             x -> len(x) > 0)) AS t
-  FROM documents),
+  FROM documents
+  -- replicate the operator's NULL-id drop (a per-doc signal keyed by
+  -- doc_id is undefined for NULL ids; without this filter the GROUP
+  -- BY would collapse all NULL-id docs into one oracle row)
+  WHERE doc_id IS NOT NULL),
 c AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
 agg AS (
   SELECT doc_id,

@@ -619,6 +619,51 @@ def test_unigram_entropy_vs_hand_computed(spark):
     assert got[6] == (2, 1, 0.0, None)
 
 
+def test_unigram_entropy_long_low_redundancy_doc(spark):
+    """VERDICT r10 #3: a 10⁵-token mostly-distinct document — the
+    worst case for the old array_distinct × filter histogram
+    (O(tokens × vocab) ≈ 10¹⁰ comparisons) — completes under the
+    sorted-run fold and matches a hand-computed entropy. The pytest
+    invocation itself is the bounded-time gate: the quadratic form
+    would not return within the suite's lifetime."""
+    from dwds_livestream_spark.operators.curation import unigram_entropy
+
+    n = 100_000
+    # 90k unique tokens + 10k repeats of 1k hot words: long AND
+    # low-redundancy, with a non-trivial histogram tail
+    words = [f"w{i}" for i in range(90_000)] + [
+        f"hot{i % 1_000}" for i in range(10_000)
+    ]
+    assert len(words) == n
+    df = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    row = unigram_entropy(df).collect()[0]
+    from collections import Counter
+
+    c = Counter(words)
+    s = sum(v * math.log(v) for v in c.values())
+    h = math.log(n) - s / n
+    assert row.n_tokens == n
+    assert row.vocab == len(c)
+    assert row.entropy == pytest.approx(h, abs=1e-6)
+    assert row.norm_entropy == pytest.approx(
+        h / math.log(len(c)), abs=1e-6
+    )
+
+
+def test_unigram_entropy_null_id_rows_drop(spark):
+    """NULL-id rows drop (the documented contract; the oracle's WHERE
+    doc_id IS NOT NULL replicates it)."""
+    from dwds_livestream_spark.operators.curation import unigram_entropy
+
+    df = spark.createDataFrame(
+        [(None, "a b c"), (1, "a b")], "doc_id long, text string"
+    )
+    got = unigram_entropy(df).collect()
+    assert [r.doc_id for r in got] == [1]
+
+
 def test_unigram_entropy_bounds_and_monotonicity(spark):
     """0 <= H <= ln(vocab) always; repeating a doc's text twice leaves
     its distribution — and so its entropy — unchanged."""
