@@ -1734,3 +1734,111 @@ def unigram_entropy(
             "norm_entropy",
         )
     )
+
+
+def conformal_outlier_bounds(
+    df: DataFrame,
+    score_col: str = "n_chars",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.1,
+    calib_hi: str = "cc",
+    pin: bool = True,
+) -> DataFrame:
+    """Group-wise SPLIT-CONFORMAL outlier gate (Vovk's conformal
+    prediction in the Lei et al. 2018 split form — ROADMAP r11
+    candidate): per group, a calibration sample sets an upper score
+    bound with a finite-sample guarantee — a fresh exchangeable row
+    exceeds it with probability <= ``alpha`` — and the held-out rows
+    are gated against it. The distribution-free anomaly gate for
+    curation scores (length, perplexity, quality): no normality
+    assumption, exact rank arithmetic, so the whole surface is
+    engine-replicable (unlike a z-score gate, bit-stable only via the
+    drift_anomaly integer trick).
+
+    Split: the :func:`stratified_split` convention — content-addressed
+    md5 bucketing of the id, calibration = first-2-hex < ``calib_hi``
+    (~80 %), test = the rest; same row lands the same side on any
+    engine, partitioning, or rerun. Bound: the calibration score at
+    1-based rank ceil((1 - alpha) * (n_cal + 1)) ascending — the
+    split-conformal quantile with the +1 finite-sample correction;
+    when that rank exceeds n_cal (tiny groups) the gate is infinite:
+    bound NULL, nothing flagged. Flagged = test score STRICTLY above
+    the bound. NULL score/group/id rows drop; groups emit if either
+    side is non-empty (absent side reads n=0 / NULL).
+
+    Scale (100 TB): the rank pass is ONE window row_number
+    PARTITIONED BY group over calibration rows ordered by
+    (score, id) — per-group parallel, never a single-partition sort;
+    a group's calibration sample must fit a partition (the ks_panel
+    per-cell caveat; domain-sized groups do). The bound frame is
+    GROUP-sized and broadcasts into the test-side gate join, so
+    corpus rows never shuffle for the gate; per-group counts are
+    map-side-combined folds. The (group, n_cal, bound) frame feeds
+    TWO consumers (the test-side gate and the final full-outer), so
+    it is pinned lazily by default (the module's multi-consumer rule
+    — unpinned, the calibration scan + rank window would run twice);
+    ``pin=False`` keeps the full lineage visible for plan-shape
+    tests. Output: <group_col>, n_cal, n_test, bound (double | NULL),
+    n_flagged, flag_rate (6dp | NULL when n_test = 0).
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1): {alpha}")
+    base = df.where(
+        F.col(group_col).isNotNull()
+        & F.col(id_col).isNotNull()
+        & F.col(score_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.col(id_col).alias("__i"),
+        F.col(score_col).cast("double").alias("__s"),
+        (
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+            < calib_hi
+        ).alias("__cal"),
+    )
+    cal = base.where("__cal")
+    w = Window.partitionBy("__g").orderBy("__s", "__i")
+    ranked = cal.select(
+        "__g", "__s", F.row_number().over(w).alias("__r")
+    )
+    n_cal = cal.groupBy("__g").agg(F.count("*").alias("n_cal"))
+    # rank of the conformal quantile; NULL bound when r > n_cal
+    r = F.ceil(F.lit(1.0 - alpha) * (F.col("n_cal") + 1)).cast("int")
+    bounds = (
+        ranked.join(n_cal, "__g")
+        .where(F.col("__r") == r)
+        .select("__g", F.col("__s").alias("bound"))
+    )
+    cal_side = n_cal.join(bounds, "__g", "left")
+    if pin:
+        cal_side = cal_side.localCheckpoint(eager=False)
+    test = base.where(~F.col("__cal"))
+    test_side = test.join(F.broadcast(cal_side.select("__g", "bound")), "__g", "left").groupBy(
+        "__g"
+    ).agg(
+        F.count("*").alias("n_test"),
+        F.sum(
+            F.coalesce(
+                (F.col("__s") > F.col("bound")).cast("long"), F.lit(0)
+            )
+        ).alias("n_flagged"),
+    )
+    return (
+        cal_side.join(test_side, "__g", "full_outer")
+        .select(
+            F.col("__g").alias(group_col),
+            F.coalesce("n_cal", F.lit(0)).cast("long").alias("n_cal"),
+            F.coalesce("n_test", F.lit(0)).cast("long").alias("n_test"),
+            "bound",
+            F.coalesce("n_flagged", F.lit(0)).cast("long").alias(
+                "n_flagged"
+            ),
+            (
+                F.round(
+                    F.try_divide("n_flagged", F.col("n_test")), 6
+                )
+                + F.lit(0.0)
+            ).alias("flag_rate"),
+        )
+    )

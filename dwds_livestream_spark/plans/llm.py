@@ -4768,3 +4768,293 @@ SELECT doc_id, n AS n_tokens, vocab,
        END AS norm_entropy
 FROM agg
 """
+
+
+def q_dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot dedup YIELD CURVE (ROADMAP r11 queued
+    composition over minhash_ledger_replay — no new operator): per
+    replayed batch, how much of the new crawl is already held by the
+    accumulated ledger (n_dup / n_docs) and how large the ledger has
+    grown — the operational "is this source still worth fetching"
+    readout a crawl scheduler consumes. One calendar-sized fold over
+    the replay output: groupBy(batch) with map-side combine, then a
+    cumulative ledger_size window over the batch axis (|batches|
+    rows — the calendar-bounded global-window class)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from ..operators.dedup import minhash_ledger_replay
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "batch", (F.col("doc_id") % 3).cast("int")
+    )
+    rep = minhash_ledger_replay(
+        docs, text_col="text", id_col="doc_id", batch_col="batch",
+        batch_values=[0, 1, 2], n=5, k=128, bands=32,
+        threshold=MINHASH_LEDGER_THRESHOLD, hash_fn="md5_64",
+    )
+    per = rep.groupBy("batch").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(
+            (F.col("keeper_id") != F.col("doc_id")).cast("long")
+        ).alias("n_dup"),
+    )
+    w = Window.orderBy("batch").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return per.select(
+        "batch",
+        "n_docs",
+        "n_dup",
+        (
+            F.round(F.col("n_dup") / F.col("n_docs"), 6) + F.lit(0.0)
+        ).alias("dup_rate"),
+        F.sum(F.col("n_docs") - F.col("n_dup"))
+        .over(w)
+        .cast("long")
+        .alias("ledger_size"),
+    )
+
+
+ORACLE_DEDUP_YIELD_CURVE = f"""
+WITH replay AS ({ORACLE_MINHASH_LEDGER_REPLAY}),
+per AS (
+  SELECT batch,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN keeper_id <> doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_dup
+  FROM replay GROUP BY 1)
+SELECT batch, n_docs, n_dup,
+       ROUND(n_dup * 1.0 / n_docs, 6) + 0.0 AS dup_rate,
+       CAST(SUM(n_docs - n_dup)
+              OVER (ORDER BY batch ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS ledger_size
+FROM per
+"""
+
+
+def q_drift_panel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, snapshot-pair) DISTRIBUTIONAL drift panel (ROADMAP
+    r11 queued composition — no new operator): the drift dashboard's
+    row joining the three scores every crawl comparison reads
+    together — PSI and KS of the n_chars length distribution on ONE
+    shared 32-bin grid (both legs receive the same ``bins`` so the
+    _ks_quantize grid is identical by construction), and lexical JS
+    divergence of the unigram distribution. PSI weights tail mass, KS
+    reads the supremum, JS reads vocabulary shift — disagreement
+    between the columns IS the diagnostic. Inner join on the pair key
+    for psi × ks (identical definedness: same value column, same
+    both-sides-present contract), LEFT join for js (a source with
+    lengths on both sides but no tokens reads NULL). Each leg keeps
+    its own calendar-pair/broadcast shape; the final joins are
+    (group × pair)-sized."""
+    from ..operators.curation import js_drift, ks_drift, psi_drift
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "snapshot", (F.col("doc_id") % 3).cast("int")
+    )
+    psi = psi_drift(
+        docs, value_col="n_chars", group_col="source",
+        period_col="snapshot", bins=KS_BINS,
+    )
+    ks = ks_drift(
+        docs, value_col="n_chars", group_col="source",
+        period_col="snapshot", bins=KS_BINS,
+    )
+    js = js_drift(
+        docs, text_col="text", group_col="source",
+        period_col="snapshot",
+    )
+    keys = ["source", "snapshot", "next_snapshot"]
+    return (
+        psi.join(ks.select(*keys, "ks"), keys)
+        .join(js.select(*keys, "js"), keys, "left")
+        .select(*keys, "n_prev", "n_next", "psi", "ks", "js")
+    )
+
+
+ORACLE_DRIFT_PANEL_JOIN = f"""
+WITH st AS (
+  SELECT min(n_chars) AS lo, max(n_chars) AS hi
+  FROM documents WHERE n_chars IS NOT NULL),
+q AS (
+  SELECT source AS g, CAST(doc_id % 3 AS INT) AS p,
+         CASE WHEN hi = lo THEN 1
+              WHEN n_chars >= hi THEN {KS_BINS}
+              ELSE LEAST({KS_BINS}, GREATEST(1,
+                CAST(FLOOR((n_chars - lo) / (hi - lo) * {KS_BINS}.0)
+                     AS INT) + 1))
+         END AS v
+  FROM documents, st
+  WHERE n_chars IS NOT NULL AND source IS NOT NULL
+    AND doc_id IS NOT NULL),
+hg AS (SELECT g, p, v, count(*) AS c FROM q GROUP BY 1, 2, 3),
+per AS (SELECT DISTINCT p FROM hg),
+pairs AS (
+  SELECT p, lead(p) OVER (ORDER BY p) AS np
+  FROM per QUALIFY np IS NOT NULL),
+tot AS (
+  SELECT a.g, a.p, pairs.np,
+         CAST(SUM(a.c) AS BIGINT) AS n_prev
+  FROM hg a JOIN pairs USING (p) GROUP BY 1, 2, 3),
+totb AS (
+  SELECT b.g, pairs.p, b.p AS np,
+         CAST(SUM(b.c) AS BIGINT) AS n_next
+  FROM hg b JOIN pairs ON b.p = pairs.np GROUP BY 1, 2, 3),
+cells AS (
+  SELECT t.g, t.p, t.np, t.n_prev, tb.n_next, bins.v
+  FROM tot t
+  JOIN totb tb ON tb.g = t.g AND tb.p = t.p AND tb.np = t.np,
+  unnest(range(1, {KS_BINS} + 1)) AS bins(v)),
+dense AS (
+  SELECT c.g, c.p, c.np, c.n_prev, c.n_next, c.v,
+         COALESCE(a.c, 0) AS ca, COALESCE(b.c, 0) AS cb
+  FROM cells c
+  LEFT JOIN hg a ON a.g = c.g AND a.p = c.p AND a.v = c.v
+  LEFT JOIN hg b ON b.g = c.g AND b.p = c.np AND b.v = c.v),
+psi AS (
+  SELECT g, p, np, n_prev, n_next,
+         ROUND(SUM(((ca + 0.5) / (n_prev + {KS_BINS} / 2.0)
+                    - (cb + 0.5) / (n_next + {KS_BINS} / 2.0))
+                   * ln(((ca + 0.5) / (n_prev + {KS_BINS} / 2.0))
+                        / ((cb + 0.5)
+                           / (n_next + {KS_BINS} / 2.0)))),
+               6) + 0.0 AS psi
+  FROM dense GROUP BY 1, 2, 3, 4, 5),
+ka AS (SELECT hg.g, hg.p, pairs.np, hg.v, hg.c AS ca
+       FROM hg JOIN pairs USING (p)),
+kb AS (SELECT hg.g, pairs.p, hg.p AS np, hg.v, hg.c AS cb
+       FROM hg JOIN pairs ON hg.p = pairs.np),
+kgrid AS (
+  SELECT g, p, np, v FROM ka UNION SELECT g, p, np, v FROM kb),
+km AS (
+  SELECT kgrid.g, kgrid.p, kgrid.np, kgrid.v,
+         COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+  FROM kgrid
+  LEFT JOIN ka ON ka.g = kgrid.g AND ka.p = kgrid.p
+              AND ka.np = kgrid.np AND ka.v = kgrid.v
+  LEFT JOIN kb ON kb.g = kgrid.g AND kb.p = kgrid.p
+              AND kb.np = kgrid.np AND kb.v = kgrid.v),
+kc AS (
+  SELECT g, p, np,
+         SUM(ca) OVER (PARTITION BY g, p, np ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cca,
+         SUM(cb) OVER (PARTITION BY g, p, np ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS ccb
+  FROM km),
+kt AS (
+  SELECT g, p, np,
+         CAST(MAX(cca) AS BIGINT) AS n_prev,
+         CAST(MAX(ccb) AS BIGINT) AS n_next
+  FROM kc GROUP BY 1, 2, 3),
+ks AS (
+  SELECT kc.g, kc.p, kc.np,
+         ROUND(MAX(ABS(cca * 1.0 / kt.n_prev
+                       - ccb * 1.0 / kt.n_next)), 6) + 0.0 AS ks
+  FROM kc
+  JOIN kt ON kt.g = kc.g AND kt.p = kc.p AND kt.np = kc.np
+  WHERE kt.n_prev > 0 AND kt.n_next > 0
+  GROUP BY 1, 2, 3),
+js AS ({ORACLE_JS_DRIFT})
+SELECT psi.g AS source, psi.p AS snapshot, psi.np AS next_snapshot,
+       psi.n_prev, psi.n_next, psi.psi, ks.ks, js.js
+FROM psi
+JOIN ks ON ks.g = psi.g AND ks.p = psi.p AND ks.np = psi.np
+LEFT JOIN js ON js.source = psi.g AND js.snapshot = psi.p
+            AND js.next_snapshot = psi.np
+"""
+
+
+def q_paragraph_ledger_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level cross-snapshot exact ledger (operators/dedup.
+    paragraph_ledger_replay — the paragraph_dedup × incremental-ledger
+    product, VERDICT r10 #5's queued NEW family): three crawl
+    snapshots (doc_id % 3) replay in order; per document, the
+    fraction of its span mass already held by earlier snapshots. The
+    synthetic docs are single-line, so this plan runs the ledger at
+    WORD-span granularity (sep=' ' — every token is a span, the
+    densest cross-batch overlap the fixture offers); the pytest
+    fixture exercises real multi-line paragraphs. Order-free by
+    construction (held iff min(batch) over the span's occurrences <
+    own batch), so the oracle needs no unrolling."""
+    from ..operators.dedup import paragraph_ledger_replay
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "batch", (F.col("doc_id") % 3).cast("int")
+    )
+    return paragraph_ledger_replay(
+        docs, text_col="text", id_col="doc_id", batch_col="batch",
+        sep=" ",
+    )
+
+
+ORACLE_PARAGRAPH_LEDGER_REPLAY = """
+WITH p AS (
+  SELECT doc_id, CAST(doc_id % 3 AS INT) AS batch, trim(s) AS para
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS s
+        FROM documents WHERE doc_id IS NOT NULL)
+  WHERE len(trim(s)) > 0),
+f AS (SELECT para, min(batch) AS fb FROM p GROUP BY 1)
+SELECT p.doc_id, p.batch,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(SUM(CASE WHEN f.fb < p.batch THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_held,
+       ROUND(SUM(CASE WHEN f.fb < p.batch THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) + 0.0 AS held_frac
+FROM p JOIN f USING (para)
+GROUP BY 1, 2
+"""
+
+
+CONFORMAL_ALPHA = 0.1
+
+
+def q_conformal_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise split-conformal outlier gate (operators/curation.
+    conformal_outlier_bounds — ROADMAP r11 NEW family): per source, an
+    80 % content-addressed calibration sample sets the alpha = 0.1
+    upper bound on n_chars at exact rank ceil(0.9 * (n_cal + 1)), and
+    the held-out 20 % is gated against it — the distribution-free
+    anomaly fence for curation scores. Exact rank arithmetic end to
+    end, so every column is engine-identical."""
+    from ..operators.curation import conformal_outlier_bounds
+
+    docs = _t(spark, sf_dir, "documents")
+    return conformal_outlier_bounds(
+        docs, score_col="n_chars", group_col="source",
+        id_col="doc_id", alpha=CONFORMAL_ALPHA,
+    )
+
+
+ORACLE_CONFORMAL_OUTLIER_BOUNDS = """
+WITH base AS (
+  SELECT source AS g, doc_id AS i, CAST(n_chars AS DOUBLE) AS s,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' AS cal
+  FROM documents
+  WHERE source IS NOT NULL AND doc_id IS NOT NULL
+    AND n_chars IS NOT NULL),
+rk AS (
+  SELECT g, s, row_number() OVER (PARTITION BY g ORDER BY s, i) AS r
+  FROM base WHERE cal),
+nc AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_cal
+  FROM base WHERE cal GROUP BY 1),
+bd AS (
+  SELECT rk.g, rk.s AS bound
+  FROM rk JOIN nc USING (g)
+  WHERE rk.r = CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT)),
+calside AS (
+  SELECT nc.g, nc.n_cal, bd.bound FROM nc LEFT JOIN bd USING (g)),
+testside AS (
+  SELECT b.g, CAST(count(*) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN c.bound IS NOT NULL AND b.s > c.bound
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+  FROM base b LEFT JOIN calside c USING (g)
+  WHERE NOT b.cal GROUP BY 1)
+SELECT COALESCE(c.g, t.g) AS source,
+       COALESCE(c.n_cal, 0) AS n_cal,
+       COALESCE(t.n_test, 0) AS n_test,
+       c.bound,
+       COALESCE(t.n_flagged, 0) AS n_flagged,
+       ROUND(t.n_flagged * 1.0 / t.n_test, 6) + 0.0 AS flag_rate
+FROM calside c FULL OUTER JOIN testside t ON t.g = c.g
+"""

@@ -154,6 +154,24 @@ HEADLINE = {
         "per-doc Shannon entropy: in-row histogram, map-only "
         "projection, zero Exchange"
     ),
+    "paragraph_ledger_replay": (
+        "span-level exact ledger: xxhash64 digests at the scan, "
+        "first-seen min(batch) fold, digest re-join, per-doc fold — "
+        "order-free, no driver loop"
+    ),
+    "conformal_outlier_bounds": (
+        "split-conformal gate: group-keyed rank window over the "
+        "calibration side, GROUP-sized bound frame broadcast into "
+        "the test gate"
+    ),
+    "dedup_yield_curve": (
+        "dedup yield curve: ledger replay + groupBy(batch) map-side "
+        "fold + |batches|-row cumulative window"
+    ),
+    "drift_panel_join": (
+        "distributional drift panel: PSI/KS on one shared 32-bin "
+        "grid + lexical JS, joined on (group, pair) keys"
+    ),
 }
 
 

@@ -405,6 +405,26 @@ AUDITS: dict[str, str] = {
         "per-doc entropy: in-row word histogram (higher-order array "
         "functions) - map-only, ZERO rows shuffled at any scale"
     ),
+    "paragraph_ledger_replay": (
+        "span-level exact ledger: paragraphs reduce to xxhash64 "
+        "digests at the scan; first-seen fold (map-side combine), "
+        "digest re-join, per-doc fold - paragraph text never crosses"
+    ),
+    "conformal_outlier_bounds": (
+        "split-conformal gate: calibration rows shuffle once for the "
+        "group-keyed rank window; the GROUP-sized bound frame "
+        "broadcasts into the test-side gate"
+    ),
+    "dedup_yield_curve": (
+        "dedup yield curve: the ledger replay's bucket-row exchanges "
+        "plus a groupBy(batch) map-side fold and a |batches|-row "
+        "cumulative window - calendar-sized tail"
+    ),
+    "drift_panel_join": (
+        "drift panel join: PSI/KS legs bins-bounded on one shared "
+        "grid, JS leg digest-bounded; panel joins are (group x "
+        "pair)-sized"
+    ),
 }
 
 def audit_one(spark, name: str, sf_dir: str) -> dict:

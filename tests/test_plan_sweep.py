@@ -37,6 +37,9 @@ GLOBAL_WINDOW_OK = {
     "quota_sample_ks": "ECDF cumsum over the (value, count) histogram "
                        "- bounded by the value domain, both sides "
                        "pre-aggregated",
+    "dedup_yield_curve": "cumulative ledger size over the per-batch "
+                         "summary - one row per replayed snapshot, "
+                         "calendar-sized by construction",
 }
 
 # nested-loop joins allowed ONLY when one side is bounded (1-row stats
@@ -100,6 +103,9 @@ NESTED_LOOP_OK = {
     "quantile_rollup_by_type": "keyed histogram x 3-row quantile-list join",
     "spend_gini": "bucket-bounds broadcast (distributed_rank)",
     "decile_join": "bucket-bounds broadcast (distributed_rank)",
+    "drift_panel_join": "1-row bin-range cross join inherited from the "
+                        "PSI/KS legs' shared _ks_quantize grid scalar; "
+                        "the panel joins themselves are keyed",
 }
 
 

@@ -1,0 +1,115 @@
+"""Hypothesis invariants for the r11 growth batch — random inputs so
+the distributed decompositions (order-free span ledger via keyed
+min(batch), exact-rank conformal gate over a content-addressed split)
+match their naive single-machine definitions structurally, not by
+testdata luck. Example counts kept small: every example is a full
+Spark round trip."""
+
+from __future__ import annotations
+
+import collections
+import hashlib
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# ------------------------------------------------------------------
+# paragraph_ledger_replay vs naive first-seen ledger
+# ------------------------------------------------------------------
+
+para_words = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+
+para_corpora = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),          # batch
+        st.lists(para_words, min_size=0, max_size=5),   # paragraphs
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@SET
+@given(rows=para_corpora)
+def test_paragraph_ledger_matches_naive(spark, rows):
+    from dwds_livestream_spark.operators.dedup import paragraph_ledger_replay
+
+    data = [(i, b, "\n".join(ps)) for i, (b, ps) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, batch int, text string")
+    got = {
+        r.doc_id: (r.batch, r.n_paras, r.n_held, r.held_frac)
+        for r in paragraph_ledger_replay(df, batch_col="batch").collect()
+    }
+
+    first: dict[str, int] = {}
+    for _, (b, ps) in enumerate(rows):
+        for p in ps:
+            first[p] = min(first.get(p, 99), b)
+    expect = {}
+    for i, (b, ps) in enumerate(rows):
+        if not ps:
+            continue
+        held = sum(1 for p in ps if first[p] < b)
+        expect[i] = (b, len(ps), held, round(held / len(ps), 6))
+    assert got == expect
+
+
+# ------------------------------------------------------------------
+# conformal_outlier_bounds vs naive rank arithmetic
+# ------------------------------------------------------------------
+
+conf_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=200),   # doc_id
+        st.integers(min_value=0, max_value=1),     # group index
+        st.integers(min_value=0, max_value=50),    # score
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@SET
+@given(rows=conf_rows, alpha=st.sampled_from([0.05, 0.1, 0.25]))
+def test_conformal_matches_naive(spark, rows, alpha):
+    from dwds_livestream_spark.operators.curation import (
+        conformal_outlier_bounds,
+    )
+
+    data = [(i, f"g{g}", s) for i, g, s in rows]
+    df = spark.createDataFrame(data, "doc_id long, source string, n_chars int")
+    got = {
+        r.source: (r.n_cal, r.n_test, r.bound, r.n_flagged, r.flag_rate)
+        for r in conformal_outlier_bounds(df, alpha=alpha).collect()
+    }
+
+    by: dict[str, dict[str, list]] = collections.defaultdict(
+        lambda: {"cal": [], "test": []}
+    )
+    for i, g, s in rows:
+        cal = hashlib.md5(str(i).encode()).hexdigest()[:2] < "cc"
+        by[f"g{g}"]["cal" if cal else "test"].append((s, i))
+    expect = {}
+    for g, d in by.items():
+        cal = sorted(d["cal"])
+        n_cal, n_test = len(cal), len(d["test"])
+        r = math.ceil((1 - alpha) * (n_cal + 1))
+        bound = float(cal[r - 1][0]) if r <= n_cal else None
+        flagged = (
+            sum(1 for s, _ in d["test"] if s > bound)
+            if bound is not None
+            else 0
+        )
+        rate = round(flagged / n_test, 6) if n_test else None
+        expect[g] = (n_cal, n_test, bound, flagged, rate)
+    assert got == expect

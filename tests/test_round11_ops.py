@@ -1,0 +1,290 @@
+"""Round-11 operator tests: the growth batch's brute-force parity —
+the paragraph-level cross-snapshot exact ledger, the group-wise
+split-conformal outlier gate, and the two yield-signal compositions
+(dedup yield curve, distributional drift panel join)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------------
+# paragraph_ledger_replay
+# ------------------------------------------------------------------
+
+
+def _pled(spark, rows, sep="\n"):
+    from dwds_livestream_spark.operators.dedup import paragraph_ledger_replay
+
+    df = spark.createDataFrame(rows, "doc_id long, batch int, text string")
+    out = paragraph_ledger_replay(df, batch_col="batch", sep=sep)
+    return {
+        r.doc_id: (r.batch, r.n_paras, r.n_held, r.held_frac)
+        for r in out.collect()
+    }
+
+
+def test_paragraph_ledger_cross_batch_semantics(spark):
+    rows = [
+        (1, 0, "alpha\nbeta"),            # seeds alpha, beta
+        (2, 1, "alpha\ngamma"),           # alpha held, gamma new
+        (3, 2, "alpha\nbeta\ngamma\ndelta"),  # 3 held, delta new
+        (4, 2, "delta"),                  # delta first seen IN batch 2
+    ]
+    got = _pled(spark, rows)
+    assert got == {
+        1: (0, 2, 0, 0.0),
+        2: (1, 2, 1, 0.5),
+        3: (2, 4, 3, 0.75),
+        4: (2, 1, 0, 0.0),
+    }
+
+
+def test_paragraph_ledger_intra_batch_repeats_are_new(spark):
+    # two docs in the SAME batch sharing a fresh paragraph: neither is
+    # held (the ledger answers only the cross-snapshot question)
+    rows = [(1, 1, "shared\nmine"), (2, 1, "shared\nyours")]
+    got = _pled(spark, rows)
+    assert got == {1: (1, 2, 0, 0.0), 2: (1, 2, 0, 0.0)}
+
+
+def test_paragraph_ledger_occurrence_weighting_and_trim(spark):
+    # repeated boilerplate inside one doc counts per OCCURRENCE;
+    # whitespace-only paragraphs drop
+    rows = [
+        (1, 0, "boiler"),
+        (2, 1, "boiler\n  boiler  \n\n \nfresh"),
+    ]
+    got = _pled(spark, rows)
+    assert got == {
+        1: (0, 1, 0, 0.0),
+        2: (1, 3, 2, pytest.approx(2 / 3, abs=1e-6)),
+    }
+
+
+def test_paragraph_ledger_drops_empty_docs_and_null_keys(spark):
+    rows = [
+        (1, 0, "p"),
+        (2, 1, "   \n \n"),     # zero surviving paragraphs -> drops
+        (None, 1, "p"),          # NULL id -> drops
+        (3, None, "p"),          # NULL batch -> drops
+    ]
+    got = _pled(spark, rows)
+    assert set(got) == {1}
+
+
+def test_paragraph_ledger_vs_brute_force(spark):
+    # order-free contract: held iff the paragraph's min batch over ALL
+    # occurrences is strictly earlier than the row's own batch
+    docs = [
+        (i, i % 3, " ".join(f"w{(i * 7 + j) % 11}" for j in range(6)))
+        for i in range(40)
+    ]
+    rows = [(i, b, t.replace(" ", "\n")) for i, b, t in docs]
+    first: dict[str, int] = {}
+    for i, b, t in rows:
+        for p in t.split("\n"):
+            first[p] = min(first.get(p, 99), b)
+    want = {}
+    for i, b, t in rows:
+        ps = [p for p in t.split("\n") if p.strip()]
+        held = sum(1 for p in ps if first[p] < b)
+        want[i] = (b, len(ps), held, round(held / len(ps), 6))
+    got = _pled(spark, rows)
+    assert got == want
+
+
+# ------------------------------------------------------------------
+# conformal_outlier_bounds
+# ------------------------------------------------------------------
+
+
+def _is_cal(doc_id) -> bool:
+    return hashlib.md5(str(doc_id).encode()).hexdigest()[:2] < "cc"
+
+
+def _conf(spark, rows, alpha=0.1):
+    from dwds_livestream_spark.operators.curation import (
+        conformal_outlier_bounds,
+    )
+
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars int"
+    )
+    out = conformal_outlier_bounds(df, alpha=alpha)
+    return {
+        r.source: (r.n_cal, r.n_test, r.bound, r.n_flagged, r.flag_rate)
+        for r in out.collect()
+    }
+
+
+def test_conformal_vs_brute_force(spark):
+    rows = [(i, f"s{i % 3}", (i * 37) % 101) for i in range(120)]
+    alpha = 0.1
+    want = {}
+    by_g: dict[str, dict[str, list]] = {}
+    for i, g, s in rows:
+        side = "cal" if _is_cal(i) else "test"
+        by_g.setdefault(g, {"cal": [], "test": []})[side].append((s, i))
+    for g, d in by_g.items():
+        cal = sorted(d["cal"])
+        n_cal, n_test = len(cal), len(d["test"])
+        r = math.ceil((1 - alpha) * (n_cal + 1))
+        bound = float(cal[r - 1][0]) if r <= n_cal else None
+        flagged = (
+            sum(1 for s, _ in d["test"] if s > bound)
+            if bound is not None
+            else 0
+        )
+        rate = round(flagged / n_test, 6) if n_test else None
+        want[g] = (n_cal, n_test, bound, flagged, rate)
+    assert _conf(spark, rows, alpha=alpha) == want
+
+
+def test_conformal_tiny_group_gate_is_infinite(spark):
+    # n_cal so small that ceil(0.9 * (n_cal + 1)) > n_cal -> NULL
+    # bound, nothing flagged
+    rows = [(1, "g", 10), (2, "g", 20), (3, "g", 999)]
+    cal_ids = [i for i, _, _ in rows if _is_cal(i)]
+    assert len(cal_ids) < 9  # rank 0.9 * (n+1) must exceed n_cal
+    got = _conf(spark, rows)
+    n_cal, n_test, bound, n_flagged, rate = got["g"]
+    assert bound is None and n_flagged == 0
+    assert n_cal == len(cal_ids) and n_test == 3 - len(cal_ids)
+
+
+def test_conformal_one_sided_groups_and_nulls(spark):
+    # choose ids with known split sides
+    cal_id = next(i for i in range(100) if _is_cal(i))
+    test_id = next(i for i in range(100) if not _is_cal(i))
+    rows = [
+        (cal_id, "calonly", 5),
+        (test_id, "testonly", 7),
+        (None, "nullid", 1),
+        (test_id + 100 if not _is_cal(test_id + 100) else test_id + 101,
+         None, 1),
+        (cal_id, "nullscore", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars int"
+    )
+    from dwds_livestream_spark.operators.curation import (
+        conformal_outlier_bounds,
+    )
+
+    got = {
+        r.source: (r.n_cal, r.n_test, r.bound, r.n_flagged, r.flag_rate)
+        for r in conformal_outlier_bounds(df).collect()
+    }
+    assert set(got) == {"calonly", "testonly"}
+    assert got["calonly"][1] == 0 and got["calonly"][4] is None
+    assert got["testonly"] == (0, 1, None, 0, 0.0)
+
+
+def test_conformal_alpha_validation(spark):
+    from dwds_livestream_spark.operators.curation import (
+        conformal_outlier_bounds,
+    )
+
+    df = spark.createDataFrame([(1, "g", 1)], "doc_id long, source string, n_chars int")
+    with pytest.raises(ValueError):
+        conformal_outlier_bounds(df, alpha=0.0)
+    with pytest.raises(ValueError):
+        conformal_outlier_bounds(df, alpha=1.0)
+
+
+def test_conformal_coverage_on_exchangeable_data(spark):
+    """Finite-sample validity sanity: with exchangeable scores the
+    empirical flag rate stays near alpha (<= alpha + small slack; the
+    split-conformal guarantee is P(flag) <= alpha in expectation)."""
+    rows = [(i, "g", (i * 131) % 997) for i in range(600)]
+    got = _conf(spark, rows, alpha=0.2)
+    n_cal, n_test, bound, n_flagged, rate = got["g"]
+    assert n_cal + n_test == 600
+    assert bound is not None
+    assert rate <= 0.2 + 0.08
+
+
+# ------------------------------------------------------------------
+# dedup_yield_curve (composition consistency)
+# ------------------------------------------------------------------
+
+
+def test_dedup_yield_curve_agrees_with_replay(spark):
+    sf_dir = "/root/testdata/sf0.001"
+    from dwds_livestream_spark.plans.llm import (
+        q_dedup_yield_curve,
+        q_minhash_ledger_replay,
+    )
+
+    rep = q_minhash_ledger_replay(spark, sf_dir).collect()
+    per: dict[int, list[int]] = {}
+    for r in rep:
+        d = per.setdefault(r.batch, [0, 0])
+        d[0] += 1
+        d[1] += int(r.keeper_id != r.doc_id)
+    got = {
+        r.batch: (r.n_docs, r.n_dup, r.dup_rate, r.ledger_size)
+        for r in q_dedup_yield_curve(spark, sf_dir).collect()
+    }
+    assert set(got) == set(per)
+    ledger = 0
+    for b in sorted(per):
+        n, dup = per[b]
+        ledger += n - dup
+        assert got[b] == (n, dup, round(dup / n, 6), ledger)
+
+
+# ------------------------------------------------------------------
+# drift_panel_join (composition consistency)
+# ------------------------------------------------------------------
+
+
+def test_drift_panel_join_agrees_with_its_legs(spark):
+    sf_dir = "/root/testdata/sf0.001"
+    from dwds_livestream_spark.plans.llm import KS_BINS, q_drift_panel_join
+    from dwds_livestream_spark.operators.curation import (
+        js_drift,
+        ks_drift,
+        psi_drift,
+    )
+    from dwds_livestream_spark.plans.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "snapshot", (F.col("doc_id") % 3).cast("int")
+    )
+    kw = dict(
+        value_col="n_chars", group_col="source", period_col="snapshot",
+        bins=KS_BINS,
+    )
+    psi = {
+        (r.source, r.snapshot, r.next_snapshot): (
+            r.n_prev, r.n_next, r.psi
+        )
+        for r in psi_drift(docs, **kw).collect()
+    }
+    ks = {
+        (r.source, r.snapshot, r.next_snapshot): r.ks
+        for r in ks_drift(docs, **kw).collect()
+    }
+    js = {
+        (r.source, r.snapshot, r.next_snapshot): r.js
+        for r in js_drift(
+            docs, text_col="text", group_col="source",
+            period_col="snapshot",
+        ).collect()
+    }
+    panel = {
+        (r.source, r.snapshot, r.next_snapshot): r
+        for r in q_drift_panel_join(spark, sf_dir).collect()
+    }
+    assert set(panel) == set(psi) == set(ks)
+    for key, row in panel.items():
+        assert (row.n_prev, row.n_next, row.psi) == psi[key]
+        assert row.ks == ks[key]
+        assert row.js == js.get(key)

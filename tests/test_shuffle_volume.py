@@ -708,3 +708,42 @@ def test_unigram_entropy_is_map_only(spark):
     r = _measure(spark, "unigram_entropy")
     assert r["scan_rows"] > 0
     assert r["shuffle_records"] == 0, r
+
+
+def test_paragraph_ledger_replay_digest_bounded(spark):
+    # paragraphs reduce to xxhash64 digests at the scan: the
+    # first-seen fold, the winner re-join and the per-doc fold all
+    # carry (id/digest, batch, counts) rows — paragraph TEXT never
+    # crosses an exchange, so bytes/record stays fixed-width
+    r = _measure(spark, "paragraph_ledger_replay")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_bytes"] / max(r["shuffle_records"], 1) < 80, r
+
+
+def test_conformal_outlier_bounds_broadcast_gate(spark):
+    # the rank pass shuffles calibration rows once (group-keyed
+    # window); the bound frame is GROUP-sized and must broadcast into
+    # the test-side gate, so corpus rows never shuffle for the gate
+    r = _measure(spark, "conformal_outlier_bounds")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] <= r["scan_rows"] * 2, r
+    assert r["broadcast_bytes"] > 0, "bound frame must broadcast"
+
+
+def test_dedup_yield_curve_calendar_sized_tail(spark):
+    # everything past the replay is a groupBy(batch) fold with
+    # map-side combine + a |batches|-row cumulative window — the
+    # composition inherits the ledger's bucket-row exchanges and adds
+    # only calendar-sized rows
+    r = _measure(spark, "dedup_yield_curve")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_bytes"] / max(r["shuffle_records"], 1) < 120, r
+
+
+def test_drift_panel_join_key_sized_joins(spark):
+    # three legs, each bins-/digest-bounded on its own contract; the
+    # panel joins are (group x pair)-sized frames
+    r = _measure(spark, "drift_panel_join")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] <= r["scan_rows"] * 5, r
+    assert r["broadcast_bytes"] > 0, "grid/pair frames broadcast"
