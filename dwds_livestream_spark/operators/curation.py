@@ -1842,3 +1842,107 @@ def conformal_outlier_bounds(
             ).alias("flag_rate"),
         )
     )
+
+
+def conformal_drift_gate(
+    df: DataFrame,
+    score_col: str = "n_chars",
+    group_col: str = "source",
+    period_col: str = "snapshot",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Temporal CONFORMAL drift gate — the split-conformal fence of
+    :func:`conformal_outlier_bounds` carried to the snapshot axis
+    (ROADMAP r12 candidate, landed early): for each group and each
+    consecutive snapshot pair (t, t+1), snapshot t's scores CALIBRATE
+    an upper bound at exact rank ceil((1 − alpha)(n_cal + 1)) and
+    snapshot t+1's rows are gated against it. Under exchangeability
+    of the two crawls' scores, a t+1 row exceeds the bound with
+    probability <= alpha — so a flag_rate far above alpha is a
+    DISTRIBUTION-FREE drift alarm with finite-sample semantics, the
+    fifth leg of the temporal audit family (KS reads the supremum,
+    PSI the tail mass, JS the vocabulary; this reads exceedance of
+    the previous crawl's envelope — and unlike those, its score is an
+    exceedance PROBABILITY with a calibrated null level).
+
+    Exact rank arithmetic end to end (the conformal_outlier_bounds
+    contract): every column is engine-identical, no FP-rounding
+    caveat. Pairs emit only where the group has scores on BOTH sides
+    (the dup_rate_drift convention); tiny calibration sides where the
+    rank exceeds n_cal read bound NULL / nothing flagged (infinite
+    gate); NULL score/group/period rows drop.
+
+    Distributed shape: calendar pair frame = lead() over DISTINCT
+    periods, broadcast (the set_drift convention); the rank pass is
+    ONE row_number window PARTITIONED BY (group, period) — per-cell
+    parallel, never single-partition; the (group, pair, n_cal, bound)
+    frame is key-sized and BROADCASTS into the test-side gate join,
+    so corpus rows never shuffle for the gate; the flag fold is one
+    map-side-combined keyed aggregate. Output: <group_col>,
+    <period_col>, next_<period_col>, n_cal, n_test, bound
+    (double | NULL), n_flagged, flag_rate (6dp).
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1): {alpha}")
+    base = df.where(
+        F.col(group_col).isNotNull()
+        & F.col(period_col).isNotNull()
+        & F.col(score_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.col(period_col).alias("__p"),
+        F.col(score_col).cast("double").alias("__s"),
+    )
+    pairs = (
+        base.select("__p")
+        .distinct()
+        .select(
+            "__p", F.lead("__p").over(Window.orderBy("__p")).alias("__np")
+        )
+        .where(F.col("__np").isNotNull())
+    )
+    n_cal = base.groupBy("__g", "__p").agg(
+        F.count("*").cast("long").alias("n_cal")
+    )
+    wr = Window.partitionBy("__g", "__p").orderBy("__s")
+    ranked = base.select(
+        "__g", "__p", "__s", F.row_number().over(wr).alias("__r")
+    )
+    r = F.ceil(F.lit(1.0 - alpha) * (F.col("n_cal") + 1)).cast("int")
+    bounds = (
+        ranked.join(n_cal, ["__g", "__p"])
+        .where(F.col("__r") == r)
+        .select("__g", "__p", F.col("__s").alias("bound"))
+    )
+    calp = (
+        n_cal.join(bounds, ["__g", "__p"], "left")
+        .join(F.broadcast(pairs), "__p")
+    )
+    t = base.select("__g", F.col("__p").alias("__np"), "__s")
+    next_col = f"next_{period_col}"
+    return (
+        t.join(F.broadcast(calp), ["__g", "__np"])
+        .groupBy("__g", "__p", "__np", "n_cal", "bound")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(
+                F.coalesce(
+                    (F.col("__s") > F.col("bound")).cast("long"),
+                    F.lit(0),
+                )
+            ).alias("n_flagged"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__p").alias(period_col),
+            F.col("__np").alias(next_col),
+            "n_cal",
+            "n_test",
+            "bound",
+            "n_flagged",
+            (
+                F.round(F.col("n_flagged") / F.col("n_test"), 6)
+                + F.lit(0.0)
+            ).alias("flag_rate"),
+        )
+    )

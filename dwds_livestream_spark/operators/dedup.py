@@ -29,7 +29,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
@@ -940,6 +940,110 @@ def paragraph_dedup(
     )
 
 
+def _span_digest_rows(
+    df: DataFrame, text_col: str, id_col: str, batch_col: str, sep: str
+) -> DataFrame:
+    """(id, batch, xxhash64(paragraph)) occurrence rows — the span
+    frame shared by the paragraph-ledger family. paragraph_dedup's
+    split convention (literal ``sep``, trim, drop empties); NULL
+    id/batch rows drop; text reduces to an 8-byte digest before any
+    exchange (64-bit collisions perturb a count at ~1e-13; the
+    registry oracles fold raw strings, so the driver gate
+    continuously certifies the fixture)."""
+    import re as _re
+
+    return (
+        df.where(
+            F.col(id_col).isNotNull() & F.col(batch_col).isNotNull()
+        )
+        .select(
+            F.col(id_col),
+            F.col(batch_col),
+            F.explode(
+                F.split(F.col(text_col), _re.escape(sep), -1)
+            ).alias("__para"),
+        )
+        .withColumn("__para", F.trim("__para"))
+        .where(F.length("__para") > 0)
+        .select(id_col, batch_col, F.xxhash64("__para").alias("__h"))
+    )
+
+
+def paragraph_ledger_yield(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_col: str = "batch",
+    sep: str = "\n",
+) -> DataFrame:
+    """Per-batch yield curve of the span ledger — the span-granular
+    twin of the doc-level dedup yield curve (ROADMAP r12 candidate,
+    landed early): for each crawl snapshot, how much span MASS is
+    already held from earlier snapshots (held_frac) and how many
+    DISTINCT spans the ledger holds once the batch lands
+    (ledger_size) — the crawl scheduler's "marginal novelty per
+    fetch" readout at the granularity re-crawls actually repeat
+    (boilerplate spans, not whole documents).
+
+    Same order-free algebra as :func:`paragraph_ledger_replay`
+    (held iff the span's min(batch) < own batch; a span enters the
+    ledger at its first-containing batch), so the whole curve is ONE
+    declarative plan. Intra-batch repeats count as new mass but ONE
+    ledger entry. Docs with zero surviving spans contribute nothing;
+    NULL id/batch rows drop.
+
+    Scale (100 TB): the occurrence frame and the first-seen frame are
+    both pinned lazily (each feeds two consumers); exchanges carry
+    digests and counts only. The ledger_size cumulative window runs
+    over ONE ROW PER BATCH — the calendar-bounded global-window
+    class. Output: <batch_col>, n_docs (docs with >= 1 span),
+    n_spans (occurrences), n_held (occurrences first seen earlier),
+    held_frac (6dp), ledger_size (cumulative distinct spans).
+    """
+    p = _span_digest_rows(
+        df, text_col, id_col, batch_col, sep
+    ).localCheckpoint(eager=False)
+    first = (
+        p.groupBy("__h")
+        .agg(F.min(batch_col).alias("__fb"))
+        .localCheckpoint(eager=False)
+    )
+    occ = (
+        p.join(first, "__h")
+        .groupBy(batch_col)
+        .agg(
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(
+                (F.col("__fb") < F.col(batch_col)).cast("long")
+            ).alias("n_held"),
+        )
+    )
+    new = first.groupBy(F.col("__fb").alias(batch_col)).agg(
+        F.count("*").alias("__n_new")
+    )
+    w = Window.orderBy(batch_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        occ.join(new, batch_col, "left")
+        .select(
+            batch_col,
+            "n_docs",
+            "n_spans",
+            "n_held",
+            (
+                F.round(F.col("n_held") / F.col("n_spans"), 6)
+                + F.lit(0.0)
+            ).alias("held_frac"),
+            F.sum(F.coalesce("__n_new", F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("ledger_size"),
+        )
+    )
+
+
 def paragraph_ledger_replay(
     df: DataFrame,
     text_col: str = "text",
@@ -991,23 +1095,7 @@ def paragraph_ledger_replay(
     (occurrences whose paragraph first appeared in an EARLIER batch),
     held_frac (6dp).
     """
-    import re as _re
-
-    p = (
-        df.where(
-            F.col(id_col).isNotNull() & F.col(batch_col).isNotNull()
-        )
-        .select(
-            F.col(id_col),
-            F.col(batch_col),
-            F.explode(
-                F.split(F.col(text_col), _re.escape(sep), -1)
-            ).alias("__para"),
-        )
-        .withColumn("__para", F.trim("__para"))
-        .where(F.length("__para") > 0)
-        .select(id_col, batch_col, F.xxhash64("__para").alias("__h"))
-    )
+    p = _span_digest_rows(df, text_col, id_col, batch_col, sep)
     first = p.groupBy("__h").agg(
         F.min(batch_col).alias("__first_batch")
     )

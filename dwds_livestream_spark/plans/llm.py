@@ -5058,3 +5058,104 @@ SELECT COALESCE(c.g, t.g) AS source,
        ROUND(t.n_flagged * 1.0 / t.n_test, 6) + 0.0 AS flag_rate
 FROM calside c FULL OUTER JOIN testside t ON t.g = c.g
 """
+
+
+def q_paragraph_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-ledger yield curve (operators/dedup.paragraph_ledger_yield
+    — ROADMAP r12 candidate landed early, the span-granular twin of
+    dedup_yield_curve): per snapshot, held span mass vs the
+    accumulated distinct-span ledger. Word-span granularity on the
+    single-line synthetic docs (the paragraph_ledger_replay fixture
+    convention); same order-free min(batch) algebra, so the curve is
+    one declarative plan with no unrolled oracle."""
+    from ..operators.dedup import paragraph_ledger_yield
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "batch", (F.col("doc_id") % 3).cast("int")
+    )
+    return paragraph_ledger_yield(
+        docs, text_col="text", id_col="doc_id", batch_col="batch",
+        sep=" ",
+    )
+
+
+ORACLE_PARAGRAPH_YIELD_CURVE = """
+WITH p AS (
+  SELECT doc_id, CAST(doc_id % 3 AS INT) AS batch, trim(s) AS para
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS s
+        FROM documents WHERE doc_id IS NOT NULL)
+  WHERE len(trim(s)) > 0),
+f AS (SELECT para, min(batch) AS fb FROM p GROUP BY 1),
+occ AS (
+  SELECT p.batch,
+         CAST(count(DISTINCT p.doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(SUM(CASE WHEN f.fb < p.batch THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_held
+  FROM p JOIN f USING (para) GROUP BY 1),
+nw AS (SELECT fb AS batch, count(*) AS n_new FROM f GROUP BY 1)
+SELECT occ.batch, n_docs, n_spans, n_held,
+       ROUND(n_held * 1.0 / n_spans, 6) + 0.0 AS held_frac,
+       CAST(SUM(COALESCE(n_new, 0))
+              OVER (ORDER BY occ.batch ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS ledger_size
+FROM occ LEFT JOIN nw USING (batch)
+"""
+
+
+def q_conformal_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal conformal drift gate (operators/curation.
+    conformal_drift_gate — ROADMAP r12 candidate landed early): per
+    source and consecutive snapshot pair, snapshot t's n_chars
+    calibrate the alpha = 0.1 conformal bound and snapshot t+1's rows
+    are gated against it — flag_rate far above 0.1 is a
+    distribution-free drift alarm. Exact rank arithmetic end to end."""
+    from ..operators.curation import conformal_drift_gate
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "snapshot", (F.col("doc_id") % 3).cast("int")
+    )
+    return conformal_drift_gate(
+        docs, score_col="n_chars", group_col="source",
+        period_col="snapshot", alpha=CONFORMAL_ALPHA,
+    )
+
+
+ORACLE_CONFORMAL_DRIFT_GATE = """
+WITH base AS (
+  SELECT source AS g, CAST(doc_id % 3 AS INT) AS p,
+         CAST(n_chars AS DOUBLE) AS s
+  FROM documents
+  WHERE source IS NOT NULL AND doc_id IS NOT NULL
+    AND n_chars IS NOT NULL),
+per AS (SELECT DISTINCT p FROM base),
+pairs AS (
+  SELECT p, lead(p) OVER (ORDER BY p) AS np
+  FROM per QUALIFY np IS NOT NULL),
+nc AS (
+  SELECT g, p, CAST(count(*) AS BIGINT) AS n_cal
+  FROM base GROUP BY 1, 2),
+rk AS (
+  SELECT g, p, s, row_number() OVER (PARTITION BY g, p ORDER BY s) AS r
+  FROM base),
+bd AS (
+  SELECT rk.g, rk.p, rk.s AS bound
+  FROM rk JOIN nc USING (g, p)
+  WHERE rk.r = CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT)),
+calp AS (
+  SELECT nc.g, nc.p, pairs.np, nc.n_cal, bd.bound
+  FROM nc
+  JOIN pairs USING (p)
+  LEFT JOIN bd ON bd.g = nc.g AND bd.p = nc.p)
+SELECT calp.g AS source, calp.p AS snapshot, calp.np AS next_snapshot,
+       calp.n_cal,
+       CAST(count(*) AS BIGINT) AS n_test,
+       calp.bound,
+       CAST(SUM(CASE WHEN calp.bound IS NOT NULL AND b.s > calp.bound
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       ROUND(SUM(CASE WHEN calp.bound IS NOT NULL AND b.s > calp.bound
+                      THEN 1 ELSE 0 END) * 1.0 / count(*), 6) + 0.0
+         AS flag_rate
+FROM calp JOIN base b ON b.g = calp.g AND b.p = calp.np
+GROUP BY 1, 2, 3, 4, 6
+"""

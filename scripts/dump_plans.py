@@ -172,6 +172,14 @@ HEADLINE = {
         "distributional drift panel: PSI/KS on one shared 32-bin "
         "grid + lexical JS, joined on (group, pair) keys"
     ),
+    "paragraph_yield_curve": (
+        "span-ledger yield curve: pinned span/first-seen digest "
+        "frames, per-batch fold, calendar cumulative window"
+    ),
+    "conformal_drift_gate": (
+        "temporal conformal gate: (group, period)-partitioned rank "
+        "window, broadcast pair + bound frames, keyed flag fold"
+    ),
 }
 
 

@@ -425,6 +425,15 @@ AUDITS: dict[str, str] = {
         "grid, JS leg digest-bounded; panel joins are (group x "
         "pair)-sized"
     ),
+    "paragraph_yield_curve": (
+        "span-ledger yield curve: the span digest folds plus a "
+        "per-batch summary and a |batches|-row cumulative window"
+    ),
+    "conformal_drift_gate": (
+        "temporal conformal gate: one (group, period)-partitioned "
+        "rank window; pair + bound frames broadcast into the test "
+        "fold - corpus rows shuffle at most twice"
+    ),
 }
 
 def audit_one(spark, name: str, sf_dir: str) -> dict:

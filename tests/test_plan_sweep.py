@@ -40,6 +40,9 @@ GLOBAL_WINDOW_OK = {
     "dedup_yield_curve": "cumulative ledger size over the per-batch "
                          "summary - one row per replayed snapshot, "
                          "calendar-sized by construction",
+    "paragraph_yield_curve": "cumulative distinct-span ledger over the "
+                             "per-batch summary - one row per snapshot, "
+                             "calendar-sized by construction",
 }
 
 # nested-loop joins allowed ONLY when one side is bounded (1-row stats

@@ -113,3 +113,104 @@ def test_conformal_matches_naive(spark, rows, alpha):
         rate = round(flagged / n_test, 6) if n_test else None
         expect[g] = (n_cal, n_test, bound, flagged, rate)
     assert got == expect
+
+
+# ------------------------------------------------------------------
+# paragraph_ledger_yield vs naive curve
+# ------------------------------------------------------------------
+
+
+@SET
+@given(rows=para_corpora)
+def test_paragraph_yield_matches_naive(spark, rows):
+    from dwds_livestream_spark.operators.dedup import paragraph_ledger_yield
+
+    data = [(i, b, "\n".join(ps)) for i, (b, ps) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, batch int, text string")
+    got = {
+        r.batch: (r.n_docs, r.n_spans, r.n_held, r.held_frac, r.ledger_size)
+        for r in paragraph_ledger_yield(df, batch_col="batch").collect()
+    }
+
+    first: dict[str, int] = {}
+    for b, ps in rows:
+        for p in ps:
+            first[p] = min(first.get(p, 99), b)
+    per: dict[int, list[int]] = {}
+    docs: dict[int, set] = {}
+    for i, (b, ps) in enumerate(rows):
+        if not ps:
+            continue
+        d = per.setdefault(b, [0, 0])
+        d[0] += len(ps)
+        d[1] += sum(1 for p in ps if first[p] < b)
+        docs.setdefault(b, set()).add(i)
+    newc = collections.Counter(first.values())
+    expect = {}
+    led = 0
+    for b in sorted(per):
+        led += newc.get(b, 0)
+        n_spans, n_held = per[b]
+        expect[b] = (
+            len(docs[b]), n_spans, n_held,
+            round(n_held / n_spans, 6), led,
+        )
+    assert got == expect
+
+
+# ------------------------------------------------------------------
+# conformal_drift_gate vs naive rank arithmetic
+# ------------------------------------------------------------------
+
+gate_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),     # group index
+        st.integers(min_value=0, max_value=2),     # snapshot
+        st.integers(min_value=0, max_value=30),    # score
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@SET
+@given(rows=gate_rows, alpha=st.sampled_from([0.1, 0.25]))
+def test_conformal_drift_gate_matches_naive(spark, rows, alpha):
+    from dwds_livestream_spark.operators.curation import (
+        conformal_drift_gate,
+    )
+
+    data = [(f"g{g}", s, v) for g, s, v in rows]
+    df = spark.createDataFrame(
+        data, "source string, snapshot int, n_chars int"
+    )
+    got = {
+        (r.source, r.snapshot, r.next_snapshot): (
+            r.n_cal, r.n_test, r.bound, r.n_flagged, r.flag_rate
+        )
+        for r in conformal_drift_gate(df, alpha=alpha).collect()
+    }
+
+    by: dict[tuple, list] = {}
+    for g, s, v in data:
+        by.setdefault((g, s), []).append(v)
+    snaps = sorted({s for _, s, _ in data})
+    expect = {}
+    for p, np_ in zip(snaps, snaps[1:]):
+        for g in {g for g, _ in by}:
+            cal, test = by.get((g, p)), by.get((g, np_))
+            if not cal or not test:
+                continue
+            cal_s = sorted(cal)
+            r = math.ceil((1 - alpha) * (len(cal_s) + 1))
+            bound = float(cal_s[r - 1]) if r <= len(cal_s) else None
+            flagged = (
+                sum(1 for v in test if v > bound)
+                if bound is not None
+                else 0
+            )
+            expect[(g, p, np_)] = (
+                len(cal_s), len(test), bound, flagged,
+                round(flagged / len(test), 6),
+            )
+    assert got == expect

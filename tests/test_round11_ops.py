@@ -288,3 +288,179 @@ def test_drift_panel_join_agrees_with_its_legs(spark):
         assert (row.n_prev, row.n_next, row.psi) == psi[key]
         assert row.ks == ks[key]
         assert row.js == js.get(key)
+
+
+# ------------------------------------------------------------------
+# paragraph_ledger_yield
+# ------------------------------------------------------------------
+
+
+def _pyield(spark, rows, sep="\n"):
+    from dwds_livestream_spark.operators.dedup import paragraph_ledger_yield
+
+    df = spark.createDataFrame(rows, "doc_id long, batch int, text string")
+    out = paragraph_ledger_yield(df, batch_col="batch", sep=sep)
+    return {
+        r.batch: (r.n_docs, r.n_spans, r.n_held, r.held_frac, r.ledger_size)
+        for r in out.collect()
+    }
+
+
+def test_paragraph_yield_hand_computed(spark):
+    rows = [
+        (1, 0, "alpha\nbeta"),                 # ledger {alpha, beta}
+        (2, 1, "alpha\ngamma"),                # 1 held; +gamma
+        (3, 1, "beta\nbeta"),                  # 2 held (occurrences)
+        (4, 2, "alpha\nbeta\ngamma\ndelta"),   # 3 held; +delta
+    ]
+    got = _pyield(spark, rows)
+    assert got == {
+        0: (1, 2, 0, 0.0, 2),
+        1: (2, 4, 3, 0.75, 3),
+        2: (1, 4, 3, 0.75, 4),
+    }
+
+
+def test_paragraph_yield_intra_batch_one_ledger_entry(spark):
+    # a span repeated across docs of the SAME batch: new mass (not
+    # held) but exactly ONE ledger entry
+    rows = [(1, 0, "x"), (2, 0, "x"), (3, 1, "x\ny")]
+    got = _pyield(spark, rows)
+    assert got == {0: (2, 2, 0, 0.0, 1), 1: (1, 2, 1, 0.5, 2)}
+
+
+def test_paragraph_yield_agrees_with_replay(spark):
+    # curve == the replay output refolded per batch (mass columns),
+    # on the same fixture
+    from dwds_livestream_spark.operators.dedup import (
+        paragraph_ledger_replay,
+    )
+
+    rows = [
+        (i, i % 3, " ".join(f"w{(i * 5 + j) % 13}" for j in range(7)))
+        for i in range(30)
+    ]
+    data = [(i, b, t.replace(" ", "\n")) for i, b, t in rows]
+    df = spark.createDataFrame(data, "doc_id long, batch int, text string")
+    rep = paragraph_ledger_replay(df, batch_col="batch").collect()
+    per: dict[int, list[int]] = {}
+    for r in rep:
+        d = per.setdefault(r.batch, [0, 0, 0])
+        d[0] += 1
+        d[1] += r.n_paras
+        d[2] += r.n_held
+    got = _pyield(spark, data)
+    assert set(got) == set(per)
+    for b, (n_docs, n_spans, n_held) in per.items():
+        assert got[b][:3] == (n_docs, n_spans, n_held)
+    # ledger_size is cumulative distinct spans
+    seen: set[tuple[int, str]] = set()
+    first: dict[str, int] = {}
+    for i, b, t in rows:
+        for w_ in t.split(" "):
+            first[w_] = min(first.get(w_, 99), b)
+    import collections
+
+    newc = collections.Counter(first.values())
+    led = 0
+    for b in sorted(got):
+        led += newc.get(b, 0)
+        assert got[b][4] == led
+
+
+# ------------------------------------------------------------------
+# conformal_drift_gate
+# ------------------------------------------------------------------
+
+
+def _cgate(spark, rows, alpha=0.1):
+    from dwds_livestream_spark.operators.curation import (
+        conformal_drift_gate,
+    )
+
+    df = spark.createDataFrame(
+        rows, "source string, snapshot int, n_chars int"
+    )
+    out = conformal_drift_gate(
+        df, score_col="n_chars", group_col="source",
+        period_col="snapshot", alpha=alpha,
+    )
+    return {
+        (r.source, r.snapshot, r.next_snapshot): (
+            r.n_cal, r.n_test, r.bound, r.n_flagged, r.flag_rate
+        )
+        for r in out.collect()
+    }
+
+
+def test_conformal_drift_gate_vs_brute_force(spark):
+    rows = [
+        ("g", s, (i * 31 + s * 7) % 97)
+        for s in (0, 1, 2)
+        for i in range(25)
+    ] + [("h", 0, v) for v in (1, 2, 3)] + [("h", 1, v) for v in (1, 50)]
+    alpha = 0.2
+    got = _cgate(spark, rows, alpha=alpha)
+
+    by: dict[tuple, list] = {}
+    for g, s, v in rows:
+        by.setdefault((g, s), []).append(v)
+    snaps = sorted({s for _, s, _ in rows})
+    want = {}
+    for p, np_ in zip(snaps, snaps[1:]):
+        for g in {g for g, _ in by}:
+            cal, test = by.get((g, p)), by.get((g, np_))
+            if not cal or not test:
+                continue
+            cal_s = sorted(cal)
+            r = math.ceil((1 - alpha) * (len(cal_s) + 1))
+            bound = float(cal_s[r - 1]) if r <= len(cal_s) else None
+            flagged = (
+                sum(1 for v in test if v > bound)
+                if bound is not None
+                else 0
+            )
+            want[(g, p, np_)] = (
+                len(cal_s), len(test), bound, flagged,
+                round(flagged / len(test), 6),
+            )
+    assert got == want
+
+
+def test_conformal_drift_gate_shift_alarm_and_null_contract(spark):
+    # stationary group ~alpha flags; shifted group alarms at 1.0
+    rows = (
+        [("flat", 0, v) for v in range(20)]
+        + [("flat", 1, v) for v in range(20)]
+        + [("up", 0, v) for v in range(20)]
+        + [("up", 1, v + 1000) for v in range(20)]
+        + [("only0", 0, 5)]          # no next side -> no pair row
+        + [("only1", 1, 5)]          # no prev side -> no pair row
+        + [(None, 0, 1), ("flat", None, 1)]
+    )
+    got = _cgate(spark, rows, alpha=0.25)
+    assert set(got) == {("flat", 0, 1), ("up", 0, 1)}
+    # up: every next-side score exceeds the bound
+    assert got[("up", 0, 1)][3] == 20 and got[("up", 0, 1)][4] == 1.0
+    # flat: identical distribution, flag rate <= alpha + slack
+    assert got[("flat", 0, 1)][4] <= 0.25 + 0.1
+
+
+def test_conformal_drift_gate_tiny_calibration_infinite(spark):
+    rows = [("g", 0, 7), ("g", 1, 999), ("g", 1, 1)]
+    got = _cgate(spark, rows, alpha=0.1)
+    n_cal, n_test, bound, n_flagged, rate = got[("g", 0, 1)]
+    assert (n_cal, n_test) == (1, 2)
+    assert bound is None and n_flagged == 0 and rate == 0.0
+
+
+def test_conformal_drift_gate_alpha_validation(spark):
+    from dwds_livestream_spark.operators.curation import (
+        conformal_drift_gate,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 0, 1)], "source string, snapshot int, n_chars int"
+    )
+    with pytest.raises(ValueError):
+        conformal_drift_gate(df, alpha=1.5)

@@ -747,3 +747,21 @@ def test_drift_panel_join_key_sized_joins(spark):
     assert r["scan_rows"] > 0
     assert r["shuffle_records"] <= r["scan_rows"] * 5, r
     assert r["broadcast_bytes"] > 0, "grid/pair frames broadcast"
+
+
+def test_paragraph_yield_curve_digest_bounded(spark):
+    # same span-frame contract as the replay: digests and counts only;
+    # the cumulative ledger window runs over one row per batch
+    r = _measure(spark, "paragraph_yield_curve")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_bytes"] / max(r["shuffle_records"], 1) < 80, r
+
+
+def test_conformal_drift_gate_broadcast_gate(spark):
+    # rank pass shuffles scored rows once into (group, period) cells;
+    # the (group, pair, n_cal, bound) frame and the calendar pair
+    # frame broadcast — corpus rows never shuffle for the gate fold
+    r = _measure(spark, "conformal_drift_gate")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] <= r["scan_rows"] * 2, r
+    assert r["broadcast_bytes"] > 0, "pair + bound frames broadcast"
