@@ -217,3 +217,119 @@ def range_quantiles_by(
     return ranked.select(
         "key", "q", F.round(est, 6).alias("est")
     ).orderBy("key", "q")
+
+
+def logbucket_quantiles(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+    percentiles: tuple = (0.5, 0.9, 0.99),
+    sub: int = 16,
+) -> DataFrame:
+    """Per-group quantiles from a DETERMINISTIC mergeable LOG-BUCKET
+    sketch — the domain-free sibling of :func:`histogram_rollup` and
+    the deterministic stand-in for a KLL/t-digest table (VERDICT r10
+    #5's named candidate): one single-pass fold, NO whole-frame
+    min/max pre-pass (the gap ``_ks_quantize``'s exact grid leaves),
+    bucket count bounded by 63 × ``sub`` per group on ANY value
+    range, and — unlike KLL/t-digest, whose compaction paths are
+    execution-order-dependent — every step is exact integer
+    arithmetic, so the sketch AND its quantile readout are
+    bit-identical across engines, partitionings and merge orders
+    (hash-oracle-able where a real KLL would be rows-only).
+
+    Bucketing: a value v >= 1 (cast to long) lands in bucket
+    (e, m) with e = floor(log2 v) computed EXACTLY as
+    length(bin(v)) − 1 — string-of-bits, no libm log whose boundary
+    ulps differ per engine — and m = ((v − 2^e) · sub) div 2^e
+    (integer div): ``sub`` equal sub-buckets per octave, i.e. the
+    classic base-(1 + 1/sub) log histogram (the HDR-histogram /
+    DDSketch layout) in exact integer form. Quantile readout: the
+    value at 1-based rank ceil(p·n) (the repo's percentile-approx
+    rank convention) is located in the first bucket whose cumulative
+    count reaches the rank; the estimate is the bucket's LOWER bound
+    (sub + m) · 2^e / sub — an exact dyadic rational when ``sub`` is
+    a power of two, so the output double is engine-exact. Guarantee:
+    estimate <= exact quantile < estimate · (sub + 1)/sub — relative
+    error < 1/sub (6.25 % at sub=16), gated against exact
+    percentiles in tests.
+
+    Contract: values are positive integers (>= 1) after a long cast —
+    lengths, counts, token totals, byte sizes: the curation scores
+    this table serves. NULL group/value and v < 1 rows drop
+    (sub-unit and negative domains need sign/zero octaves — out of
+    scope for the integer-score use case). ``sub`` must be a power
+    of two (the exactness condition); percentiles in (0, 1].
+
+    Scale (100 TB): ONE groupBy(group, e, m) count fold with map-side
+    combine — the sketch IS the group's partial aggregate, mergeable
+    by addition, so executors stream any value distribution into
+    <= 63·sub cells without coordination; the cumulative/readout pass
+    is a group-partitioned window over bucket rows (<= 63·sub per
+    group, never corpus rows); rank targets join key-sized frames.
+    Output: <group_col>, percentile, n, q_est — long format, one row
+    per group × percentile.
+    """
+    if sub < 1 or (sub & (sub - 1)) != 0:
+        raise ValueError(f"sub must be a power of two >= 1: {sub}")
+    if not percentiles or not all(0.0 < p <= 1.0 for p in percentiles):
+        raise ValueError(f"percentiles must be in (0, 1]: {percentiles}")
+    v = F.col(value_col).cast("long")
+    base = df.where(
+        F.col(group_col).isNotNull() & v.isNotNull() & (v >= 1)
+    ).select(F.col(group_col).alias("__g"), v.alias("__v"))
+    e = (F.length(F.bin(F.col("__v"))) - 1).cast("int")
+    # m via integral `div` (exact for the full long range; a double
+    # product would lose bits past 2^53)
+    m = F.expr(
+        f"((__v - shiftleft(1L, cast(__e as int))) * {int(sub)}) div "
+        "shiftleft(1L, cast(__e as int))"
+    )
+    cells = (
+        base.select("__g", "__v", e.alias("__e"))
+        .select("__g", "__e", m.alias("__m"))
+        .groupBy("__g", "__e", "__m")
+        .agg(F.count("*").alias("__c"))
+    )
+    wcum = (
+        Window.partitionBy("__g")
+        .orderBy("__e", "__m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.withColumn("__cum", F.sum("__c").over(wcum))
+    targets = (
+        cells.groupBy("__g")
+        .agg(F.sum("__c").cast("long").alias("n"))
+        .select(
+            "__g",
+            "n",
+            F.explode(
+                F.array(*[F.lit(float(p)) for p in percentiles])
+            ).alias("percentile"),
+        )
+        .withColumn(
+            "__r",
+            F.ceil(F.col("percentile") * F.col("n")).cast("long"),
+        )
+    )
+    hit = (
+        cum.join(targets, "__g")
+        .where(F.col("__cum") >= F.col("__r"))
+        .groupBy("__g", "percentile", "n")
+        .agg(F.min(F.struct("__e", "__m")).alias("__b"))
+    )
+    # (sub + m) has <= 6 significant bits and 2^e is a power of two,
+    # so the double product and the division by the power-of-two
+    # ``sub`` are both IEEE-exact; double-side arithmetic avoids the
+    # long overflow a 2^e integer product would hit at e >= 59
+    est = (
+        (F.lit(int(sub)) + F.col("__b.__m")).cast("double")
+        * F.expr("shiftleft(1L, cast(__b.__e as int))").cast("double")
+        / F.lit(float(sub))
+    )
+    return hit.select(
+        F.col("__g").alias(group_col),
+        "percentile",
+        "n",
+        est.alias("q_est"),
+    )

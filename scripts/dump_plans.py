@@ -180,6 +180,11 @@ HEADLINE = {
         "temporal conformal gate: (group, period)-partitioned rank "
         "window, broadcast pair + bound frames, keyed flag fold"
     ),
+    "logbucket_quantiles": (
+        "log-bucket quantile sketch: one map-side-combined (group, "
+        "octave, sub-bucket) fold, group-partitioned cumulative, "
+        "key-sized rank-target join"
+    ),
 }
 
 

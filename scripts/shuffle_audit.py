@@ -434,6 +434,11 @@ AUDITS: dict[str, str] = {
         "rank window; pair + bound frames broadcast into the test "
         "fold - corpus rows shuffle at most twice"
     ),
+    "logbucket_quantiles": (
+        "deterministic log-bucket quantile sketch: map-side combine "
+        "folds the scan to <= 63 x sub cells per group before the "
+        "exchange - no min/max pre-pass, mergeable by addition"
+    ),
 }
 
 def audit_one(spark, name: str, sf_dir: str) -> dict:

@@ -49,7 +49,7 @@ def test_no_decimal_hugeint_or_temporal_skew_in_any_output(spark, duck):
             )
         if problems:
             bad[name] = problems
-    assert swept == len(QUERIES) == 232  # whole registry, every round
+    assert swept == len(QUERIES) == 233  # whole registry, every round
     assert not bad, "\n".join(
         f"{n}: {'; '.join(ps)}" for n, ps in sorted(bad.items())
     )

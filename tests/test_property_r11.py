@@ -214,3 +214,43 @@ def test_conformal_drift_gate_matches_naive(spark, rows, alpha):
                 round(flagged / len(test), 6),
             )
     assert got == expect
+
+
+# ------------------------------------------------------------------
+# logbucket_quantiles vs naive exact quantiles (error-bound invariant)
+# ------------------------------------------------------------------
+
+lbq_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),          # group index
+        st.integers(min_value=1, max_value=100_000),    # value
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@SET
+@given(rows=lbq_rows, sub=st.sampled_from([4, 16]))
+def test_logbucket_error_bound_invariant(spark, rows, sub):
+    from dwds_livestream_spark.operators.quantile_hist import (
+        logbucket_quantiles,
+    )
+
+    data = [(f"g{g}", v) for g, v in rows]
+    df = spark.createDataFrame(data, "source string, n_chars long")
+    ps = (0.5, 0.9, 1.0)
+    got = {
+        (r.source, r.percentile): (r.n, r.q_est)
+        for r in logbucket_quantiles(df, percentiles=ps, sub=sub).collect()
+    }
+    by: dict[str, list] = {}
+    for g, v in data:
+        by.setdefault(g, []).append(v)
+    for g, vals in by.items():
+        s = sorted(vals)
+        for p in ps:
+            n, est = got[(g, p)]
+            exact = float(s[math.ceil(p * len(s)) - 1])
+            assert n == len(vals)
+            assert est <= exact < est * (sub + 1) / sub

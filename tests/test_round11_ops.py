@@ -464,3 +464,95 @@ def test_conformal_drift_gate_alpha_validation(spark):
     )
     with pytest.raises(ValueError):
         conformal_drift_gate(df, alpha=1.5)
+
+
+# ------------------------------------------------------------------
+# logbucket_quantiles
+# ------------------------------------------------------------------
+
+
+def _lbq(spark, rows, percentiles=(0.5, 0.9, 0.99), sub=16):
+    from dwds_livestream_spark.operators.quantile_hist import (
+        logbucket_quantiles,
+    )
+
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    out = logbucket_quantiles(
+        df, percentiles=percentiles, sub=sub
+    )
+    return {
+        (r.source, r.percentile): (r.n, r.q_est) for r in out.collect()
+    }
+
+
+def _exact_quantile(vals, p):
+    s = sorted(vals)
+    return float(s[math.ceil(p * len(s)) - 1])
+
+
+def test_logbucket_error_bound_vs_exact(spark):
+    """The sketch guarantee: q_est <= exact < q_est * (sub+1)/sub."""
+    vals = [((i * 131) % 9973) + 1 for i in range(500)]
+    rows = [("g", v) for v in vals]
+    sub = 16
+    got = _lbq(spark, rows, sub=sub)
+    for p in (0.5, 0.9, 0.99):
+        n, est = got[("g", p)]
+        exact = _exact_quantile(vals, p)
+        assert n == 500
+        assert est <= exact < est * (sub + 1) / sub, (p, est, exact)
+
+
+def test_logbucket_bucket_arithmetic_hand_computed(spark):
+    # v=1 -> e=0,m=0 -> est 1.0; v=23 -> e=4, m=((23-16)*16)//16=7 ->
+    # lower bound (16+7)*16/16 = 23.0 (23 = 10111b: exact bucket edge)
+    rows = [("a", 1), ("b", 23)]
+    got = _lbq(spark, rows, percentiles=(1.0,))
+    assert got[("a", 1.0)] == (1, 1.0)
+    assert got[("b", 1.0)] == (1, 23.0)
+
+
+def test_logbucket_exact_on_powers_of_two(spark):
+    # powers of two are bucket lower bounds -> estimates are EXACT
+    vals = [2 ** k for k in range(11)]
+    rows = [("g", v) for v in vals]
+    got = _lbq(spark, rows, percentiles=(0.5, 1.0))
+    assert got[("g", 0.5)] == (11, float(2 ** 5))
+    assert got[("g", 1.0)] == (11, float(2 ** 10))
+
+
+def test_logbucket_contract_and_validation(spark):
+    from dwds_livestream_spark.operators.quantile_hist import (
+        logbucket_quantiles,
+    )
+
+    rows = [("g", 5), ("g", 0), ("g", -3), ("g", None), (None, 7)]
+    got = _lbq(spark, rows, percentiles=(1.0,))
+    assert got == {("g", 1.0): (1, 5.0)}  # only v >= 1 with a group
+
+    df = spark.createDataFrame([("g", 1)], "source string, n_chars long")
+    with pytest.raises(ValueError):
+        logbucket_quantiles(df, sub=12)        # not a power of two
+    with pytest.raises(ValueError):
+        logbucket_quantiles(df, percentiles=(0.0,))
+    with pytest.raises(ValueError):
+        logbucket_quantiles(df, percentiles=())
+
+
+def test_logbucket_merge_order_invariance(spark):
+    """Mergeability: the sketch is a plain additive aggregate, so the
+    readout is identical under different partitionings (the
+    determinism-sweep property asserted directly)."""
+    vals = [((i * 17) % 4099) + 1 for i in range(300)]
+    rows = [("g", v) for v in vals]
+    df1 = spark.createDataFrame(rows, "source string, n_chars long").repartition(1)
+    df17 = spark.createDataFrame(rows, "source string, n_chars long").repartition(17)
+    from dwds_livestream_spark.operators.quantile_hist import (
+        logbucket_quantiles,
+    )
+
+    a = {(r.source, r.percentile): (r.n, r.q_est)
+         for r in logbucket_quantiles(df1).collect()}
+    b = {(r.source, r.percentile): (r.n, r.q_est)
+         for r in logbucket_quantiles(df17).collect()}
+    assert a == b

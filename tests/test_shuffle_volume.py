@@ -765,3 +765,13 @@ def test_conformal_drift_gate_broadcast_gate(spark):
     assert r["scan_rows"] > 0
     assert r["shuffle_records"] <= r["scan_rows"] * 2, r
     assert r["broadcast_bytes"] > 0, "pair + bound frames broadcast"
+
+
+def test_logbucket_quantiles_sketch_bounded(spark):
+    # the sketch IS the partial aggregate: map-side combine folds the
+    # scan into <= 63*sub cells per group before the exchange, so
+    # shuffled records stay far under the scan; readout frames are
+    # bucket-row-sized
+    r = _measure(spark, "logbucket_quantiles")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] < max(4096, r["scan_rows"] // 2), r
