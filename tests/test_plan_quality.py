@@ -513,3 +513,72 @@ def test_ks_drift_group_pair_partitioned_ecdf(spark, sf_dir):
     )
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("try_divide") == 2
+
+
+def test_paragraph_ledger_replay_window_free_map_combined(spark, sf_dir):
+    """The span ledger is order-free: NO window anywhere (first-seen
+    is a min() keyed on the span digest, map-side combined), no
+    cartesian — the whole replay is one declarative plan."""
+    from dwds_livestream_spark.plans import llm as L
+
+    plan = _plan(L.q_paragraph_ledger_replay(spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan or "partial min" in plan.lower()
+
+
+def test_conformal_outlier_bounds_group_partitioned_rank(spark, sf_dir):
+    """The conformal rank pass is PARTITIONED BY GROUP — never a
+    single-partition ordered pass — and the bound frame reaches the
+    test side by broadcast. pin=False keeps the full lineage visible
+    (the default lazy localCheckpoint truncates the visible plan to a
+    LogicalRDD — the ks_drift precedent)."""
+    from dwds_livestream_spark.operators.curation import (
+        conformal_outlier_bounds,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(conformal_outlier_bounds(docs, pin=False))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("windowspecdefinition(") >= 1
+    assert plan.count("windowspecdefinition(") == plan.count(
+        "windowspecdefinition(__g"
+    )
+    assert "BroadcastExchange" in plan
+
+
+def test_conformal_drift_gate_calendar_plus_cell_windows(spark, sf_dir):
+    """The gate's windows are exactly: the calendar lead over DISTINCT
+    periods plus (group, period)-partitioned rank passes; pair and
+    bound frames broadcast."""
+    from dwds_livestream_spark.plans import llm as L
+
+    plan = _plan(L.q_conformal_drift_gate(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    n_windows = plan.count("windowspecdefinition(")
+    assert n_windows >= 2
+    assert n_windows == (
+        plan.count("windowspecdefinition(__p")       # calendar lead
+        + plan.count("windowspecdefinition(__g")     # (g, p) rank
+    )
+    assert "BroadcastExchange" in plan
+
+
+def test_logbucket_quantiles_sketch_shape(spark, sf_dir):
+    """The sketch fold partial-combines map-side (the sketch IS the
+    partial aggregate); the readout windows are group-partitioned; no
+    cartesian, no single-partition pass."""
+    from dwds_livestream_spark.plans import llm as L
+
+    plan = _plan(L.q_logbucket_quantiles(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "partial_count" in plan or "partial count" in plan.lower()
+    assert plan.count("windowspecdefinition(") >= 1
+    assert plan.count("windowspecdefinition(") == plan.count(
+        "windowspecdefinition(__g"
+    )
