@@ -1095,7 +1095,13 @@ def paragraph_ledger_replay(
     (occurrences whose paragraph first appeared in an EARLIER batch),
     held_frac (6dp).
     """
-    p = _span_digest_rows(df, text_col, id_col, batch_col, sep)
+    # the span frame feeds TWO consumers (the first-seen fold and the
+    # occurrence join) — pin it lazily so the scan + explode + hash
+    # run once, not twice (the module's multi-consumer rule; the
+    # yield twin pins the same frame)
+    p = _span_digest_rows(
+        df, text_col, id_col, batch_col, sep
+    ).localCheckpoint(eager=False)
     first = p.groupBy("__h").agg(
         F.min(batch_col).alias("__first_batch")
     )

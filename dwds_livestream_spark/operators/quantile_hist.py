@@ -225,6 +225,7 @@ def logbucket_quantiles(
     group_col: str = "source",
     percentiles: tuple = (0.5, 0.9, 0.99),
     sub: int = 16,
+    pin: bool = True,
 ) -> DataFrame:
     """Per-group quantiles from a DETERMINISTIC mergeable LOG-BUCKET
     sketch — the domain-free sibling of :func:`histogram_rollup` and
@@ -267,8 +268,11 @@ def logbucket_quantiles(
     <= 63·sub cells without coordination; the cumulative/readout pass
     is a group-partitioned window over bucket rows (<= 63·sub per
     group, never corpus rows); rank targets join key-sized frames.
-    Output: <group_col>, percentile, n, q_est — long format, one row
-    per group × percentile.
+    The cell frame feeds TWO consumers (the cumulative window and the
+    per-group totals), so it is pinned lazily by default — unpinned,
+    the corpus fold would run twice; ``pin=False`` keeps the lineage
+    visible for plan-shape tests. Output: <group_col>, percentile, n,
+    q_est — long format, one row per group × percentile.
     """
     if sub < 1 or (sub & (sub - 1)) != 0:
         raise ValueError(f"sub must be a power of two >= 1: {sub}")
@@ -291,6 +295,8 @@ def logbucket_quantiles(
         .groupBy("__g", "__e", "__m")
         .agg(F.count("*").alias("__c"))
     )
+    if pin:
+        cells = cells.localCheckpoint(eager=False)
     wcum = (
         Window.partitionBy("__g")
         .orderBy("__e", "__m")

@@ -570,10 +570,14 @@ def test_conformal_drift_gate_calendar_plus_cell_windows(spark, sf_dir):
 def test_logbucket_quantiles_sketch_shape(spark, sf_dir):
     """The sketch fold partial-combines map-side (the sketch IS the
     partial aggregate); the readout windows are group-partitioned; no
-    cartesian, no single-partition pass."""
-    from dwds_livestream_spark.plans import llm as L
+    cartesian, no single-partition pass. pin=False keeps the fold
+    visible below the cell frame's default lazy checkpoint."""
+    from dwds_livestream_spark.operators.quantile_hist import (
+        logbucket_quantiles,
+    )
 
-    plan = _plan(L.q_logbucket_quantiles(spark, sf_dir))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(logbucket_quantiles(docs, pin=False))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Exchange SinglePartition" not in plan
