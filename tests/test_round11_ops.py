@@ -556,3 +556,38 @@ def test_logbucket_merge_order_invariance(spark):
     b = {(r.source, r.percentile): (r.n, r.q_est)
          for r in logbucket_quantiles(df17).collect()}
     assert a == b
+
+
+def test_conformal_heavy_ties_at_rank_boundary(spark):
+    """Duplicate scores straddling the conformal rank: the bound VALUE
+    is order-independent (row_number tie order differs per engine,
+    but every row at the rank carries the same score), and strict->
+    gating keeps tied test scores unflagged."""
+    # 30 calibration-side candidates all scoring 7, a few 9s on top
+    rows = [(i, "g", 7) for i in range(40)] + [
+        (i + 100, "g", 9) for i in range(8)
+    ]
+    got = _conf(spark, rows, alpha=0.2)
+    n_cal, n_test, bound, n_flagged, rate = got["g"]
+    # brute force on the same split
+    cal = sorted(
+        s for i, _, s in rows if _is_cal(i)
+    )
+    r = math.ceil(0.8 * (len(cal) + 1))
+    assert bound == float(cal[r - 1])
+    test = [s for i, _, s in rows if not _is_cal(i)]
+    # strict > gating: scores EQUAL to the bound never count
+    assert n_flagged == sum(1 for s in test if s > bound)
+    assert (n_cal, n_test) == (len(cal), len(test))
+
+
+def test_logbucket_all_identical_values(spark):
+    """A degenerate single-value distribution: every percentile reads
+    the one occupied bucket, whose lower bound is <= the value within
+    the 1/sub relative guarantee."""
+    rows = [("g", 1000)] * 50
+    got = _lbq(spark, rows, percentiles=(0.01, 0.5, 1.0))
+    for p in (0.01, 0.5, 1.0):
+        n, est = got[("g", p)]
+        assert n == 50
+        assert est <= 1000 < est * 17 / 16
