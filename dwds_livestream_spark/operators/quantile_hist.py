@@ -242,8 +242,12 @@ def logbucket_quantiles(
     Bucketing: a value v >= 1 (cast to long) lands in bucket
     (e, m) with e = floor(log2 v) computed EXACTLY as
     length(bin(v)) − 1 — string-of-bits, no libm log whose boundary
-    ulps differ per engine — and m = ((v − 2^e) · sub) div 2^e
-    (integer div): ``sub`` equal sub-buckets per octave, i.e. the
+    ulps differ per engine — and m = floor((v − 2^e) · sub / 2^e) in
+    integer arithmetic, computed divide-first as
+    (v − 2^e) div 2^(e − log2 sub) once e >= log2(sub) so the fold is
+    exact and overflow-free for the FULL positive long range (the
+    multiply-first form overflows at e >= 63 − log2(sub)): ``sub``
+    equal sub-buckets per octave, i.e. the
     classic base-(1 + 1/sub) log histogram (the HDR-histogram /
     DDSketch layout) in exact integer form. Quantile readout: the
     value at 1-based rank ceil(p·n) (the repo's percentile-approx
@@ -283,11 +287,20 @@ def logbucket_quantiles(
         F.col(group_col).isNotNull() & v.isNotNull() & (v >= 1)
     ).select(F.col(group_col).alias("__g"), v.alias("__v"))
     e = (F.length(F.bin(F.col("__v"))) - 1).cast("int")
-    # m via integral `div` (exact for the full long range; a double
-    # product would lose bits past 2^53)
+    # m = floor((v − 2^e) · sub / 2^e) via integral `div` (a double
+    # product would lose bits past 2^53). For e >= log2(sub) divide
+    # BEFORE multiplying — (v − 2^e) div 2^(e − log2(sub)) — which is
+    # the same floor exactly (sub divides 2^e) and never overflows;
+    # the multiply-first form would overflow signed 64-bit once
+    # (v − 2^e)·sub >= 2^63 (e >= 63 − log2(sub)). Below log2(sub)
+    # the residual is < sub, so multiply-first is tiny and exact.
+    s = int(sub).bit_length() - 1
     m = F.expr(
-        f"((__v - shiftleft(1L, cast(__e as int))) * {int(sub)}) div "
-        "shiftleft(1L, cast(__e as int))"
+        f"CASE WHEN __e >= {s} THEN "
+        f"(__v - shiftleft(1L, cast(__e as int))) div "
+        f"shiftleft(1L, cast(__e as int) - {s}) "
+        f"ELSE ((__v - shiftleft(1L, cast(__e as int))) * {int(sub)}) "
+        "div shiftleft(1L, cast(__e as int)) END"
     )
     cells = (
         base.select("__g", "__v", e.alias("__e"))

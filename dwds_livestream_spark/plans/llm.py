@@ -5191,8 +5191,12 @@ b AS (
   SELECT g, v, CAST(length(bin(v)) - 1 AS INT) AS e FROM base),
 cells AS (
   SELECT g, e,
-         ((v - (1::BIGINT << e)) * {LOGBUCKET_SUB})
-           // (1::BIGINT << e) AS m,
+         CASE WHEN e >= {LOGBUCKET_SUB.bit_length() - 1}
+              THEN (v - (1::BIGINT << e))
+                     // (1::BIGINT << (e - {LOGBUCKET_SUB.bit_length() - 1}))
+              ELSE ((v - (1::BIGINT << e)) * {LOGBUCKET_SUB})
+                     // (1::BIGINT << e)
+         END AS m,
          count(*) AS c
   FROM b GROUP BY 1, 2, 3),
 cum AS (

@@ -591,3 +591,47 @@ def test_logbucket_all_identical_values(spark):
         n, est = got[("g", p)]
         assert n == 50
         assert est <= 1000 < est * 17 / 16
+
+
+def test_logbucket_full_long_range_no_overflow(spark):
+    """ADVICE r11: the multiply-first sub-bucket form overflows signed
+    64-bit once (v - 2^e)*sub >= 2^63 (e >= 59 at sub=16); the
+    divide-first form is exact for the FULL positive long range. Values
+    up to Long.MAX must bucket correctly (pre-fix they silently
+    mis-bucketed in legacy mode / raised in ANSI mode)."""
+    sub = 16
+    big = [
+        2 ** 63 - 1,          # e=62, m=15 (top bucket)
+        2 ** 62,              # e=62, m=0 (exact lower bound)
+        2 ** 62 + 3 * 2 ** 58,  # e=62, m=3
+        2 ** 60 + 2 ** 56 - 1,  # e=60, m=0 (just under the m=1 edge)
+        2 ** 59,              # e=59, m=0
+    ]
+
+    def ref_bucket(v):
+        e = v.bit_length() - 1
+        return e, ((v - (1 << e)) * sub) >> e  # exact in Python ints
+
+    for v in big:
+        got = _lbq(spark, [("g", v)], percentiles=(1.0,), sub=sub)
+        n, est = got[("g", 1.0)]
+        e, m = ref_bucket(v)
+        want = float((sub + m) * (1 << e)) / sub
+        assert (n, est) == (1, want), (v, est, want)
+        assert est <= v < est * (sub + 1) / sub
+
+    # the DuckDB oracle's mirrored CASE form agrees on the same values
+    import duckdb
+
+    s = sub.bit_length() - 1
+    con = duckdb.connect()
+    for v in big:
+        e, m = ref_bucket(v)
+        got_m = con.sql(
+            f"SELECT CASE WHEN {e} >= {s} THEN "
+            f"({v}::BIGINT - (1::BIGINT << {e})) "
+            f"// (1::BIGINT << ({e} - {s})) "
+            f"ELSE (({v}::BIGINT - (1::BIGINT << {e})) * {sub}) "
+            f"// (1::BIGINT << {e}) END"
+        ).fetchone()[0]
+        assert got_m == m, (v, got_m, m)
