@@ -5248,3 +5248,216 @@ SELECT g AS source, percentile, n,
          / {LOGBUCKET_SUB}.0 AS q_est
 FROM hit
 """
+
+
+def q_logbucket_quantile_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-(source, snapshot-pair) p50/p90/p99 shift of n_chars from
+    the shared log-bucket sketch (operators/quantile_hist.
+    logbucket_quantile_drift — VERDICT r11 #4's quantile-sketch drift
+    leg): one sketch fold per (source, snapshot), consecutive
+    snapshots joined on the calendar, q_ratio = q_next / q_prev. The
+    sixth temporal-audit leg (path/content/dup-rate/KS/conformal +
+    this), fully hash-oracle-able because every sketch step is exact
+    integer arithmetic and the readout is a dyadic double."""
+    from ..operators.quantile_hist import logbucket_quantile_drift
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "snapshot", (F.col("doc_id") % 3).cast("int")
+    )
+    return logbucket_quantile_drift(
+        docs, value_col="n_chars", group_col="source",
+        period_col="snapshot", percentiles=(0.5, 0.9, 0.99),
+        sub=LOGBUCKET_SUB,
+    )
+
+
+ORACLE_LOGBUCKET_QUANTILE_DRIFT = f"""
+WITH base AS (
+  SELECT source AS g, CAST(doc_id % 3 AS INT) AS p,
+         CAST(n_chars AS BIGINT) AS v
+  FROM documents
+  WHERE source IS NOT NULL AND doc_id IS NOT NULL
+    AND n_chars IS NOT NULL AND CAST(n_chars AS BIGINT) >= 1),
+b AS (
+  SELECT g, p, v, CAST(length(bin(v)) - 1 AS INT) AS e FROM base),
+cells AS (
+  SELECT g, p, e,
+         CASE WHEN e >= {LOGBUCKET_SUB.bit_length() - 1}
+              THEN (v - (1::BIGINT << e))
+                     // (1::BIGINT << (e - {LOGBUCKET_SUB.bit_length() - 1}))
+              ELSE ((v - (1::BIGINT << e)) * {LOGBUCKET_SUB})
+                     // (1::BIGINT << e)
+         END AS m,
+         count(*) AS c
+  FROM b GROUP BY 1, 2, 3, 4),
+cum AS (
+  SELECT g, p, e, m, c,
+         SUM(c) OVER (PARTITION BY g, p ORDER BY e, m
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM cells),
+n AS (SELECT g, p, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY 1, 2),
+targets AS (
+  SELECT n.g, n.p, n.n, q.percentile,
+         CAST(ceil(q.percentile * n.n) AS BIGINT) AS r
+  FROM n, (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE)
+             AS percentile) q),
+hit AS (
+  SELECT t.g, t.p, t.percentile, t.n,
+         min(cum.e * {LOGBUCKET_SUB} + cum.m) AS em
+  FROM targets t
+  JOIN cum ON cum.g = t.g AND cum.p = t.p AND cum.cum >= t.r
+  GROUP BY 1, 2, 3, 4),
+ro AS (
+  SELECT g, p, percentile, n,
+         (CAST({LOGBUCKET_SUB} + (em % {LOGBUCKET_SUB}) AS DOUBLE)
+          * CAST(1::BIGINT << (em // {LOGBUCKET_SUB}) AS DOUBLE))
+           / {LOGBUCKET_SUB}.0 AS q_est
+  FROM hit),
+per AS (SELECT DISTINCT p FROM ro),
+pairs AS (
+  SELECT p, lead(p) OVER (ORDER BY p) AS np
+  FROM per QUALIFY np IS NOT NULL)
+SELECT a.g AS source, a.p AS snapshot, pairs.np AS next_snapshot,
+       a.percentile,
+       a.n AS n_prev, bb.n AS n_next,
+       a.q_est AS q_prev, bb.q_est AS q_next,
+       ROUND(bb.q_est / a.q_est, 6) + 0.0 AS q_ratio
+FROM ro a
+JOIN pairs ON pairs.p = a.p
+JOIN ro bb ON bb.g = a.g AND bb.p = pairs.np
+          AND bb.percentile = a.percentile
+"""
+
+
+CALIBRATION_BINS = 16
+RELIABILITY_BINS = 10
+
+
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source isotonic calibration curve of P(lang = 'en' | length)
+    (operators/calibration.isotonic_calibration — NEW family, ROADMAP
+    r12 candidate: the calibration twin of the conformal gate):
+    monotone L2 fit of the per-bin positive rate over 16 equal-width
+    n_chars bins, computed via the exact max–min characterization so
+    the curve is bit-identical across engines (a sequential PAV loop
+    would be rows-only). The fixture's label is the documents table's
+    language flag — the "is this score bucket worth keeping" readout a
+    threshold policy consumes."""
+    from ..operators.calibration import isotonic_calibration
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    )
+    return isotonic_calibration(
+        docs, score_col="n_chars", label_col="label",
+        group_col="source", bins=CALIBRATION_BINS,
+    )
+
+
+ORACLE_ISOTONIC_CALIBRATION = f"""
+WITH base AS (
+  SELECT source AS g, CAST(n_chars AS DOUBLE) AS s,
+         CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+    AND lang IS NOT NULL),
+st AS (SELECT min(s) AS lo, max(s) AS hi FROM base),
+binned AS (
+  SELECT g, y,
+         CASE WHEN hi = lo THEN 1
+              WHEN s >= hi THEN {CALIBRATION_BINS}
+              ELSE LEAST({CALIBRATION_BINS}, GREATEST(1,
+                CAST(FLOOR((s - lo) / (hi - lo) * {CALIBRATION_BINS}.0)
+                     AS INT) + 1))
+         END AS b
+  FROM base, st),
+cells AS (
+  SELECT g, b, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS pos
+  FROM binned GROUP BY 1, 2),
+pre AS (
+  SELECT g, b, n, pos,
+         SUM(n) OVER (PARTITION BY g ORDER BY b
+                      ROWS UNBOUNDED PRECEDING) - n AS pn,
+         SUM(pos) OVER (PARTITION BY g ORDER BY b
+                        ROWS UNBOUNDED PRECEDING) - pos AS ppos
+  FROM cells),
+ranges AS (
+  SELECT lo_.g, lo_.b AS i, hi_.b AS j,
+         CAST(hi_.cpos - lo_.ppos AS DOUBLE)
+           / CAST(hi_.cn - lo_.pn AS DOUBLE) AS avg
+  FROM (SELECT g, b, pn, ppos FROM pre) lo_
+  JOIN (SELECT g, b, pn + n AS cn, ppos + pos AS cpos FROM pre) hi_
+    ON hi_.g = lo_.g AND lo_.b <= hi_.b),
+minj AS (
+  SELECT r.g, k.b AS k, r.i, min(r.avg) AS mj
+  FROM ranges r
+  JOIN cells k ON k.g = r.g AND r.i <= k.b AND r.j >= k.b
+  GROUP BY 1, 2, 3),
+iso AS (
+  SELECT g, k, max(mj) AS iso FROM minj GROUP BY 1, 2)
+SELECT c.g AS source, c.b AS bin, c.n, c.pos,
+       ROUND(CAST(c.pos AS DOUBLE) / CAST(c.n AS DOUBLE), 6) + 0.0
+         AS rate_raw,
+       ROUND(iso.iso, 6) + 0.0 AS rate_iso
+FROM cells c JOIN iso ON iso.g = c.g AND iso.k = c.b
+"""
+
+
+def q_calibration_reliability(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source reliability diagram + ECE over 10 fixed confidence
+    bins (operators/calibration.calibration_reliability — the
+    isotonic entry's diagnostic sibling): the fixture derives a
+    deterministic pseudo-confidence (doc_id % 101) / 100 in [0, 1]
+    and the same language label, the standard "is the score a
+    probability" audit. acc and the bin edges are engine-exact;
+    avg_conf/ece sit in the documented psi_drift IEEE-sum class."""
+    from ..operators.calibration import calibration_reliability
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        ((F.col("doc_id") % 101) / F.lit(100.0)).alias("conf"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return calibration_reliability(
+        docs, conf_col="conf", label_col="label",
+        group_col="source", bins=RELIABILITY_BINS,
+    )
+
+
+ORACLE_CALIBRATION_RELIABILITY = f"""
+WITH base AS (
+  SELECT source AS g,
+         CAST(doc_id % 101 AS DOUBLE) / 100.0 AS c,
+         CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM documents
+  WHERE source IS NOT NULL AND doc_id IS NOT NULL
+    AND lang IS NOT NULL),
+binned AS (
+  SELECT g, c, y,
+         LEAST({RELIABILITY_BINS}, GREATEST(1,
+           CAST(FLOOR(c * {RELIABILITY_BINS}.0) AS INT) + 1)) AS b
+  FROM base WHERE c >= 0.0 AND c <= 1.0),
+cells AS (
+  SELECT g, b, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS pos,
+         SUM(c) AS sc
+  FROM binned GROUP BY 1, 2),
+tot AS (
+  SELECT g, CAST(SUM(n) AS BIGINT) AS n_total,
+         SUM(n * ABS(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+                     - sc / CAST(n AS DOUBLE))) AS w_gap
+  FROM cells GROUP BY 1)
+SELECT c.g AS source, c.b AS bin, c.n, t.n_total,
+       ROUND(c.sc / CAST(c.n AS DOUBLE), 6) + 0.0 AS avg_conf,
+       ROUND(CAST(c.pos AS DOUBLE) / CAST(c.n AS DOUBLE), 6) + 0.0
+         AS acc,
+       ROUND(CAST(c.pos AS DOUBLE) / CAST(c.n AS DOUBLE)
+             - c.sc / CAST(c.n AS DOUBLE), 6) + 0.0 AS gap,
+       ROUND(t.w_gap / CAST(t.n_total AS DOUBLE), 6) + 0.0 AS ece
+FROM cells c JOIN tot t ON t.g = c.g
+"""

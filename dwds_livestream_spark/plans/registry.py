@@ -316,6 +316,15 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # quantile sketch, in the deterministic exact-integer log-bucket
     # form that keeps it hash-oracle-able
     "logbucket_quantiles": L.q_logbucket_quantiles,
+    # round-12 batch (3 <= the VERDICT r11 #3 ceiling of 5), each slot
+    # a verdict/ROADMAP-named ask: the quantile-sketch drift leg
+    # (VERDICT r11 #4) and the isotonic-calibration NEW family (the
+    # ROADMAP candidate — PAV via the exact max-min characterization,
+    # hash-oracle-able where a sequential loop would be rows-only)
+    # with its reliability/ECE sibling
+    "logbucket_quantile_drift": L.q_logbucket_quantile_drift,
+    "isotonic_calibration": L.q_isotonic_calibration,
+    "calibration_reliability": L.q_calibration_reliability,
 }
 
 # ---------------------------------------------------------------------
@@ -386,9 +395,16 @@ DRIVER_WINDOW: list[str] = [
     "dedup_ngram_jaccard",
     "dedup_levenshtein",
     "dedup_clusters",
-    "curation_pipeline",
-    "similarity_topk",
-    "embedding_near_dup",
+    # (d) the round-12 growth batch, registered PRE-freeze and
+    # IN-window (ROADMAP r12: "new r12 entries registered pre-freeze")
+    # so it carries driver evidence in its own round — no
+    # never-driver-verified debt enters r13. Displaces the three
+    # LEAST-stale pad slots (curation_pipeline, similarity_topk,
+    # embedding_near_dup — last driver-seen r11-adjacent cohort),
+    # which rotate to the front of the r13 pad queue.
+    "logbucket_quantile_drift",
+    "isotonic_calibration",
+    "calibration_reliability",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -628,6 +644,13 @@ ORACLE_SQL: dict[str, str] = {
     "paragraph_yield_curve": L.ORACLE_PARAGRAPH_YIELD_CURVE,
     "conformal_drift_gate": L.ORACLE_CONFORMAL_DRIFT_GATE,
     "logbucket_quantiles": L.ORACLE_LOGBUCKET_QUANTILES,
+    # round-12 batch (3 — under the VERDICT r11 #3 <= 5 ceiling;
+    # registered PRE-freeze and IN-window so the batch carries driver
+    # evidence in its own round, retiring the never-driver-verified
+    # debt class)
+    "logbucket_quantile_drift": L.ORACLE_LOGBUCKET_QUANTILE_DRIFT,
+    "isotonic_calibration": L.ORACLE_ISOTONIC_CALIBRATION,
+    "calibration_reliability": L.ORACLE_CALIBRATION_RELIABILITY,
     # rows-only (no oracle; each approximate/iterative by nature):
     # similarity_ivf_topk, misra_gries_topk, kmeans_clusters,
     # embedding_pca (numpy parity in tests/test_embedding_ops.py) —

@@ -61,3 +61,230 @@ def test_minhash_replay_artifact_is_reused_in_process(spark):
     plan = curve._jdf.queryExecution().executedPlan().toString()
     assert path in plan  # the curve scans the artifact...
     assert "pandas" not in plan.lower()  # ...not the minhash pipeline
+
+
+# ------------------------------------------------------------------
+# isotonic_calibration (round-12 new family)
+# ------------------------------------------------------------------
+
+
+def _pav_reference(data):
+    """Sequential pool-adjacent-violators over (rate, weight) blocks —
+    the loop form the max-min plan must reproduce exactly."""
+    blocks = [[pos, n] for pos, n in data]  # [sum_y, weight]
+    out = []
+    for b in blocks:
+        out.append(list(b))
+        while len(out) > 1 and (
+            out[-2][0] * out[-1][1] >= out[-1][0] * out[-2][1]
+        ):  # prev mean >= next mean -> pool (exact integer compare)
+            s, w = out.pop()
+            out[-1][0] += s
+            out[-1][1] += w
+    fit = []
+    for s, w in out:
+        fit.append((s, w))
+    # expand back to per-input-block fitted means
+    means = []
+    for s, w in fit:
+        means.append(s / w)
+    expanded = []
+    i = 0
+    acc_w = 0
+    for s, w in fit:
+        target = acc_w + w
+        while i < len(data) and sum(n for _, n in data[: i + 1]) <= target:
+            expanded.append(s / w)
+            i += 1
+        acc_w = target
+    return expanded
+
+
+def _iso(spark, rows, bins, group_col="source"):
+    from dwds_livestream_spark.operators.calibration import (
+        isotonic_calibration,
+    )
+
+    df = spark.createDataFrame(
+        rows, f"{group_col} string, score double, label int"
+    )
+    out = isotonic_calibration(
+        df, score_col="score", label_col="label",
+        group_col=group_col, bins=bins,
+    )
+    return sorted(
+        (r[group_col], r.bin, r.n, r.pos, r.rate_raw, r.rate_iso)
+        for r in out.collect()
+    )
+
+
+def _expand(data):
+    rows = []
+    for s, n, pos in data:
+        for i in range(n):
+            rows.append(("g", float(s), 1 if i < pos else 0))
+    return rows
+
+
+def test_isotonic_matches_sequential_pav(spark):
+    # violating pattern: pools (2,3), then (4,5,6)
+    data = [(1, 4, 0), (2, 4, 2), (3, 4, 1), (4, 4, 4),
+            (5, 4, 2), (6, 4, 3), (7, 4, 4), (8, 4, 4)]
+    got = _iso(spark, _expand(data), bins=8)
+    ref = _pav_reference([(pos, n) for _, n, pos in data])
+    assert [r[5] for r in got] == [round(x, 6) for x in ref]
+    assert [r[4] for r in got] == [
+        round(pos / n, 6) for _, n, pos in data
+    ]
+
+
+def test_isotonic_monotone_and_identity_on_monotone_input(spark):
+    # already-monotone rates pass through unchanged
+    data = [(1, 5, 0), (2, 5, 1), (3, 5, 2), (4, 5, 4), (5, 5, 5)]
+    got = _iso(spark, _expand(data), bins=5)
+    assert [r[5] for r in got] == [r[4] for r in got]
+    # and the fit is non-decreasing on ANY input
+    data2 = [(1, 3, 3), (2, 3, 0), (3, 3, 2), (4, 3, 1), (5, 3, 3)]
+    got2 = _iso(spark, _expand(data2), bins=5)
+    fits = [r[5] for r in got2]
+    assert fits == sorted(fits)
+
+
+def test_isotonic_groups_fit_independently(spark):
+    rows = _expand([(1, 4, 2), (2, 4, 1)]) + [
+        ("h", 1.0, 1), ("h", 1.0, 1), ("h", 2.0, 0), ("h", 2.0, 0)
+    ]
+    got = _iso(spark, rows, bins=2)
+    by_g = {}
+    for g, b, n, pos, raw, iso in got:
+        by_g.setdefault(g, []).append(iso)
+    # g pools its violator (3/8); h pools to 1/2
+    assert by_g["g"] == [0.375, 0.375]
+    assert by_g["h"] == [0.5, 0.5]
+
+
+def test_isotonic_total_mass_preserved(spark):
+    """PAV preserves the weighted mean: sum(n_b * iso_b) == sum(pos)
+    (up to the 6dp output round)."""
+    data = [(1, 7, 5), (2, 3, 0), (3, 5, 4), (4, 2, 1), (5, 6, 6)]
+    got = _iso(spark, _expand(data), bins=5)
+    mass = sum(n * iso for _, _, n, pos, _, iso in got)
+    assert abs(mass - sum(pos for _, _, pos in data)) < 1e-3
+
+
+def test_isotonic_validation(spark):
+    from dwds_livestream_spark.operators.calibration import (
+        isotonic_calibration,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 1.0, 1)], "source string, score double, label int"
+    )
+    with pytest.raises(ValueError):
+        isotonic_calibration(df, score_col="score", bins=0)
+    with pytest.raises(ValueError):
+        isotonic_calibration(df, score_col="score", bins=33)
+
+
+# ------------------------------------------------------------------
+# calibration_reliability
+# ------------------------------------------------------------------
+
+
+def test_reliability_hand_computed_ece(spark):
+    from dwds_livestream_spark.operators.calibration import (
+        calibration_reliability,
+    )
+
+    # two bins: conf 0.1 sits ON the bin-1/bin-2 edge and goes UP
+    # (bins are [lo, hi): bin 2 is [0.1, 0.2)); conf 0.95 -> bin 10
+    rows = [("g", 0.1, 1), ("g", 0.1, 0), ("g", 0.95, 1), ("g", 0.95, 1)]
+    df = spark.createDataFrame(
+        rows, "source string, conf double, label int"
+    )
+    out = {
+        r.bin: (r.n, r.n_total, r.avg_conf, r.acc, r.gap, r.ece)
+        for r in calibration_reliability(df).collect()
+    }
+    ece = round((2 * abs(0.5 - 0.1) + 2 * abs(1.0 - 0.95)) / 4, 6)
+    assert out[2] == (2, 4, 0.1, 0.5, 0.4, ece)
+    assert out[10] == (2, 4, 0.95, 1.0, round(1.0 - 0.95, 6), ece)
+
+
+def test_reliability_rejects_out_of_domain_conf(spark):
+    from dwds_livestream_spark.operators.calibration import (
+        calibration_reliability,
+    )
+
+    rows = [("g", 0.5, 1), ("g", 1.5, 1), ("g", -0.1, 0), ("g", None, 1)]
+    df = spark.createDataFrame(
+        rows, "source string, conf double, label int"
+    )
+    out = calibration_reliability(df).collect()
+    assert len(out) == 1 and out[0].n == 1 and out[0].n_total == 1
+    with pytest.raises(ValueError):
+        calibration_reliability(df, bins=0)
+
+
+# ------------------------------------------------------------------
+# logbucket_quantile_drift (composition consistency)
+# ------------------------------------------------------------------
+
+
+def test_logbucket_drift_agrees_with_per_period_readouts(spark):
+    from dwds_livestream_spark.operators.quantile_hist import (
+        logbucket_quantile_drift,
+        logbucket_quantiles,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs = docs.withColumn(
+        "snapshot", (F.col("doc_id") % 3).cast("int")
+    )
+    drift = {
+        (r.source, r.snapshot, r.next_snapshot, r.percentile): (
+            r.n_prev, r.n_next, r.q_prev, r.q_next, r.q_ratio
+        )
+        for r in logbucket_quantile_drift(docs).collect()
+    }
+    # per-snapshot standalone readouts must agree with both legs
+    per = {}
+    for p in (0, 1, 2):
+        snap = logbucket_quantiles(
+            docs.where(F.col("snapshot") == p)
+        )
+        for r in snap.collect():
+            per[(r.source, p, r.percentile)] = (r.n, r.q_est)
+    assert drift, "drift frame must be non-empty"
+    for (g, p, np_, pct), (n_prev, n_next, q_prev, q_next, ratio) in (
+        drift.items()
+    ):
+        assert per[(g, p, pct)] == (n_prev, q_prev)
+        assert per[(g, np_, pct)] == (n_next, q_next)
+        # Spark ROUND is HALF_UP on the exact binary value; Python's
+        # banker's round diverges on exact 6-decimal ties (dyadic
+        # ratios a/2^7), so quantize the reference the Spark way
+        from decimal import ROUND_HALF_UP, Decimal  # noqa: PLC0415
+
+        want = float(
+            Decimal(q_next / q_prev).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        assert ratio == want
+    # pairs are consecutive: (0,1) and (1,2) only
+    assert {(p, np_) for _, p, np_, _ in drift} == {(0, 1), (1, 2)}
+
+
+def test_logbucket_drift_validation(spark):
+    from dwds_livestream_spark.operators.quantile_hist import (
+        logbucket_quantile_drift,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 0, 1)], "source string, snapshot int, n_chars long"
+    )
+    with pytest.raises(ValueError):
+        logbucket_quantile_drift(df, sub=12)
+    with pytest.raises(ValueError):
+        logbucket_quantile_drift(df, percentiles=())

@@ -784,3 +784,34 @@ def test_logbucket_quantiles_sketch_bounded(spark):
     r = _measure(spark, "logbucket_quantiles")
     assert r["scan_rows"] > 0
     assert r["shuffle_records"] < max(4096, r["scan_rows"] // 2), r
+
+
+def test_logbucket_quantile_drift_sketch_bounded(spark):
+    # one (group, period, e, m) sketch fold with map-side combine
+    # bounds the exchange; the pair calendar broadcasts and the
+    # readout/pair joins run on bucket-row-sized frames
+    r = _measure(spark, "logbucket_quantile_drift")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] < max(8192, r["scan_rows"] // 2), r
+    assert r["broadcast_bytes"] > 0, "pair calendar must broadcast"
+
+
+def test_isotonic_calibration_bins_bounded(spark):
+    # corpus rows cross ONE exchange (the (group, bin) integer fold's
+    # partial-aggregate shuffle); everything after — prefix windows,
+    # the bins^2 range join, the bins^3 max-min fold — runs on
+    # bins-bounded frames (<= 16 cells/group), so total shuffled
+    # records stay a small multiple of groups x bins^3
+    r = _measure(spark, "isotonic_calibration")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] < max(
+        100_000, r["scan_rows"] // 2
+    ), r
+
+
+def test_calibration_reliability_fold_bounded(spark):
+    # fixed [0,1] domain: no min/max pre-pass at all — one map-side
+    # combined (group, bin) fold plus bins-bounded group windows
+    r = _measure(spark, "calibration_reliability")
+    assert r["scan_rows"] > 0
+    assert r["shuffle_records"] < max(4096, r["scan_rows"] // 2), r
