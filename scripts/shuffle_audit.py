@@ -439,6 +439,21 @@ AUDITS: dict[str, str] = {
         "folds the scan to <= 63 x sub cells per group before the "
         "exchange - no min/max pre-pass, mergeable by addition"
     ),
+    "logbucket_quantile_drift": (
+        "quantile-sketch drift leg: ONE (group, period, e, m) "
+        "map-side-combined sketch fold; broadcast calendar pairs; "
+        "readout + pair joins bucket-row-sized"
+    ),
+    "isotonic_calibration": (
+        "max-min isotonic fit: corpus rows cross one exchange (the "
+        "(group, bin) integer fold); the bins^2 range and bins^3 "
+        "max-min joins run on constant-bounded frames"
+    ),
+    "calibration_reliability": (
+        "reliability/ECE: fixed [0,1] grid (no min/max pre-pass), "
+        "one map-side-combined (group, bin) fold + bins-bounded "
+        "group windows"
+    ),
 }
 
 def audit_one(spark, name: str, sf_dir: str) -> dict:
