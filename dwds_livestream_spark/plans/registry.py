@@ -394,7 +394,14 @@ DRIVER_WINDOW: list[str] = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_levenshtein",
-    "dedup_clusters",
+    # (c') changed-plan re-verification (standing rule: any plan
+    # change re-verifies in the SAME round's window):
+    # minhash_ledger_replay is now served from the shared persisted
+    # replay artifact — value-identical by parity test, but the plan
+    # changed, so it takes the dedup_clusters pad slot (the least
+    # stale remaining; dedup_clusters leads the r13 pad with the
+    # three batch-displaced slots)
+    "minhash_ledger_replay",
     # (d) the round-12 growth batch, registered PRE-freeze and
     # IN-window (ROADMAP r12: "new r12 entries registered pre-freeze")
     # so it carries driver evidence in its own round — no
