@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
-from .spread import spread
+from .spread import pinned, spread
 
 
 def _splitmix(seed: int) -> int:
@@ -362,11 +362,16 @@ def minhash_lsh_pairs(
     """
     if k % bands != 0:
         raise ValueError(f"k ({k}) must be divisible by bands ({bands})")
-    # the signature frame feeds three consumers (two self-join sides +
-    # the candidate re-join); cache it so the shingle+sign kernel runs
-    # once. |docs| x (k+1) longs — ~1 KB/doc, the standard persisted
+    # the signature frame feeds FOUR consumer subtrees (two bucket
+    # self-join sides + the two signature re-joins); pin it
+    # MATERIALIZED (operators/spread.pinned) — a bare .cache() lets
+    # AQE's concurrently-submitted stages each re-run the whole
+    # shingle+sign kernel (measured 4x single-task evaluations, r12).
+    # |docs| x (k+1) longs — ~1 KB/doc, the standard persisted
     # artifact of a MinHash pipeline at any scale.
-    sig = minhash_signatures(df, text_col, id_col, n=n, k=k, hash_fn=hash_fn).cache()
+    sig = pinned(
+        minhash_signatures(df, text_col, id_col, n=n, k=k, hash_fn=hash_fn)
+    )
     cand = _minhash_band_candidates(sig, id_col, k, bands, hash_fn)
     sa = sig.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"))
@@ -489,9 +494,11 @@ def simhash_near_pairs(
             f"pigeonhole guarantee needs max_hamming < blocks: "
             f"{max_hamming} >= {blocks} would silently lose pairs"
         )
-    # both self-join sides consume the signature frame: cache so the
-    # Arrow signing kernel runs once (16 bytes/doc)
-    sig = simhash_signatures(df, text_col, id_col, hash_fn).cache()
+    # both self-join sides consume the signature frame: pin it
+    # MATERIALIZED (operators/spread.pinned) so the Arrow signing
+    # kernel runs once (16 bytes/doc) — a bare .cache() lets the two
+    # concurrently-submitted join-side stages each re-run it (r12)
+    sig = pinned(simhash_signatures(df, text_col, id_col, hash_fn))
     width = 64 // blocks
     block_cols = F.array(
         *[
@@ -625,7 +632,13 @@ def minhash_levenshtein_pairs(
     Docs with fewer than ``n`` tokens have no shingles and drop out
     (minhash_signatures semantics), exactly as in the oracle's toks CTE.
     """
-    sig = minhash_signatures(df, text_col, id_col, n=n, k=k, hash_fn=hash_fn)
+    # both bucket self-join sides consume the signature frame; pin it
+    # materialized so the kernel runs once instead of twice (the
+    # concurrent-AQE-stage duplication measured in r12 — see
+    # operators/spread.pinned)
+    sig = pinned(
+        minhash_signatures(df, text_col, id_col, n=n, k=k, hash_fn=hash_fn)
+    )
     cand = _minhash_band_candidates(sig, id_col, k, bands, hash_fn)
     # re-attach TEXT to candidate pairs only; spread the pair frame so
     # the per-pair dynamic programs don't serialize in one
@@ -783,12 +796,15 @@ def minhash_ledger_replay(
         )
     replayed = df.where(F.col(batch_col).isin(batch_values))
     ids = replayed.select(id_col, batch_col)
-    sig = minhash_signatures(
-        replayed, text_col, id_col, n=n, k=k, hash_fn=hash_fn
-    ).cache()
-    buckets = _minhash_band_buckets(
-        sig, id_col, k, bands, hash_fn
-    ).localCheckpoint(eager=False)
+    # sig and the bucket frame each feed 2 consumers PER STEP (probe
+    # side + ledger side / signature re-attach); pin both MATERIALIZED
+    # (operators/spread.pinned): a bare cache or lazy checkpoint lets
+    # the per-step AQE stages race into the unpopulated cache and
+    # re-run the kernel per side (measured 2x per step, r12)
+    sig = pinned(
+        minhash_signatures(replayed, text_col, id_col, n=n, k=k, hash_fn=hash_fn)
+    )
+    buckets = pinned(_minhash_band_buckets(sig, id_col, k, bands, hash_fn))
     bucket_batch = buckets.join(ids, id_col)
 
     eq = F.size(
@@ -849,10 +865,11 @@ def minhash_ledger_replay(
 
     # every per-step probe has run (each eager ledger checkpoint above
     # materialized its dups frame, pinning it and truncating lineage),
-    # so the cached signature frame has served its purpose — release
-    # it here rather than leaking one |docs| x (k+1) block into
+    # so the cached signature and bucket frames have served their
+    # purpose — release them here rather than leaking blocks into
     # executor storage per invocation (advisor r10)
     sig.unpersist()
+    buckets.unpersist()
 
     assigned = dup_frames[0] if dup_frames else None
     for d in dup_frames[1:]:

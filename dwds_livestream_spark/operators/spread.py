@@ -27,6 +27,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def pinned(df: DataFrame) -> DataFrame:
+    """Cache a multi-consumer frame and MATERIALIZE it immediately.
+
+    ``.cache()`` alone does not protect a fan-out under AQE: when the
+    consumers' query stages are submitted concurrently (adaptive
+    execution materializes independent shuffle/broadcast stages in
+    parallel), each stage's tasks race into the still-unpopulated
+    InMemoryRelation and every stage pays a FULL evaluation of the
+    cached subtree. Measured on the banded-MinHash estimate subtree
+    (r12 optimization round, sf0.1): four concurrent single-task
+    stages, each with executorRunTime ~= one whole signature-pipeline
+    evaluation (~6.5 s); with the cache materialized up front the four
+    stages collapse to cache reads and the subtree runs once
+    (12.3 s -> 5.6 s end to end). The count() here is an O(cached
+    bytes) action that populates the cache before any consumer stage
+    exists; eager localCheckpoint was measured SLOWER for this job
+    (8-9.6 s — RDD-block serialization is heavier than the columnar
+    cache write).
+
+    At scale the pinned frame is the standard persisted artifact of
+    its pipeline (e.g. |docs| x (k+1) longs for MinHash signatures);
+    callers that loop must still unpersist when done.
+    """
+    df = df.cache()
+    df.count()
+    return df
+
+
 def spread(
     df: DataFrame, min_fraction: float = 1.0, force: bool = False
 ) -> DataFrame:
