@@ -12,9 +12,12 @@ the classic O(log n)-round formulation (Kiveris et al.'s star
 contraction family). Each round:
 
 1. every node takes the min label among itself and its neighbors;
-2. labels are re-pointed through their own label (label <- label of
-   label), which halves chain lengths — so a path of length L resolves
-   in O(log L) rounds, not O(L).
+2. labels are re-pointed twice through the previous round's
+   materialized labeling (label <- l_old(l_old(label))), which
+   multiplies chain coverage per round — so a path of length L
+   resolves in O(log L) rounds, not O(L). Jumping through the PINNED
+   previous-round frame (not a self-join on the frame being built)
+   keeps each round's dataflow a single evaluated chain.
 
 Scale: per round, two hash joins + one aggregation, all keyed on node
 id — shuffle volume O(|E|), never materializing components. Lineage is
@@ -82,13 +85,28 @@ def connected_components(
             F.least("label", F.coalesce("nmin", "label")).alias("label"),
             F.col("label").alias("_old"),
         )
-        # 2. pointer jumping: label <- label(label) — halves chains
-        as_table = stepped.select(
-            F.col("node").alias("_n"), F.col("label").alias("_l")
+        # 2. double pointer jump THROUGH THE PREVIOUS ROUND'S PINNED
+        # LABELS: label <- l_old(l_old(label)). Jumping through the
+        # freshly built frame (the classic self-join form this loop
+        # used before r12) evaluates the round's whole subtree twice
+        # per round — the new frame is not materialized yet, and the
+        # join's two sides each recompute it. The old labels are the
+        # localCheckpoint'd output of the previous round, so both jump
+        # lookups are block reads. Correctness: labels only decrease,
+        # never below the component minimum (every label value is a
+        # same-component node id, and l_old(z) <= z for all z), so the
+        # loop converges to the identical fixpoint — the per-component
+        # min id — whatever consistent labeling the jumps read; two
+        # jumps make the covered distance ~triple per round instead of
+        # ~double, trimming rounds at one extra block-read join each.
+        lut1 = labels.select(F.col("node").alias("_n1"), F.col("label").alias("_l1"))
+        lut2 = labels.select(F.col("node").alias("_n2"), F.col("label").alias("_l2"))
+        j1 = stepped.join(lut1, stepped.label == lut1._n1).select(
+            "node", F.col("_l1").alias("label"), "_old"
         )
         jumped = (
-            stepped.join(as_table, stepped.label == as_table._n)
-            .select("node", F.col("_l").alias("label"), "_old")
+            j1.join(lut2, j1.label == lut2._n2)
+            .select("node", F.col("_l2").alias("label"), "_old")
             .localCheckpoint()
         )
         # convergence read off the just-materialized frame — no extra join
