@@ -212,6 +212,17 @@ def minhash_signatures(
     reproducible outside Spark; the permutation mixing consumes only
     the top 32 hash bits either way).
     """
+    # Scan-side partition floor: every consumer now PINS this frame
+    # (spread.pinned), so the kernel runs exactly once — as the single
+    # materialization job. A small/filtered parquet source arrives as
+    # ONE split, serializing that job on one core (r12: the md5_64
+    # shingle+sign kernel read 1.6-6.9 s single-task vs 1.1 s spread
+    # across the default parallelism). On a multi-terabyte table the
+    # source already has thousands of splits and spread() is a no-op
+    # probe — no exchange at scale. (spread.py's earlier "rejected on
+    # signature projections" note predates pinning, when the lazy
+    # consumers' duplicate single-task evaluations overlapped.)
+    df = spread(df)
     # Design: signature is a PURE PROJECTION — no explode, no shuffle.
     # Each shingle is hashed once JVM-side (xxhash64 over the token
     # slice — no intermediate string build) into a per-doc array; an
@@ -426,6 +437,10 @@ def simhash_signatures(
     # segment-sum (np.add.reduceat). The JVM alternative — explode +
     # 64 conditional sum() aggregates — shuffles |tokens| rows and pays
     # multi-second codegen compilation of a 64-column aggregate.
+    # Scan-side partition floor for the pinned single materialization
+    # (see minhash_signatures; measured 2.0 s -> 0.6 s at sf0.1);
+    # no-op at scale.
+    df = spread(df)
     if hash_fn == "xxhash64":
         tok_hash = lambda t: F.xxhash64(t)  # noqa: E731 (variadic builtin)
     elif hash_fn == "md5_64":
@@ -1208,12 +1223,20 @@ def minhash_jaccard_error(
     the driver gate certifies collision-freeness on the fixture).
     """
     # est feeds two consumers (the pair routing below + the final
-    # join); a lazy checkpoint makes the LSH chain run once — est is
-    # candidate-sized, the cheapest frame in the plan to pin
-    est = minhash_lsh_pairs(
-        df, text_col, id_col, n=n, k=k, bands=bands,
-        threshold=0.0, hash_fn=hash_fn,
-    ).localCheckpoint(eager=False)
+    # join); pin it MATERIALIZED (operators/spread.pinned) — est is
+    # candidate-sized, the cheapest frame in the plan to pin. The
+    # previous lazy localCheckpoint was the r12 round's worst
+    # double-evaluation: under AQE, .localCheckpoint(eager=False)
+    # must finalize the adaptive plan to build the RDD, which RUNS
+    # every shuffle stage of the LSH chain at plan-construction time
+    # and then again at query time (the checkpoint only materializes
+    # on the second pass) — measured 2x the whole estimate subtree.
+    est = pinned(
+        minhash_lsh_pairs(
+            df, text_col, id_col, n=n, k=k, bands=bands,
+            threshold=0.0, hash_fn=hash_fn,
+        )
+    )
     # the exact-Jaccard legs never expose shingle TEXT — only set
     # membership — so the (id, shingle) frame carries xxhash64 over
     # the token slice instead of the joined string (the
