@@ -2437,23 +2437,34 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # Long node ids internally (guide §2.3 "narrower types"): customer
+    # k -> 2k, supplier k -> 2k+1. Every exchange, distinct, cache
+    # write and per-iteration aggregate runs over two longs instead of
+    # two ~6-char strings (measured: the whole string-keyed query read
+    # 5.3-6.3 s steady / up to 29 s first-run at sf0.1; this layout
+    # 2.4-2.8 s steady). The "c###"/"s###" labels of the declared
+    # result are re-attached to the 50 output rows only.
     e0 = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
+            (F.col("o_custkey").cast("long") * 2).alias("a"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("b"),
         )
         .distinct()
     )
-    # cache the mirrored edge set itself: deg (materialized by the
-    # n-count below) and ed both consume it, and without this cache
-    # the expensive build (lineitem-orders join + distinct) ran TWICE
-    # — measured 8.5 s -> ~6 s cache-cold at sf0.1 (r6)
+    # cache the mirrored edge set, PARTITIONED BY THE AGGREGATION KEY
+    # b (guide §2.4 "share one exchange"): each iteration groups
+    # contributions by b, so a b-partitioned cache lets every
+    # iteration's aggregate run WITHOUT an exchange — with broadcast
+    # rank joins below, one iteration is a single map-side stage over
+    # the cache. Materialized eagerly (spread.pinned semantics): the
+    # iteration stages and the rank broadcast subtrees all consume it,
+    # and lazy-cache consumers race under AQE (r12 measured pattern).
     edges = (
         e0.unionAll(
             e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
-        .repartition("a")
+        .repartition("b")
         .cache()
     )
     # deg has exactly one row per node (every node appears as a source
@@ -2462,17 +2473,33 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two distinct() shuffles over the edge set
     deg = edges.groupBy("a").agg(F.count("*").alias("deg")).cache()
     n = deg.count()
-    ed = edges.join(deg, "a").select("a", "b", "deg").cache()
+    # per-iteration join side is the NODE-sized (a, r/deg) table —
+    # broadcast it (guide §3.1) so the edge cache never moves: no ed
+    # frame, no per-iteration shuffle of edge-sized rows at all. At
+    # 100 TB the node table is |V|*16 bytes (well under the broadcast
+    # cap for graphs whose edge set needs a cluster); if |V| ever
+    # outgrows it, the fallback is the co-partitioned sort-merge form
+    # this replaced.
     rank = deg.select("a", F.lit(1.0 / n).alias("r"))
     for _ in range(3):
-        contrib = ed.join(rank, "a").select(
-            F.col("b").alias("a"), (F.col("r") / F.col("deg")).alias("c")
+        rd = rank.join(deg, "a").select(
+            rank["a"].alias("a"), (F.col("r") / F.col("deg")).alias("rd")
         )
-        rank = contrib.groupBy("a").agg(
-            (F.lit(0.15 / n) + F.lit(0.85) * F.sum("c")).alias("r")
+        rank = (
+            edges.join(F.broadcast(rd), "a")
+            .groupBy(F.col("b").alias("a"))
+            .agg((F.lit(0.15 / n) + F.lit(0.85) * F.sum("rd")).alias("r"))
         )
     return (
-        rank.select("a", F.round("r", 10).alias("rank"))
+        rank.select(
+            F.concat(
+                F.when(F.col("a") % 2 == 0, F.lit("c")).otherwise(
+                    F.lit("s")
+                ),
+                F.shiftright(F.col("a"), 1).cast("string"),
+            ).alias("a"),
+            F.round("r", 10).alias("rank"),
+        )
         .orderBy(F.desc("rank"), "a")
         .limit(50)
     )
