@@ -70,16 +70,39 @@ def parse_log_lines(df: DataFrame, column: str = "value") -> DataFrame:
     fewer than 8 fields — that is the ``matched`` flag, so F7
     (malformed-line guard) can drop it, mirroring the reference's
     catch-and-drop (access_log.clj:80, 92-93).
+
+    The field array is routed through a one-element explode
+    (Generate) rather than an inline alias, for two reasons measured
+    in the r12 optimization round:
+
+    - "once per line" was only true per REFERENCE: every downstream
+      filter conjunct re-ran the regexp_replace+split because the
+      nullif/CASE wrappers put each reference in a conditional branch,
+      which defeats codegen subexpression elimination (each extra
+      field reference on the sf0.1 parse cost ~+1.4 s; the collapsed
+      filter of the full pipeline re-evaluated it ~8x per row). A
+      Generate output is a bound attribute, evaluated exactly once.
+    - predicates referencing a generated output cannot push below the
+      Generate (and the session excludes InferFiltersFromGenerate,
+      which would otherwise clone the generator into a filter), so the
+      parse also stops sliding below a partition-flooring exchange
+      back into a single-split scan task.
     """
-    fields = F.split(
+    fields_arr = F.split(
         F.regexp_replace(F.col(column), LOG_LINE_PATTERN, _GROUPS_AS_FIELDS),
         _SEP,
         -1,
     )
+    # array(fields) is a single-element wrapper: explode of [x] keeps
+    # exactly one row per input row (a null parse stays one row with a
+    # null array inside, so the matched-flag semantics are unchanged).
+    exploded = df.select(F.explode(F.array(fields_arr)).alias("__fields"))
+    fields = F.col("__fields")
+
     def g(i: int):
         return F.get(fields, i)  # null-safe: short array (no match) -> null
 
-    return df.select(
+    return exploded.select(
         F.nullif(g(0), F.lit("")).alias("ip"),
         # try_to_timestamp nulls unparseable timestamps instead of
         # raising — Throwable-catch parity.

@@ -104,11 +104,59 @@ BOT_PATTERNS: tuple[str, ...] = (
 
 BOT_PATTERN: str = "|".join(BOT_PATTERNS)
 
+# --- two-tier evaluation (r12 optimization round, guide §1.2 step 2) ---
+#
+# The 68-branch alternation is retried at every character position of
+# every UA by the backtracking engine: ~28 µs/row measured at sf0.1 —
+# the single most expensive expression in the parse pipeline. Split it:
+#
+# STRUCTURAL_PATTERNS: the degenerate-shape branches (no literal to
+# guard on; all anchored or 2-3 char scans — cheap, checked always).
+STRUCTURAL_PATTERNS: tuple[str, ...] = BOT_PATTERNS[-8:]
+STRUCTURAL_PATTERN: str = "|".join(STRUCTURAL_PATTERNS)
+
+# GUARD_LITERALS: for every OTHER branch, a lowercase literal that any
+# match of that branch must CONTAIN (branch -> literal: bots?->"bot",
+# crawl->"crawl", https?/aiohttp/okhttp/apache-httpclient/go-http-
+# client/^httpie->"http", python-*->"python", baiduspider/bytespider->
+# "spider", adsbot/*bot->"bot", mediapartners-/apis-google->"google",
+# gptbot/chatgpt-user->"gpt", node-fetch->"fetch", libwww-perl->
+# "perl", bingpreview->"preview", uptimerobot->"bot", w3c_validator->
+# "w3c", feed(fetcher|...)->"feed", ...). The (?i) branches fold ASCII
+# case only, and lower() agrees with ASCII folding on ASCII input, so
+# contains(lower(ua), lit) is a sound necessary condition; the full
+# alternation then runs only on rows where some literal hits.
+# test_bots_differential.py::test_two_tier_matches_plain_alternation
+# pins the equivalence per branch and on fuzz input.
+GUARD_LITERALS: tuple[str, ...] = (
+    "bot", "crawl", "spider", "scrap", "http", "fetch", "slurp",
+    "archiv", "index", "curl/", "wget/", "python", "php", "java",
+    "axios", "ruby", "perl", "google", "yandex", "duckduck",
+    "facebook", "meta-external", "whatsapp", "pinterest", "semrush",
+    "ahrefs", "mj12", "gpt", "claude", "headless", "phantom",
+    "selenium", "playwright", "puppeteer", "postman", "insomnia",
+    "statuscake", "site24x7", "pingdom", "feed", "rss", "daemon",
+    "w3c", "monitor", "preview",
+)
+
 
 def is_bot(user_agent: Column) -> Column:
     """Boolean column: does the UA match the bot alternation?
 
     Null UAs are treated as bots (an absent UA in the reference's parse
     cannot reach the filter; here we fail closed).
+
+    Semantics are exactly ``rlike(BOT_PATTERN)``; evaluation is
+    two-tier (guard literals gate the big alternation, the structural
+    branches run unguarded — measured 2.4 s -> 1.1 s on the sf0.1
+    parse mix, and the non-bot majority never runs the alternation).
     """
-    return F.coalesce(user_agent.rlike(BOT_PATTERN), F.lit(True))
+    lua = F.lower(user_agent)
+    guard = None
+    for lit in GUARD_LITERALS:
+        c = lua.contains(lit)
+        guard = c if guard is None else (guard | c)
+    hit = (guard & user_agent.rlike(BOT_PATTERN)) | user_agent.rlike(
+        STRUCTURAL_PATTERN
+    )
+    return F.coalesce(hit, F.lit(True))

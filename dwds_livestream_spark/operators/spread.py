@@ -72,6 +72,17 @@ def spread(
     also deliberately overrides AQE's small-output coalescing right
     before a CPU-dense per-row stage — the exact case spread exists
     for.
+
+    Note on FILTERS: a deterministic predicate above a spread pushes
+    straight through the repartition back to the scan, dragging any
+    expensive derived columns it references (a regex parse, a decode)
+    into the single-split scan task the spread was meant to escape.
+    Nondeterministic repartition keys and dummy nondeterministic
+    project columns do NOT block this (measured: the analyzer hoists
+    the key into a project BELOW the exchange; column pruning removes
+    unused aliases; conjunctions split and push independently). The
+    working barrier is a Generate: predicates referencing a generated
+    output cannot cross it — see functions/access_log.parse_log_lines.
     """
     target = int(
         df.sparkSession.sparkContext.defaultParallelism * min_fraction

@@ -604,7 +604,17 @@ def q_access_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     (value<50 -> 404), bot-UA drop (user_id%10 -> Googlebot), timestamp
     roundtrip through dd/MMM/yyyy:HH:mm:ss Z.
     """
-    ev = _t(spark, sf_dir, "events")
+    # Partition-floor the scan (operators/spread.spread, no-op on a
+    # multi-split source at scale): the sf-sized events parquet is ONE
+    # split, so the synth + 9-group regex parse ran as a single task
+    # (measured 2.5-3.7 s on one core at sf0.1). The parse pipeline
+    # stays above this exchange because parse_log_lines routes its
+    # field array through a Generate, which downstream predicates
+    # cannot cross (plain projections/repartitions do not block the
+    # pushdown — measured, see operators/spread.py note).
+    from ..operators.spread import spread
+
+    ev = spread(_t(spark, sf_dir, "events"))
     uri = F.when(
         F.col("user_id") % 7 == 0, F.lit("/wb/typeahead?q=x")
     ).otherwise(F.concat(F.lit("/wb/"), F.col("event_type")))
@@ -2240,7 +2250,15 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     combines map-side; top-k is a TakeOrdered, never a full sort.
     """
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
+    # Partition-floor the PROBE side only (operators/spread.spread —
+    # no-op on a multi-split source at scale): the sf-sized lineitem
+    # parquet arrives as ~1 split, so the broadcast-join probe + pair
+    # explosion + map-side pair aggregate all ran on ONE core
+    # (measured: partial-agg max task 1.3 s vs 7 ms median at sf0.1).
+    # The un-spread alias stays the (exchange-free) broadcast side.
+    from ..operators.spread import spread
+
+    a, b = spread(li).alias("a"), li.alias("b")
     pairs = a.join(
         b,
         (F.col("a.l_orderkey") == F.col("b.l_orderkey"))

@@ -143,3 +143,32 @@ def test_prefilter_is_cheap_guard(spark):
         [Row(value=line()), Row(value=line(uri="/d/x")), Row(value="noise")]
     )
     assert prefilter_lines(df).count() == 1
+
+
+def test_parse_regex_evaluates_once_and_blocks_pushdown(spark):
+    """r12 optimization contract for parse_log_lines: the 8-group
+    regexp_replace appears exactly ONCE in the optimized plan (the
+    nullif/CASE wrappers used to re-inline it into every filter
+    conjunct, defeating codegen subexpression elimination), and the
+    field array is produced by a Generate, which downstream predicates
+    cannot cross — so a partition-flooring repartition upstream keeps
+    the parse OFF the single-split scan task."""
+    from dwds_livestream_spark.functions.access_log import (
+        access_log_to_events,
+    )
+
+    lines = spark.createDataFrame(
+        [('10.0.0.1 - - [01/Jan/2024:00:00:00 +0000] '
+          '"GET /wb/Haus HTTP/1.1" 200 1 "-" "x"',)],
+        "value string",
+    ).repartition(4)
+    plan = access_log_to_events(lines)._jdf.queryExecution().optimizedPlan().toString()
+    # the 8-group log-line pattern (distinctive IP prefix), not the
+    # tiny per-segment %2B decode regex, is the expensive one
+    assert plan.count(r"(\d{1,3}") == 1, plan
+    assert "Generate" in plan, plan
+    # the parse filter must sit ABOVE the exchange: nothing between
+    # the repartition and the scan but the cheap prefilter
+    gen_pos = plan.index("Generate")
+    rep_pos = plan.index("Repartition")
+    assert gen_pos < rep_pos, plan  # toString prints top-down

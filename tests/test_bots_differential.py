@@ -175,3 +175,134 @@ def test_bot_recall_per_class(classify):
     # a whole reference pattern class has no counterpart here
     zero = [c for c, r in report.items() if r.startswith("0/")]
     assert not zero, f"uncovered classes: {zero}"
+
+
+# one positive example per BOT_PATTERNS branch, exercising the GUARDED
+# path of the two-tier is_bot (r12): if a guard literal were missing
+# for a branch, its example would flip to non-bot and the equivalence
+# test below would fail on exactly that string.
+PER_BRANCH_POSITIVES = [
+    "MegaBot 2.0",                      # bots? morphology
+    "site crawling agent",              # crawl(er|ing)?
+    "dark-spider",                      # spider
+    "page scraper v1",                  # scrap(er|ing)
+    "SuperHttpClient/2",                # https?(lib|client|get)
+    "async fetch agent",                # fetch(er)?
+    "Yahoo! Slurp",                     # slurp
+    "WebArchiver",                      # archiver?
+    "page indexer daemon",              # index(er|ing)
+    "curl/7.88",                        # ^curl/
+    "Wget/1.20",                        # ^wget/
+    "python-requests/2.31",             # python-requests/
+    "Python-urllib/3.9",                # python-urllib
+    "client aiohttp/3.8",               # aiohttp
+    "PHP/8.1",                          # ^php/?d
+    "app okhttp/4.9",                   # okhttp
+    "Java/17.0.1",                      # ^java/?d
+    "Apache-HttpClient/4.5",            # apache-httpclient
+    "Go-http-client/2.0",               # go-http-client
+    "app node-fetch/2.6",               # node-fetch
+    "lib axios/1.4",                    # axios/
+    "Ruby",                             # ^ruby
+    "libwww-perl/6.05",                 # libwww-perl
+    "Perl LWP",                         # ^perl
+    "Mediapartners-Google",             # google platform alternation
+    "Mozilla/5.0 BingPreview/1.0b",     # bingpreview
+    "Mozilla/5.0 (compatible; YandexMetrika/2.0)",  # yandex...
+    "Baiduspider-image+",               # baiduspider
+    "DuckDuckGo/5 Mobile",              # duckduck(go|bot)
+    "Applebot/0.1",                     # applebot
+    "meta-externalagent/1.1",           # facebookexternalhit|meta-...
+    "Twitterbot/1.0",                   # twitterbot
+    "LinkedInBot/1.0",                  # linkedinbot
+    "Slackbot 1.0",                     # slackbot
+    "TelegramBot (like TwitterBot)",    # telegrambot
+    "WhatsApp/2.21",                    # whatsapp
+    "Pinterest/0.2",                    # pinterest(bot)?
+    "SemrushBot-SA",                    # semrush
+    "AhrefsSiteAudit",                  # ahrefs
+    "MJ12bot/v1.4",                     # mj12
+    "DotBot/1.2",                       # dotbot
+    "PetalBot",                         # petalbot
+    "Bytespider",                       # bytespider
+    "ChatGPT-User/1.0",                 # gptbot|oai-searchbot|chatgpt
+    "Claude-Web/1.0",                   # claude(bot|-web)
+    "CCBot/2.0",                        # ccbot
+    "Amazonbot/0.1",                    # amazonbot
+    "HeadlessChrome/119.0",             # headlesschrome
+    "PhantomJS/2.1.1",                  # phantomjs
+    "selenium webdriver",               # selenium
+    "Playwright/1.38",                  # playwright
+    "Puppeteer/21.0",                   # puppeteer
+    "PostmanRuntime/7.32",              # ^postman
+    "insomnia/2023.4",                  # ^insomnia/
+    "HTTPie/3.2",                       # ^httpie/
+    "Pingdom.com_bot_version_1.4",      # pingdom
+    "UptimeRobot/2.0",                  # uptimerobot
+    "StatusCake",                       # statuscake
+    "Site24x7",                         # site24x7
+    "FeedFetcher-Google",               # feed(fetcher|...)
+    "my rss reader",                    # rss
+    "collectd daemon",                  # daemon
+    "W3C_Validator/1.3",                # w3c_validator
+    "uptime monitoring probe",          # monitor(ing)?
+    "link preview generator",           # preview
+]
+
+# positives for every STRUCTURAL branch (the unguarded tier)
+STRUCTURAL_POSITIVES = [
+    "<?php echo 1 ?>",                  # ^<
+    "12345 scanner",                    # ^\d+\b
+    "x" * 60,                           # ^[^\s]{50,}$
+    "Mozilla/5.0 () AppleWebKit",       # \(\)
+    "Mozilla/4.0",                      # ^mozilla/d.d$
+    "Mozilla/4.0 (compatible;)",        # ^mozilla/d.d (compatible;?)$
+    "",                                 # ^-?$ (empty)
+    "-",                                # ^-?$
+    "contact@example-corp.net",         # @[a-z][\w-]+\.
+]
+
+
+def test_two_tier_matches_plain_alternation(spark):
+    """The two-tier is_bot (guard literals + structural tier) must be
+    EXTENSIONALLY IDENTICAL to the plain 68-branch alternation it
+    replaced — per branch, on the labeled corpus, and on fuzz."""
+    from dwds_livestream_spark.functions.bots import BOT_PATTERN
+
+    import random
+
+    rng = random.Random(0xB07)
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        "0123456789 ();/._-+@<>\"'"
+    )
+    fuzz = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 80)))
+        for _ in range(500)
+    ]
+    corpus = (
+        PER_BRANCH_POSITIVES
+        + STRUCTURAL_POSITIVES
+        + HUMAN_CORPUS
+        + [u for uas in BOT_CORPUS.values() for u in uas]
+        + ["Mediascope cubot test", "my cubot phone", "liBhttps tool"]
+        + fuzz
+    )
+    df = spark.createDataFrame([(u,) for u in corpus] + [(None,)], "ua string")
+    rows = df.select(
+        "ua",
+        is_bot(F.col("ua")).alias("two_tier"),
+        F.coalesce(F.col("ua").rlike(BOT_PATTERN), F.lit(True)).alias(
+            "plain"
+        ),
+    ).collect()
+    diff = [(r.ua, r.two_tier, r.plain) for r in rows if r.two_tier != r.plain]
+    assert not diff, f"two-tier != plain alternation on: {diff[:10]}"
+    # and every crafted positive really is a positive (guards work)
+    flagged = {r.ua: r.plain for r in rows}
+    missed = [
+        u
+        for u in PER_BRANCH_POSITIVES + STRUCTURAL_POSITIVES
+        if not flagged[u]
+    ]
+    assert not missed, f"crafted branch positives not matched: {missed}"
