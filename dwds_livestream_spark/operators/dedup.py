@@ -198,6 +198,7 @@ def minhash_signatures(
     n: int = 5,
     k: int = 128,
     hash_fn: str = "xxhash64",
+    partition_by_id: bool = False,
 ) -> DataFrame:
     """k-permutation MinHash signature per document.
 
@@ -222,7 +223,15 @@ def minhash_signatures(
     # probe — no exchange at scale. (spread.py's earlier "rejected on
     # signature projections" note predates pinning, when the lazy
     # consumers' duplicate single-task evaluations overlapped.)
-    df = spread(df)
+    #
+    # ``partition_by_id=True`` hash-partitions the INPUT by the doc id
+    # instead (ids are unique, so this parallelizes the kernel exactly
+    # like spread while also leaving the signature frame partitioned
+    # on its join key): callers that pin the frame for id-keyed
+    # re-attach joins (minhash_lsh_pairs, minhash_ledger_replay) get
+    # those joins exchange-free from the cache partitioning, for the
+    # price of the one exchange the floor was paying anyway.
+    df = df.repartition(id_col) if partition_by_id else spread(df)
     # Design: signature is a PURE PROJECTION — no explode, no shuffle.
     # Each shingle is hashed once JVM-side (xxhash64 over the token
     # slice — no intermediate string build) into a per-doc array; an
@@ -331,22 +340,37 @@ def _minhash_band_buckets(
 
 
 def _minhash_band_candidates(
-    sig: DataFrame, id_col: str, k: int, bands: int, hash_fn: str
+    sig: DataFrame,
+    id_col: str,
+    k: int,
+    bands: int,
+    hash_fn: str,
+    dedup_key: str | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs (doc_a < doc_b, deduplicated) from a
     signature frame. The bucket self-join moves only (id, band, key)
     rows — never the k-int signatures (that would shuffle |docs·bands|
     kB-sized rows); consumers re-attach whatever payload they need
-    (signatures, text) to the far fewer candidate pairs afterwards."""
+    (signatures, text) to the far fewer candidate pairs afterwards.
+
+    ``dedup_key`` ("doc_a"/"doc_b"): hash-partition the pair frame by
+    that single column before the dedup instead of letting
+    dropDuplicates exchange on the composite key. Partitioning on a
+    subset of the grouping key satisfies the dedup's clustering
+    requirement, and a consumer that immediately joins on the same
+    column (e.g. the signature re-attach) reuses the exchange
+    (guide §2.4) — pass the key the FIRST downstream join uses."""
     buckets = _minhash_band_buckets(sig, id_col, k, bands, hash_fn)
     a = buckets.select(F.col(id_col).alias("doc_a"), "band", "key")
     b = buckets.select(F.col(id_col).alias("doc_b"), "band", "key")
-    return (
+    pairs = (
         a.join(b, ["band", "key"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
     )
+    if dedup_key is not None:
+        pairs = pairs.repartition(dedup_key)
+    return pairs.dropDuplicates(["doc_a", "doc_b"])
 
 
 def minhash_lsh_pairs(
@@ -380,10 +404,23 @@ def minhash_lsh_pairs(
     # shingle+sign kernel (measured 4x single-task evaluations, r12).
     # |docs| x (k+1) longs — ~1 KB/doc, the standard persisted
     # artifact of a MinHash pipeline at any scale.
+    # pinned HASH-PARTITIONED BY ID (one exchange of the ~1 KB/doc
+    # signature rows at pin time): projections are alias-aware, so
+    # both signature re-attach sides read the cache partitioning and
+    # the candidate pipeline needs exactly ONE exchange of its own —
+    # the doc_b repartition shared by the pair dedup and the sig_b
+    # join — plus the doc_a re-key the sig_a join needs anyway
+    # (guide §2.4; before r12: dedup + two re-keys + two sig-side
+    # exchanges)
     sig = pinned(
-        minhash_signatures(df, text_col, id_col, n=n, k=k, hash_fn=hash_fn)
+        minhash_signatures(
+            df, text_col, id_col, n=n, k=k, hash_fn=hash_fn,
+            partition_by_id=True,
+        )
     )
-    cand = _minhash_band_candidates(sig, id_col, k, bands, hash_fn)
+    cand = _minhash_band_candidates(
+        sig, id_col, k, bands, hash_fn, dedup_key="doc_b"
+    )
     sa = sig.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"))
     eq = F.size(
@@ -393,8 +430,8 @@ def minhash_lsh_pairs(
     )
     est = eq / F.lit(k)
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(sb, "doc_b")
+        .join(sa, "doc_a")
         # no round step: eq/k is exactly representable (k a power of
         # two in every configuration used), and round(x, 6) on the
         # x.xxxxxx5 grid eq/128 lands on is tie-broken differently per
@@ -815,12 +852,26 @@ def minhash_ledger_replay(
     # side + ledger side / signature re-attach); pin both MATERIALIZED
     # (operators/spread.pinned): a bare cache or lazy checkpoint lets
     # the per-step AQE stages race into the unpopulated cache and
-    # re-run the kernel per side (measured 2x per step, r12)
+    # re-run the kernel per side (measured 2x per step, r12).
+    # Both pins are HASH-PARTITIONED BY THE DOC ID before caching (one
+    # exchange of the small signature rows at pin time): projections
+    # are alias-aware, so every per-step id-keyed consumer — the
+    # ledger semi join, both signature re-attach sides — reads the
+    # cache partitioning instead of re-exchanging the frame each step
+    # (guide §2.4: operations keyed the same way share one exchange).
     sig = pinned(
-        minhash_signatures(replayed, text_col, id_col, n=n, k=k, hash_fn=hash_fn)
+        minhash_signatures(
+            replayed, text_col, id_col, n=n, k=k, hash_fn=hash_fn,
+            partition_by_id=True,
+        )
     )
-    buckets = pinned(_minhash_band_buckets(sig, id_col, k, bands, hash_fn))
-    bucket_batch = buckets.join(ids, id_col)
+    # the batch tag is joined in ONCE at pin time (bucket side already
+    # partitioned by id, so only the tiny (id, batch) side moves);
+    # before r12 the buckets⋈ids join was re-evaluated inside every
+    # step's probe query
+    buckets = pinned(
+        _minhash_band_buckets(sig, id_col, k, bands, hash_fn).join(ids, id_col)
+    )
 
     eq = F.size(
         F.filter(
@@ -836,24 +887,30 @@ def minhash_ledger_replay(
     )
     dup_frames: list[DataFrame] = []
     for b in rest:
-        new_b = bucket_batch.where(F.col(batch_col) == b).select(
+        new_b = buckets.where(F.col(batch_col) == b).select(
             F.col(id_col).alias("__new"), "band", "key"
         )
-        # the ledger side needs no batch tag — probe the raw bucket
-        # frame (pinned) semi-joined to the ledger id list, not the
-        # ids-joined frame (review r10: that join only re-derived a
-        # column the next select dropped)
+        # ledger side: cache read partitioned by id (= __led), so only
+        # the id-list ledger moves in this semi join — the bucket
+        # frame itself never re-exchanges across steps
         led_b = buckets.select(
             F.col(id_col).alias("__led"), "band", "key"
         ).join(ledger, "__led")
+        # one candidate exchange keyed on __led serves three operators
+        # (guide §2.4): the pair dedup (hashpartitioning(__led)
+        # satisfies the (__new, __led) clustering), the sig_b attach
+        # (sb is cache-partitioned on __led), and — after the __new
+        # re-key that the sig_a attach needs anyway — the keeper
+        # groupBy(__new) runs exchange-free on the sa join's output
         cand = (
             new_b.join(led_b, ["band", "key"])
             .select("__new", "__led")
+            .repartition("__led")
             .dropDuplicates(["__new", "__led"])
         )
         scored = (
-            cand.join(sa, "__new")
-            .join(sb, "__led")
+            cand.join(sb, "__led")
+            .join(sa, "__new")
             .select("__new", "__led", (eq / F.lit(k)).alias("__est"))
             .where(F.col("__est") >= threshold)
         )
