@@ -47,29 +47,38 @@ def tokens(text: Column) -> Column:
     )
 
 
-def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Token counting: whitespace tokens + BPE-ish regex tokens +
-    distinct ratio + mean token length. All ratios are exact integer
-    divisions rendered as rounded doubles (engine-independent)."""
+def token_stat_columns(text_col: str = "text") -> "dict[str, Column]":
+    """Named column expressions behind :func:`token_stats` — exposed so
+    multi-stage compositions (plans/llm.q_curation_pipeline) can fold
+    several per-row stages into ONE projection over one corpus scan
+    instead of re-scanning and re-joining per stage."""
     toks = tokens(F.col(text_col))
     n_tok = F.size(toks)
     n_bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0)))
     n_distinct = F.size(F.array_distinct(toks))
     total_len = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+    return {
+        "n_tokens": n_tok,
+        "n_bpe_tokens": n_bpe,
+        "n_distinct": n_distinct,
+        "distinct_ratio": F.round(n_distinct / F.greatest(n_tok, F.lit(1)), 6),
+        "mean_token_len": F.round(total_len / F.greatest(n_tok, F.lit(1)), 6),
+    }
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens +
+    distinct ratio + mean token length. All ratios are exact integer
+    divisions rendered as rounded doubles (engine-independent)."""
+    cols = token_stat_columns(text_col)
     return df.select(
-        id_col,
-        n_tok.alias("n_tokens"),
-        n_bpe.alias("n_bpe_tokens"),
-        n_distinct.alias("n_distinct"),
-        F.round(n_distinct / F.greatest(n_tok, F.lit(1)), 6).alias("distinct_ratio"),
-        F.round(total_len / F.greatest(n_tok, F.lit(1)), 6).alias("mean_token_len"),
+        id_col, *[c.alias(name) for name, c in cols.items()]
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic document quality (Gopher-rule flavored): length bounds,
-    punctuation/symbol density, repetition. Deterministic columnar
-    arithmetic only. Output includes a 0-1 score and a keep flag."""
+def quality_columns(text_col: str = "text") -> "dict[str, Column]":
+    """Named column expressions behind :func:`quality_score` (see
+    :func:`token_stat_columns` for why these are exposed)."""
     text = F.col(text_col)
     toks = tokens(text)
     n_tok = F.size(toks)
@@ -91,23 +100,31 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         ),
         6,
     )
-    return df.select(
-        id_col,
-        n_chars.alias("n_chars"),
-        n_tok.alias("n_tokens"),
-        punct_ratio.alias("punct_ratio"),
-        distinct_ratio.alias("distinct_ratio"),
-        mean_len.alias("mean_token_len"),
-        score.alias("quality_score"),
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "punct_ratio": punct_ratio,
+        "distinct_ratio": distinct_ratio,
+        "mean_token_len": mean_len,
+        "quality_score": score,
         # length bound is a hard gate (Gopher-style), score the rest
-        ((score >= 0.5) & (n_tok >= 10)).alias("keep"),
+        "keep": (score >= 0.5) & (n_tok >= 10),
+    }
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document quality (Gopher-rule flavored): length bounds,
+    punctuation/symbol density, repetition. Deterministic columnar
+    arithmetic only. Output includes a 0-1 score and a keep flag."""
+    cols = quality_columns(text_col)
+    return df.select(
+        id_col, *[c.alias(name) for name, c in cols.items()]
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Stopword-hit language heuristic: per language, the fraction of
-    tokens in that language's stopword list; argmax wins, 'und'
-    (undetermined) when no list scores > 0."""
+def language_columns(text_col: str = "text") -> "dict[str, Column]":
+    """Named column expressions behind :func:`language_id` (see
+    :func:`token_stat_columns` for why these are exposed)."""
     toks = tokens(F.lower(F.col(text_col)))
     n_tok = F.greatest(F.size(toks), F.lit(1))
     scores = {
@@ -134,10 +151,21 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     pred = F.when(best.getField("score") > 0, best.getField("lang")).otherwise(
         F.lit("und")
     )
-    cols = [F.col(id_col)]
-    cols += [scores[lang].alias(f"score_{lang}") for lang in sorted(STOPWORDS)]
-    cols.append(pred.alias("pred_lang"))
-    return df.select(*cols)
+    out: dict[str, Column] = {
+        f"score_{lang}": scores[lang] for lang in sorted(STOPWORDS)
+    }
+    out["pred_lang"] = pred
+    return out
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language heuristic: per language, the fraction of
+    tokens in that language's stopword list; argmax wins, 'und'
+    (undetermined) when no list scores > 0."""
+    cols = language_columns(text_col)
+    return df.select(
+        id_col, *[c.alias(name) for name, c in cols.items()]
+    )
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -1293,10 +1293,25 @@ def ks_drift(
         df, _ = _ks_quantize(
             df, None, value_col, bins, keep_cols=(group_col, period_col)
         )
-    next_col = f"next_{period_col}"
     merged = _paired_value_counts(
         df, value_col, group_col, period_col, pin=pin
     )
+    return _ks_from_paired(merged, group_col, period_col, pin=pin)
+
+
+def _ks_from_paired(
+    merged: DataFrame,
+    group_col: str,
+    period_col: str,
+    pin: bool = True,
+) -> DataFrame:
+    """The KS reduction over a :func:`_paired_value_counts` frame —
+    split out so compositions that read several drift scores off ONE
+    shared histogram assembly (plans/llm.q_drift_panel_join) can feed
+    a common pinned ``merged`` frame to this and
+    :func:`_psi_from_paired` instead of re-running the corpus fold per
+    leg."""
+    next_col = f"next_{period_col}"
     w = (
         Window.partitionBy("__g", "__p", "__np")
         .orderBy("__v")
@@ -1485,6 +1500,18 @@ def psi_drift(
     merged = _paired_value_counts(
         q, value_col, group_col, period_col, pin=pin
     )
+    return _psi_from_paired(merged, bins, group_col, period_col)
+
+
+def _psi_from_paired(
+    merged: DataFrame,
+    bins: int,
+    group_col: str,
+    period_col: str,
+) -> DataFrame:
+    """The PSI reduction over a :func:`_paired_value_counts` frame of
+    ALREADY-BUCKETED values (see :func:`_ks_from_paired` for why this
+    is split out)."""
     totals = merged.groupBy("__g", "__p", "__np").agg(
         F.sum("__ca").cast("long").alias("n_prev"),
         F.sum("__cb").cast("long").alias("n_next"),

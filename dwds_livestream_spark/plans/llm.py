@@ -429,29 +429,41 @@ assert ">= 0.35" not in ORACLE_DEDUP_CLUSTERS_ANN
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation: exact dedup (keep min doc_id
     per content hash) → quality gate (keep=true) → language id → token
-    counts, in one composed DataFrame plan. This is the flagship
-    composition the dedup/quality/lang/token operators exist for — one
-    pass over documents, each stage a pure column projection, the only
-    shuffle the dedup groupBy.
-    """
+    counts, in one composed DataFrame plan. Every stage is a pure
+    per-row projection (functions/text.py exposes the stage column
+    expressions), so the whole battery evaluates in ONE pass over
+    documents: one projection + keep filter, then one semi join
+    against the dedup winners. Before r12 each stage re-scanned
+    documents and re-joined on doc_id — five corpus scans and four
+    doc_id exchanges for per-row arithmetic (guide §1.2: fix the
+    distributed algorithm first); the values are identical because
+    the stage expressions are the exact ones the standalone operators
+    select, and each stage emitted exactly one row per doc_id."""
     docs = _t(spark, sf_dir, "documents")
     keepers = (
         docs.groupBy(F.md5("text").alias("__h"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    q = quality_score(docs).where(F.col("keep")).select(
-        "doc_id", "quality_score"
+    from ..functions.text import (  # noqa: PLC0415
+        language_columns,
+        quality_columns,
+        token_stat_columns,
     )
-    lang = language_id(docs).select("doc_id", "pred_lang")
-    toks = token_stats(docs).select("doc_id", "n_tokens", "n_bpe_tokens")
-    return (
-        docs.select("doc_id")
-        .join(keepers, "doc_id", "left_semi")
-        .join(q, "doc_id")
-        .join(lang, "doc_id")
-        .join(toks, "doc_id")
-        .select("doc_id", "pred_lang", "n_tokens", "n_bpe_tokens", "quality_score")
+
+    q = quality_columns("text")
+    lang = language_columns("text")
+    toks = token_stat_columns("text")
+    staged = docs.select(
+        "doc_id",
+        lang["pred_lang"].alias("pred_lang"),
+        toks["n_tokens"].alias("n_tokens"),
+        toks["n_bpe_tokens"].alias("n_bpe_tokens"),
+        q["quality_score"].alias("quality_score"),
+        q["keep"].alias("keep"),
+    ).where(F.col("keep"))
+    return staged.join(keepers, "doc_id", "left_semi").select(
+        "doc_id", "pred_lang", "n_tokens", "n_bpe_tokens", "quality_score"
     )
 
 
@@ -4852,19 +4864,34 @@ def q_drift_panel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     lengths on both sides but no tokens reads NULL). Each leg keeps
     its own calendar-pair/broadcast shape; the final joins are
     (group × pair)-sized."""
-    from ..operators.curation import js_drift, ks_drift, psi_drift
+    from ..operators.curation import (
+        _ks_from_paired,
+        _ks_quantize,
+        _paired_value_counts,
+        _psi_from_paired,
+        js_drift,
+    )
+    from ..operators.spread import pinned
 
     docs = _t(spark, sf_dir, "documents").withColumn(
         "snapshot", (F.col("doc_id") % 3).cast("int")
     )
-    psi = psi_drift(
-        docs, value_col="n_chars", group_col="source",
-        period_col="snapshot", bins=KS_BINS,
+    # psi_drift and ks_drift share their entire prefix — the
+    # _ks_quantize grid pass and the (group, period, bin) histogram
+    # assembly — so the panel runs that prefix ONCE and pins it
+    # MATERIALIZED for the two reductions (before r12 each leg
+    # re-scanned documents and re-folded the histogram; guide §1.2 /
+    # §2.4). Values are identical by construction: each leg's
+    # reduction is the operator's own, over the same merged frame it
+    # would have built itself.
+    q, _ = _ks_quantize(
+        docs, None, "n_chars", KS_BINS, keep_cols=("source", "snapshot")
     )
-    ks = ks_drift(
-        docs, value_col="n_chars", group_col="source",
-        period_col="snapshot", bins=KS_BINS,
+    merged = pinned(
+        _paired_value_counts(q, "n_chars", "source", "snapshot", pin=True)
     )
+    psi = _psi_from_paired(merged, KS_BINS, "source", "snapshot")
+    ks = _ks_from_paired(merged, "source", "snapshot", pin=True)
     js = js_drift(
         docs, text_col="text", group_col="source",
         period_col="snapshot",
