@@ -116,8 +116,23 @@ def ngram_jaccard_pairs(
     corpora); exactness then holds for pairs whose similarity is carried
     by non-stop shingles. Leave None for fully exact semantics.
     Output: doc_a, doc_b (doc_a < doc_b), jaccard (rounded to 6dp).
+
+    Since r12 the shingle set is carried as xxhash64 DIGESTS of the
+    token slice, not gram strings (the minhash_jaccard_error basis,
+    same rationale): the distinct and the inverted-index join move
+    8-byte longs instead of n-word strings, and the per-gram
+    array_join string build disappears. A 64-bit collision inside one
+    pair's shingle union — the only place it could perturb a count —
+    is ~1e-13 even at book-length docs; the registry oracles fold raw
+    strings, so the driver gate continuously certifies
+    collision-freeness on the fixture. The digest frame feeds THREE
+    consumers (sizes + both inverted-join sides): pinned materialized,
+    partitioned by doc id so the size fold and both size re-attach
+    sides are exchange-free from the cache (guide §2.3/§2.4).
     """
-    sh = shingles(df, text_col, id_col, n=n)
+    sh = pinned(
+        _shingle_digest_rows(df, text_col, id_col, n, partition_by_id=True)
+    )
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
         sh = (
@@ -164,9 +179,14 @@ def containment_pairs(
     Scale shape identical to the Jaccard path: candidates meet in
     shingle postings lists (never all-pairs); ``max_shingle_freq``
     caps stop-shingle skew for web corpora (drops shingles in more
-    docs than the cap BEFORE pairing).
+    docs than the cap BEFORE pairing). Shingles are carried as
+    xxhash64 digests pinned partitioned-by-id — see
+    :func:`ngram_jaccard_pairs` for the digest-basis rationale and
+    collision bound (the oracle folds raw strings and certifies it).
     """
-    sh = shingles(df, text_col, id_col, n=n)
+    sh = pinned(
+        _shingle_digest_rows(df, text_col, id_col, n, partition_by_id=True)
+    )
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
         sh = (
@@ -1217,7 +1237,8 @@ def paragraph_ledger_replay(
 
 
 def _shingle_digest_rows(
-    df: DataFrame, text_col: str, id_col: str, n: int
+    df: DataFrame, text_col: str, id_col: str, n: int,
+    partition_by_id: bool = False,
 ) -> DataFrame:
     """Distinct (id, shingle-digest) rows: xxhash64 over each word
     n-gram's token slice, exploded to long format — the membership
@@ -1232,7 +1253,14 @@ def _shingle_digest_rows(
     sides over the SAME shingle universe or the error surface
     silently skews. The when-guard mirrors shingles(): sequence(1, 0)
     is DESCENDING in Spark, so sub-n-token docs must hit the typed
-    empty branch, not crash slice(.., 0)."""
+    empty branch, not crash slice(.., 0).
+
+    ``partition_by_id=True`` hash-partitions the exploded rows by the
+    doc id BEFORE the distinct: hashpartitioning(id) satisfies the
+    distinct's (id, shingle) clustering, so the dedup re-uses that
+    exchange, and every id-keyed consumer of the (pinned) result —
+    per-doc size folds, candidate re-attach joins — reads the
+    partitioning instead of re-exchanging the frame (guide §2.4)."""
     with_toks = df.withColumn("__toks", F.split(F.col(text_col), " "))
     n_pos = F.greatest(F.size("__toks") - (n - 1), F.lit(0))
     grams = F.when(
@@ -1242,9 +1270,10 @@ def _shingle_digest_rows(
             lambda i: F.xxhash64(F.slice("__toks", i, n)),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    return with_toks.select(
-        F.col(id_col), F.explode(grams).alias("shingle")
-    ).distinct()
+    out = with_toks.select(F.col(id_col), F.explode(grams).alias("shingle"))
+    if partition_by_id:
+        out = out.repartition(id_col)
+    return out.distinct()
 
 
 def minhash_jaccard_error(
@@ -1308,9 +1337,9 @@ def minhash_jaccard_error(
     # lazily — unlike the old string frame (measured cheaper to
     # re-derive than materialize), the digest frame is 16 B/row, so
     # one explode+hash execution beats three.
-    sh = _shingle_digest_rows(df, text_col, id_col, n).localCheckpoint(
-        eager=False
-    )
+    sh = _shingle_digest_rows(
+        df, text_col, id_col, n, partition_by_id=True
+    ).localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     pairs = est.select("doc_a", "doc_b")
     inter = (
