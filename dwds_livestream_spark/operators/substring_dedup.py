@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
+from .spread import pinned
 
 
 def duplicate_spans(
@@ -81,7 +82,17 @@ def duplicate_spans(
         F.lit(1), F.greatest(F.size("__toks") - (length - 1), F.lit(0))
     )
     grams = F.transform(idx, lambda i: key(F.slice("__toks", i, length)))
-    win = (
+    # the exploded gram frame feeds TWO consumers (the qualifying-gram
+    # fold and the hits probe side); pin it MATERIALIZED so the corpus
+    # tokenize + slice + hash explode runs once, not once per consumer
+    # (operators/spread.pinned — the module multi-consumer rule). The
+    # pinned frame is (doc_id, pos, gram-hash) longs — ~24 B per token,
+    # the standard inverted-index artifact of a span-dedup pass; it is
+    # deliberately NOT key-partitioned: the gram fold needs its
+    # map-side partial aggregation BEFORE any gram-keyed exchange
+    # (a boilerplate gram repeated millions of times would hot-spot a
+    # pre-partitioned reducer — guide §2.5).
+    win = pinned(
         documents.withColumn("__toks", toks)
         .where(F.size("__toks") >= length)
         .select(
