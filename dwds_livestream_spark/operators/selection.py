@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
+from .spread import pinned
 
 
 def _grams(df: DataFrame, text_col: str, n: int) -> DataFrame:
@@ -190,22 +191,30 @@ def source_overlap(
     shingle-level (not whole-document md5) so partial mirrors and
     boilerplate overlap register too.
 
-    Plan: distinct (source, shingle) — one shuffle keyed by the
-    near-uniform shingle; the pair join is keyed on the shingle and
-    aggregates straight down to #source² rows, so no skew and a
-    driver-sized output. At 100 TB the shingle string is replaced by
-    its xxhash64 (8-byte keys on the wide shuffle)."""
+    Plan: distinct (source, shingle-digest) — the shingle is carried
+    as xxhash64 of the token slice (8-byte keys on every exchange, no
+    per-gram string build; ~1e-13 pairwise collision odds, and the
+    registry oracle folds raw strings so the driver gate certifies
+    collision-freeness on the fixture). The frame feeds THREE
+    consumers (sizes + both self-join sides): computed once, pinned
+    MATERIALIZED, hash-partitioned on the shingle digest — safe here
+    because a digest's fan-out is bounded by #sources (distinct
+    (src, h) rows), so the pair self-join runs on the cache
+    partitioning with no exchange at all; the repartition also
+    satisfies the distinct's clustering (subset rule), so the dedup
+    rides the same single exchange (guide §2.3/§2.4)."""
     toked = df.withColumn("__toks", tokens(F.lower(F.col(text_col))))
     n_pos = F.greatest(F.size("__toks") - (n - 1), F.lit(0))
     gram = F.when(
         n_pos > 0,
         F.transform(
             F.sequence(F.lit(1), n_pos),
-            lambda i: F.array_join(F.slice("__toks", i, n), " "),
+            lambda i: F.xxhash64(F.slice("__toks", i, n)),
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    fp = (
+    ).otherwise(F.array().cast("array<bigint>"))
+    fp = pinned(
         toked.select(F.col(source_col).alias("src"), F.explode(gram).alias("h"))
+        .repartition("h")
         .distinct()
     )
     sizes = fp.groupBy("src").agg(F.count("*").alias("n"))
