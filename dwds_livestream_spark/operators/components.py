@@ -19,8 +19,14 @@ contraction family). Each round:
    previous-round frame (not a self-join on the frame being built)
    keeps each round's dataflow a single evaluated chain.
 
-Scale: per round, two hash joins + one aggregation, all keyed on node
-id — shuffle volume O(|E|), never materializing components. Lineage is
+Scale: per round, one edge-sized neighbor-min join + aggregation and
+two node-sized block-read jump joins, all keyed on node id — shuffle
+volume O(|E|), never materializing components (the node's own label
+rides a pre-built self-edge, not a per-round re-attach join; r12).
+Convergence is detected from the exact DECIMAL sum of labels, which
+is strictly decreasing under any change (labels are monotone
+non-increasing), so no per-round old-vs-new comparison join or extra
+column is carried. Lineage is
 truncated every round with localCheckpoint (without it the plan doubles
 per iteration and Catalyst analysis time explodes — the standard
 iterative-algorithm pitfall on Spark). At 100 TB the same loop holds:
@@ -71,19 +77,36 @@ def connected_components(
             .select("node", F.coalesce("label", "node").alias("label"))
         )
     labels = labels.localCheckpoint()
+    # self-edges folded into the edge frame ONCE (r12): min over
+    # {self} ∪ neighborhood is then a single join + aggregate per
+    # round, removing the node-sized left join (and its exchanges)
+    # that previously re-attached each node's own label — every node
+    # reaches itself, so no row is lost and the stepped value is the
+    # identical least(own, neighbor-min).
+    e_self = e.unionByName(
+        labels.select(F.col("node").alias("a"), F.col("node").alias("b"))
+    ).localCheckpoint()
 
+    # convergence telemetry: labels are monotone NON-INCREASING (min
+    # of a set containing the current label; the jumps only follow
+    # l_old(z) <= z), so the exact integer sum of all labels strictly
+    # decreases on any change and is constant exactly at the fixpoint.
+    # DECIMAL(38,0) keeps the sum exact for any |V| x id range — a
+    # long sum could wrap at extreme scale and alias two states.
+    def _label_total(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("t")
+        ).first()["t"]
+
+    total = _label_total(labels)
     for _ in range(max_iter):
-        # 1. min over self + neighborhood
-        nbr_min = (
-            e.join(labels.withColumnRenamed("node", "b"), "b")
+        # 1. min over self + neighborhood (self-edge covers isolated
+        # nodes and the node's own label)
+        stepped = (
+            e_self.join(labels.withColumnRenamed("node", "b"), "b")
             .groupBy("a")
-            .agg(F.min("label").alias("nmin"))
+            .agg(F.min("label").alias("label"))
             .withColumnRenamed("a", "node")
-        )
-        stepped = labels.join(nbr_min, "node", "left").select(
-            "node",
-            F.least("label", F.coalesce("nmin", "label")).alias("label"),
-            F.col("label").alias("_old"),
         )
         # 2. double pointer jump THROUGH THE PREVIOUS ROUND'S PINNED
         # LABELS: label <- l_old(l_old(label)). Jumping through the
@@ -102,16 +125,16 @@ def connected_components(
         lut1 = labels.select(F.col("node").alias("_n1"), F.col("label").alias("_l1"))
         lut2 = labels.select(F.col("node").alias("_n2"), F.col("label").alias("_l2"))
         j1 = stepped.join(lut1, stepped.label == lut1._n1).select(
-            "node", F.col("_l1").alias("label"), "_old"
+            "node", F.col("_l1").alias("label")
         )
         jumped = (
             j1.join(lut2, j1.label == lut2._n2)
-            .select("node", F.col("_l2").alias("label"), "_old")
+            .select("node", F.col("_l2").alias("label"))
             .localCheckpoint()
         )
-        # convergence read off the just-materialized frame — no extra join
-        changed = jumped.where(F.col("label") != F.col("_old")).limit(1).count()
-        labels = jumped.drop("_old")
-        if changed == 0:
+        labels = jumped
+        new_total = _label_total(labels)
+        if new_total == total:
             return labels.select("node", F.col("label").alias("cluster_id"))
+        total = new_total
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
