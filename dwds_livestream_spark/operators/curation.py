@@ -1215,32 +1215,45 @@ def _paired_value_counts(
         .agg(F.count("*").alias("__c"))
     )
     if pin:
+        # lazy localCheckpoint, NOT an eager cache: measured r13 —
+        # pinned(hg) (cache + count) re-reads the tiny histogram as a
+        # 32-partition cached relation per consumer, and the stage
+        # bloat cost MORE than it saved (psi_drift 1.25 -> 2.36 s,
+        # drift_panel_join 4.17 -> 5.05 s lean minima); the lazy
+        # checkpoint materializes inside the first consumer's job at
+        # the fold's own (AQE-coalesced) partitioning.
         hg = hg.localCheckpoint(eager=False)
     periods = hg.select("__p").distinct()
     pairs = periods.select(
         "__p",
         F.lead("__p").over(Window.orderBy("__p")).alias("__np"),
     ).where(F.col("__np").isNotNull())
+    # zero-filled union grid as ONE map-side-combined aggregate
+    # (guide §2.4): each side contributes its count with the other
+    # side's count as 0, and the (g, pair, v)-keyed sum rebuilds the
+    # merged row. hg is unique per (__g, __p, __v), so each key sums
+    # at most one nonzero per side — value-identical to the r12
+    # union + distinct + two left joins, for 3 fewer exchanges and
+    # 2 fewer joins.
     a = hg.join(F.broadcast(pairs), "__p").select(
-        "__g", "__p", "__np", "__v", F.col("__c").alias("__ca")
+        "__g", "__p", "__np", "__v",
+        F.col("__c").alias("__ca"), F.lit(0).cast("long").alias("__cb"),
     )
     b = (
         hg.withColumnRenamed("__p", "__np")
         .join(F.broadcast(pairs), "__np")
-        .select("__g", "__p", "__np", "__v", F.col("__c").alias("__cb"))
-    )
-    grid = (
-        a.select("__g", "__p", "__np", "__v")
-        .union(b.select("__g", "__p", "__np", "__v"))
-        .distinct()
-    )
-    return (
-        grid.join(a, ["__g", "__p", "__np", "__v"], "left")
-        .join(b, ["__g", "__p", "__np", "__v"], "left")
         .select(
             "__g", "__p", "__np", "__v",
-            F.coalesce("__ca", F.lit(0)).alias("__ca"),
-            F.coalesce("__cb", F.lit(0)).alias("__cb"),
+            F.lit(0).cast("long").alias("__ca"),
+            F.col("__c").alias("__cb"),
+        )
+    )
+    return (
+        a.unionByName(b)
+        .groupBy("__g", "__p", "__np", "__v")
+        .agg(
+            F.sum("__ca").alias("__ca"),
+            F.sum("__cb").alias("__cb"),
         )
     )
 
@@ -1317,24 +1330,27 @@ def _ks_from_paired(
         .orderBy("__v")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # per-side totals ride the SAME window pass as the running ECDF
+    # sums, as whole-partition frames (sum over the full (g, pair)
+    # partition == the final cumulative value — exact integer
+    # arithmetic, value-identical to the r12 max-of-cumsum): same
+    # partition key, so zero extra exchanges, and the r12 totals
+    # aggregate + totals join + the lazy cum checkpoint (whose two
+    # consumers raced under AQE) all disappear (guide §2.4; the
+    # ``pin`` parameter is retained for signature compatibility but
+    # no longer needed — the reduction is single-pass).
+    # no orderBy: an unordered spec's default frame is the whole
+    # partition, which is exactly the total
+    wt = Window.partitionBy("__g", "__p", "__np")
     cum = merged.select(
         "__g", "__p", "__np",
         F.sum("__ca").over(w).alias("__cca"),
         F.sum("__cb").over(w).alias("__ccb"),
-    )
-    if pin:
-        # feeds the totals fold and the ks join; pin so the grid +
-        # window pass run once
-        cum = cum.localCheckpoint(eager=False)
-    # per-side totals are the final cumulative values on the shared
-    # grid (pair-bounded frames, map-side-combined max)
-    totals = cum.groupBy("__g", "__p", "__np").agg(
-        F.max("__cca").cast("long").alias("n_prev"),
-        F.max("__ccb").cast("long").alias("n_next"),
+        F.sum("__ca").over(wt).cast("long").alias("n_prev"),
+        F.sum("__cb").over(wt).cast("long").alias("n_next"),
     )
     out = (
-        cum.join(totals, ["__g", "__p", "__np"])
-        .groupBy("__g", "__p", "__np", "n_prev", "n_next")
+        cum.groupBy("__g", "__p", "__np", "n_prev", "n_next")
         .agg(
             (
                 F.round(
@@ -1511,48 +1527,55 @@ def _psi_from_paired(
 ) -> DataFrame:
     """The PSI reduction over a :func:`_paired_value_counts` frame of
     ALREADY-BUCKETED values (see :func:`_ks_from_paired` for why this
-    is split out)."""
-    totals = merged.groupBy("__g", "__p", "__np").agg(
-        F.sum("__ca").cast("long").alias("n_prev"),
-        F.sum("__cb").cast("long").alias("n_next"),
-    )
-    # densify to the full 1..bins grid: a bin empty on both sides
-    # still carries smoothed mass on each side, and the smoothed
-    # p != q whenever the totals differ
-    full = (
-        totals.where((F.col("n_prev") > 0) & (F.col("n_next") > 0))
-        .select(
-            "__g", "__p", "__np", "n_prev", "n_next",
-            F.explode(
-                F.sequence(F.lit(1), F.lit(int(bins)))
-            ).alias("__v"),
-        )
-    )
-    # the totals ride through the densify select (the explode's
-    # partition columns ARE totals' key), so no re-join is needed to
-    # recover them — and filtering the both-sides-present contract
-    # BEFORE the explode skips densifying one-sided pairs entirely
-    # (review r10)
-    joined = full.join(
-        merged, ["__g", "__p", "__np", "__v"], "left"
-    ).select(
-        "__g", "__p", "__np", "n_prev", "n_next",
-        F.coalesce("__ca", F.lit(0)).alias("__ca"),
-        F.coalesce("__cb", F.lit(0)).alias("__cb"),
-    )
+    is split out).
+
+    Empty-bin mass in closed form (r13): a bin absent from ``merged``
+    has counts (0, 0), so its smoothed term is the SAME
+    totals-dependent constant for every such bin — instead of
+    densifying to the full 1..bins grid (an explode + a grid join,
+    r12's shape), the fold sums the present bins and adds
+    ``(bins − n_present) × term₀`` once. The term values are
+    bit-identical to the densified form; only the IEEE summation
+    ORDER changes, which sits inside the same ~ulp class the 6dp
+    round already absorbs (the module's documented
+    embedding_covariance determinism class, swept per-round and
+    hash-certified against the unchanged densifying oracle at
+    sf0.01/sf0.1). Totals ride a whole-partition window on the
+    (g, pair) key, so the reduction is one exchange end to end."""
+    wt = Window.partitionBy("__g", "__p", "__np")
+    base = merged.select(
+        "__g", "__p", "__np", "__ca", "__cb",
+        F.sum("__ca").over(wt).cast("long").alias("n_prev"),
+        F.sum("__cb").over(wt).cast("long").alias("n_next"),
+    ).where((F.col("n_prev") > 0) & (F.col("n_next") > 0))
     half_bins = F.lit(bins / 2.0)
     pa = (F.col("__ca") + F.lit(0.5)) / (F.col("n_prev") + half_bins)
     pb = (F.col("__cb") + F.lit(0.5)) / (F.col("n_next") + half_bins)
     term = (pa - pb) * F.log(pa / pb)
+    # the (0, 0)-count term, as a function of the grouped totals
+    pa0 = F.lit(0.5) / (F.col("n_prev") + half_bins)
+    pb0 = F.lit(0.5) / (F.col("n_next") + half_bins)
+    term0 = (pa0 - pb0) * F.log(pa0 / pb0)
     next_col = f"next_{period_col}"
     return (
-        joined.groupBy("__g", "__p", "__np", "n_prev", "n_next")
-        .agg((F.round(F.sum(term), 6) + F.lit(0.0)).alias("psi"))
+        base.groupBy("__g", "__p", "__np", "n_prev", "n_next")
+        .agg(
+            F.sum(term).alias("__s"),
+            F.count("*").alias("__n_present"),
+        )
         .select(
             F.col("__g").alias(group_col),
             F.col("__p").alias(period_col),
             F.col("__np").alias(next_col),
-            "n_prev", "n_next", "psi",
+            "n_prev", "n_next",
+            (
+                F.round(
+                    F.col("__s")
+                    + (F.lit(int(bins)) - F.col("__n_present")) * term0,
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("psi"),
         )
     )
 
@@ -1599,13 +1622,16 @@ def js_drift(
         F.col("__jg"), F.col("__jp"), F.xxhash64("__jt").alias("__jv")
     )
     merged = _paired_value_counts(tok, "__jv", "__jg", "__jp", pin=pin)
-    totals = merged.groupBy("__g", "__p", "__np").agg(
-        F.sum("__ca").cast("long").alias("n_prev"),
-        F.sum("__cb").cast("long").alias("n_next"),
-    )
-    joined = merged.join(totals, ["__g", "__p", "__np"]).where(
-        (F.col("n_prev") > 0) & (F.col("n_next") > 0)
-    )
+    # per-pair token totals ride a whole-partition window on the
+    # (group, pair) key instead of a separate aggregate + join-back
+    # (guide §2.4; exact integer sums, value-identical) — one
+    # exchange for totals + attach + the JS fold's clustering
+    wt = Window.partitionBy("__g", "__p", "__np")
+    joined = merged.select(
+        "__g", "__p", "__np", "__ca", "__cb",
+        F.sum("__ca").over(wt).cast("long").alias("n_prev"),
+        F.sum("__cb").over(wt).cast("long").alias("n_next"),
+    ).where((F.col("n_prev") > 0) & (F.col("n_next") > 0))
     p = F.col("__ca") / F.col("n_prev")
     q = F.col("__cb") / F.col("n_next")
     m = (p + q) / F.lit(2.0)

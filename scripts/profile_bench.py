@@ -91,10 +91,14 @@ def _max_job_id(app_url: str) -> int:
 
 
 def profile(names: list[str], runs: int, explain_to: str | None,
-            sf_dir: str) -> None:
+            sf_dir: str, no_ui: bool = False) -> None:
+    # --no-ui: lean timing mode. The UI/REST session measurably
+    # inflates and destabilizes per-run timings on this sandbox
+    # (r12 noise protocol); use it when the NUMBERS matter and the
+    # default (UI on) when the job/stage DECOMPOSITION matters.
     spark = build_session(
         app_name="dwds-profile",
-        extra_conf={"spark.ui.enabled": "true"},
+        extra_conf={"spark.ui.enabled": "false" if no_ui else "true"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     _warmup(spark, sf_dir)
@@ -161,6 +165,7 @@ def main() -> None:
     ap.add_argument("--top", type=int, default=0)
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--explain", default=None)
+    ap.add_argument("--no-ui", action="store_true")
     args = ap.parse_args()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     names = list(args.queries)
@@ -174,7 +179,7 @@ def main() -> None:
     bad = [n for n in names if n not in QUERIES]
     if bad:
         raise SystemExit(f"unknown queries: {bad}")
-    profile(names, args.runs, args.explain, sf_dir)
+    profile(names, args.runs, args.explain, sf_dir, no_ui=args.no_ui)
 
 
 if __name__ == "__main__":
