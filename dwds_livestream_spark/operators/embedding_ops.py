@@ -30,6 +30,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .spread import pinned
+
 __all__ = [
     "embedding_covariance",
     "quantile_normalize",
@@ -336,9 +338,19 @@ def quantile_normalize(
             ex.join(F.broadcast(bounds), gdim)
             .withColumn("__bucket", bucket)
             .drop("__bs")
+            # feeds the per-(dim, bucket) counts AND the rank window;
+            # its consumers are forced SEQUENTIAL by the broadcast
+            # dependency chain (ranked joins broadcast(offsets), which
+            # derives from counts), so a lazy checkpoint materializes
+            # race-free during the counts fold and the rank window
+            # reads the stored blocks — one posexplode + bucket pass
+            # instead of two (r13, guide §1.2)
+            .localCheckpoint(eager=False)
         )
     else:
-        exb = ex.withColumn("__bucket", F.lit(0))
+        exb = ex.withColumn("__bucket", F.lit(0)).localCheckpoint(
+            eager=False
+        )
 
     counts = exb.groupBy(*gdim, "__bucket").agg(F.count("*").alias("__cnt"))
     off_w = (
@@ -358,6 +370,10 @@ def quantile_normalize(
         .select(id_col, *keys, "dim", "__x", "rn")
         # feeds both the rank-mean aggregate and the substitution join;
         # lazy checkpoint so the bucketed rank runs once, not twice
+        # (an eager pinned() cache was measured SLOWER here, r13:
+        # group_quantile_normalize 2.03 -> 3.08 s lean minima — the
+        # 1.3M-row columnar cache write + per-consumer 33-task cache
+        # reads cost more than the occasional checkpoint race)
         .localCheckpoint(eager=False)
     )
     means = ranked.groupBy(*keys, "rn").agg(
