@@ -666,7 +666,19 @@ def levenshtein_near_pairs(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
         )
-        .select("doc_a", "doc_b", dist.alias("edit_dist"))
+        # one-element explode as a Generate barrier (the access_log
+        # trick, r13): selecting dist then filtering on the alias lets
+        # the optimizer inline the alias and fold BOTH filter conjuncts
+        # into the join condition — the O(len²) dynamic program then
+        # runs TWICE per surviving band pair (measured in the r12
+        # before-plan: `levenshtein(...) >= 0 AND levenshtein(...) <=
+        # 60` as one join condition). Predicates cannot cross a
+        # Generate (InferFiltersFromGenerate is excluded session-wide),
+        # so the DP evaluates exactly once per candidate.
+        .select(
+            "doc_a", "doc_b",
+            F.explode(F.array(dist)).alias("edit_dist"),
+        )
         # thresholded levenshtein returns -1 when the distance exceeds
         # the threshold — exclude those, not just > max_dist
         .where((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
@@ -729,7 +741,14 @@ def minhash_levenshtein_pairs(
         spread(cand, force=True)
         .join(ta, "doc_a")
         .join(tb, "doc_b")
-        .select("doc_a", "doc_b", dist.alias("edit_dist"))
+        # one-element explode as a Generate barrier: without it the
+        # threshold filter folds into the text-attach join's condition
+        # and the O(len²) dynamic program evaluates TWICE per
+        # candidate (see levenshtein_near_pairs — same fix)
+        .select(
+            "doc_a", "doc_b",
+            F.explode(F.array(dist)).alias("edit_dist"),
+        )
         # thresholded levenshtein returns -1 past the threshold
         .where((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
     )
