@@ -212,10 +212,18 @@ def source_overlap(
             lambda i: F.xxhash64(F.slice("__toks", i, n)),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
+    # distinct FIRST (composite-key exchange with map-side partial
+    # aggregation), THEN repartition the already-distinct,
+    # #sources-bounded frame by the digest (ADVICE r12): the r12 order
+    # repartitioned raw pre-distinct occurrence rows by h, so a
+    # boilerplate shingle occurring millions of times would route
+    # every occurrence to one reducer with no map-side combine — the
+    # exact hot-spot the substring_dedup note (guide §2.5) avoids.
+    # The self-join still reads the cache partitioning on h.
     fp = pinned(
         toked.select(F.col(source_col).alias("src"), F.explode(gram).alias("h"))
-        .repartition("h")
         .distinct()
+        .repartition("h")
     )
     sizes = fp.groupBy("src").agg(F.count("*").alias("n"))
     inter = (
