@@ -113,8 +113,11 @@ def ngram_jaccard_pairs(
 
     ``max_shingle_freq`` drops shingles appearing in more than that many
     documents before pairing (stop-shingle skew cap for web-scale
-    corpora); exactness then holds for pairs whose similarity is carried
-    by non-stop shingles. Leave None for fully exact semantics.
+    corpora); the similarity is then computed over non-stop shingles
+    only. Leave None to compare full shingle sets — exact up to the
+    documented 64-bit digest collision bound below (ADVICE r12: the
+    shingle keys are digests, so "exact" always carries that ~1e-13
+    qualifier; :func:`containment_pairs` inherits the same contract).
     Output: doc_a, doc_b (doc_a < doc_b), jaccard (rounded to 6dp).
 
     Since r12 the shingle set is carried as xxhash64 DIGESTS of the

@@ -121,7 +121,7 @@ def main() -> int:
     sf_dir = f"/root/testdata/sf{args.sf}"
 
     import __spark_entry__ as entry
-    from dwds_livestream_spark.session import build_session
+    from dwds_livestream_spark.session import build_session, drop_leftover_state
 
     spark = build_session(master="local[8]", shuffle_partitions=8)
     qs = entry.queries()
@@ -137,6 +137,13 @@ def main() -> int:
 
     failures = 0
     for name in names:
+        # one-shot operators pin multi-consumer frames (cache + count)
+        # and cannot unpersist them before their lazy result is
+        # consumed; the sweep harness releases that state per query
+        # (ADVICE r12) exactly as bench.py does, so a 236-entry sweep
+        # doesn't accumulate cached signature/index frames into LRU
+        # eviction churn
+        drop_leftover_state(spark)
         sdf = qs[name](spark, sf_dir)
         srows = [tuple(r) for r in sdf.collect()]
         scols = sdf.columns
