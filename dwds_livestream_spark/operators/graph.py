@@ -64,13 +64,31 @@ def triangle_count(
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # repartition('x') before the checkpoint (r13): the orientation
+    # select's output bytes are tiny, so AQE coalesces the stage to ONE
+    # partition and the whole downstream stage — the adjacency
+    # aggregate plus the per-edge array_intersect over every oriented
+    # edge, the query's CPU-dense kernel — serialized on one task
+    # (measured: d checkpointed at 1 partition). Keying the exchange on
+    # the wedge-join key x (not round-robin) also aligns the adjacency
+    # groupBy with the data layout; AQE still picks the partition count,
+    # so this stays scale-adaptive. Interleaved same-session A/B at
+    # sf0.1/32: 6.38 -> 3.93 s min (round-robin control 4.82 s).
     d = keyed.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("x"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("y"),
-    ).localCheckpoint()  # consumed by the adjacency agg + both edge joins
+    ).repartition("x").localCheckpoint()  # adjacency agg + both edge joins
     # out-adjacency arrays: bounded at O(sqrt |E|) per node by the
-    # orientation, so collect_list cannot hub-explode
-    nbrs = d.groupBy("x").agg(F.array_sort(F.collect_list("y")).alias("ns"))
+    # orientation, so collect_list cannot hub-explode. Checkpointed
+    # (r13): nbrs feeds BOTH broadcast builds below, and without a
+    # barrier each build re-runs the collect_list aggregate — two
+    # |E|-row exchanges instead of one (plan ops 2-5 and 9-12 were
+    # identical twins). A/B on top of the repartition: 3.93 -> 3.67 s.
+    nbrs = (
+        d.groupBy("x")
+        .agg(F.array_sort(F.collect_list("y")).alias("ns"))
+        .localCheckpoint()
+    )
     # each triangle {a≺b≺c} closes exactly once, at its lowest edge
     # (a,b): c ∈ N+(a) ∩ N+(b). Counting |N+(x) ∩ N+(y)| per oriented
     # edge replaces the O(#wedges) self-join + wedge-sized shuffle with
