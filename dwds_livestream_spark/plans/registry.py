@@ -340,7 +340,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # keep their oracles and the local replica gate
 # (scripts/check_oracle.py + tests/test_output_type_canon.py).
 DRIVER_WINDOW: list[str] = [
-    # ---- round-12 window (scripts/next_window.py; ROADMAP r12) ----
+    # ---- round-13 window (scripts/next_window.py; ROADMAP r13;
+    # changed-plan override per the standing cadence policy) ----
     # (a) reference-pipeline parity (SURVEY.md §2) — permanent
     "access_log_parse",
     "events_filter_project",
@@ -349,69 +350,65 @@ DRIVER_WINDOW: list[str] = [
     "key_encode",
     "json_extract",
     "events_per_hour",
-    # (b) never driver-verified: the seven r11 post-window entries
-    # (VERDICT r11 #1 — the only registry entries with zero driver
-    # evidence; queued first exactly as ROADMAP pre-computed)
-    "dedup_yield_curve",
-    "drift_panel_join",
-    "paragraph_ledger_replay",
-    "conformal_outlier_bounds",
-    "paragraph_yield_curve",
-    "conformal_drift_gate",
-    "logbucket_quantiles",
-    # (c) pad, round-robin by least-recently-driver-seen
-    # (scripts/next_window.py): the r06/r07 cohort is the oldest
-    # remaining block after the r11 rotation
-    "watermark_late_drop",
-    "emit_on_change",
-    "interval_coverage",
-    "weighted_median",
-    "session_window_late",
-    "dedup_containment",
-    "robust_scaler",
-    "topk_rank_ties",
-    "events_profile",
-    "trending_topk",
-    "gap_fill_locf",
-    "gap_fill_interpolate",
-    "funnel",
-    "retention_cohorts",
-    "anomaly_zscore",
-    "event_transitions",
-    "value_histogram",
-    "sample_per_key",
-    "stats_regression",
-    "value_deciles",
-    "spend_percent_rank",
-    "ohlc_bars",
-    "time_weighted_avg",
-    "winsorize",
-    "grouping_sets",
-    "mad_outliers",
-    "cdc_apply",
-    "max_concurrency",
-    "ppl_buckets",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_levenshtein",
-    # (c') changed-plan re-verification (standing rule: any plan
-    # change re-verifies in the SAME round's window):
-    # minhash_ledger_replay is now served from the shared persisted
-    # replay artifact — value-identical by parity test, but the plan
-    # changed, so it takes the dedup_clusters pad slot (the least
-    # stale remaining; dedup_clusters leads the r13 pad with the
-    # three batch-displaced slots)
+    # (b) never driver-verified: none (a carry-over of the r12 first —
+    # every registry entry has driver evidence entering r13)
+    # (c) changed-plan re-verification (standing rule: any plan change
+    # re-verifies in the SAME round's window). First the r13
+    # optimization-round restructures (OPTIMIZATION_r13.md is the log
+    # of record):
     "minhash_ledger_replay",
-    # (d) the round-12 growth batch, registered PRE-freeze and
-    # IN-window (ROADMAP r12: "new r12 entries registered pre-freeze")
-    # so it carries driver evidence in its own round — no
-    # never-driver-verified debt enters r13. Displaces the three
-    # LEAST-stale pad slots (curation_pipeline, similarity_topk,
-    # embedding_near_dup — last driver-seen r11-adjacent cohort),
-    # which rotate to the front of the r13 pad queue.
-    "logbucket_quantile_drift",
-    "isotonic_calibration",
-    "calibration_reliability",
+    "dedup_yield_curve",
+    "triangle_count",
+    "psi_drift",
+    "ks_drift",
+    "js_drift",
+    "ks_drift_binned",
+    "drift_panel_join",
+    "quantile_normalize",
+    "group_quantile_normalize",
+    "dedup_levenshtein",
+    "dedup_minhash_levenshtein",
+    "source_overlap",
+    # then the r12 optimization-round entries whose executed plans
+    # changed but which were NOT in the r12 window (ROADMAP r13 §"r12
+    # optimization round plan changes" queues them at pad-priority;
+    # access_log_parse/dedup_yield_curve/drift_panel_join/
+    # minhash_ledger_replay/dedup_containment/dedup_ngram_jaccard/
+    # dedup_levenshtein were r12-windowed already):
+    "basket_pairs",
+    "pagerank_trade",
+    "dedup_clusters",
+    "dedup_clusters_ann",
+    "cluster_representative",
+    "semantic_dedup",
+    "dedup_minhash_lsh",
+    "minhash_jaccard_error",
+    "curation_pipeline",
+    "duplicate_spans",
+    "cross_doc_spans",
+    "dedup_simhash",
+    # (d) pad, round-robin by least-recently-driver-seen
+    # (scripts/next_window.py r13 suggestion order, minus entries
+    # already listed above): the three r12 batch-displaced slots lead,
+    # then the r07-era remainder
+    "similarity_topk",
+    "embedding_near_dup",
+    "text_token_stats",
+    "text_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "decontaminate",
+    "stratified_split",
+    "pii_redact",
+    "gopher_quality",
+    "c4_clean",
+    "paragraph_dedup",
+    "pareto_frontier",
+    "ann_index_topk_fullprobe",
+    "activity_streaks",
+    "regex_antijoin",
+    "dq_checks",
+    "dedup_incremental",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
