@@ -68,7 +68,13 @@ def main() -> int:
 
     steps: list[tuple[str, list[str]]] = []
     if "pytest" not in skip:
-        steps.append(("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"]))
+        # the release gate runs the FULL suite, including the `slow`
+        # tier pytest.ini deselects from the driver-budget default run
+        steps.append((
+            "pytest",
+            [sys.executable, "-m", "pytest", "tests/", "-q",
+             "-m", "slow or not slow"],
+        ))
     if "oracle" not in skip:
         steps.append(
             ("oracle", [sys.executable, "scripts/check_oracle.py", "--sf", args.sf])

@@ -24,6 +24,12 @@ from pyspark.sql import Row
 from dwds_livestream_spark.config import DEFAULT_CONFIG
 from dwds_livestream_spark.functions.access_log import access_log_to_events
 
+import pytest
+# Slow tier (pytest.ini): full-registry sweep / hypothesis suite —
+# deselected from the default driver-budget run, in the release gate.
+pytestmark = pytest.mark.slow
+
+
 TS = dt.datetime(2024, 12, 8, 23, 0, 18)
 UA = "Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101"
 

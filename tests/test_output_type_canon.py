@@ -17,6 +17,11 @@ from dwds_livestream_spark.plans.canon import (
 )
 from dwds_livestream_spark.plans.registry import ORACLE_SQL, QUERIES, TABLES
 
+# Slow tier (pytest.ini): full-registry sweep / hypothesis suite —
+# deselected from the default driver-budget run, in the release gate.
+pytestmark = pytest.mark.slow
+
+
 SF_DIR = "/root/testdata/sf0.001"
 
 

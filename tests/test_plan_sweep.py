@@ -23,6 +23,11 @@ import pytest
 
 from dwds_livestream_spark.plans.registry import QUERIES
 
+# Slow tier (pytest.ini): full-registry sweep / hypothesis suite —
+# deselected from the default driver-budget run, in the release gate.
+pytestmark = pytest.mark.slow
+
+
 SF_DIR = "/root/testdata/sf0.001"
 
 # Window-over-SinglePartition allowed ONLY for frames bounded by

@@ -18,6 +18,12 @@ from hypothesis import strategies as st
 
 from dwds_livestream_spark.operators.substring_dedup import duplicate_spans
 
+import pytest
+# Slow tier (pytest.ini): full-registry sweep / hypothesis suite —
+# deselected from the default driver-budget run, in the release gate.
+pytestmark = pytest.mark.slow
+
+
 L = 3
 
 token = st.sampled_from(["x", "y", "z"])

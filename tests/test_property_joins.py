@@ -18,6 +18,12 @@ from pyspark.sql import functions as F
 from dwds_livestream_spark.operators.asof import asof_join
 from dwds_livestream_spark.operators.range_join import range_join
 
+import pytest
+# Slow tier (pytest.ini): full-registry sweep / hypothesis suite —
+# deselected from the default driver-budget run, in the release gate.
+pytestmark = pytest.mark.slow
+
+
 EPOCH = dt.datetime(2024, 1, 1)
 
 

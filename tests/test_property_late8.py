@@ -15,6 +15,12 @@ from dwds_livestream_spark.operators.embedding_ops import quantile_normalize
 from dwds_livestream_spark.operators.retrieval import rbo_drift, rbo_panel
 from dwds_livestream_spark.operators.urls import path_neardup_pairs
 
+import pytest
+# Slow tier (pytest.ini): full-registry sweep / hypothesis suite —
+# deselected from the default driver-budget run, in the release gate.
+pytestmark = pytest.mark.slow
+
+
 SET = settings(
     max_examples=10,
     deadline=None,

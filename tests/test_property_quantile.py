@@ -16,6 +16,12 @@ from dwds_livestream_spark.operators.quantile_hist import (
     range_quantiles,
 )
 
+import pytest
+
+# Slow tier (pytest.ini): full-registry sweep / hypothesis suite —
+# deselected from the default driver-budget run, in the release gate.
+pytestmark = pytest.mark.slow
+
 LO, HI, NBINS = 0.0, 100.0, 25
 BIN_W = (HI - LO) / NBINS
 

@@ -16,6 +16,12 @@ from hypothesis import strategies as st
 from dwds_livestream_spark.operators.curation import ks_panel
 from dwds_livestream_spark.operators.urls import path_drift, path_novelty
 
+import pytest
+# Slow tier (pytest.ini): full-registry sweep / hypothesis suite —
+# deselected from the default driver-budget run, in the release gate.
+pytestmark = pytest.mark.slow
+
+
 SET = settings(
     max_examples=10,
     deadline=None,

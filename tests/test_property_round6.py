@@ -20,6 +20,12 @@ from dwds_livestream_spark.operators.stream_twins import (
     watermark_late_drop,
 )
 
+import pytest
+
+# Slow tier (pytest.ini): full-registry sweep / hypothesis suite —
+# deselected from the default driver-budget run, in the release gate.
+pytestmark = pytest.mark.slow
+
 T0 = dt.datetime(2024, 1, 1)
 SET = settings(
     max_examples=10,

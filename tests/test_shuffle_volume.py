@@ -11,6 +11,11 @@ import pytest
 from dwds_livestream_spark.plans.registry import QUERIES
 from dwds_livestream_spark.shuffle_metrics import measure_execution
 
+# Slow tier (pytest.ini): full-registry sweep / hypothesis suite —
+# deselected from the default driver-budget run, in the release gate.
+pytestmark = pytest.mark.slow
+
+
 SF_DIR = "/root/testdata/sf0.001"
 
 
